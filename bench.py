@@ -1,0 +1,67 @@
+"""Benchmark runner: times every benched query in the inventory.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+$SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from syslog_kafka_spark.plans.registry import load_all
+    from syslog_kafka_spark.session import get_spark
+
+    spark = get_spark("syslog-kafka-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch session costs.
+    try:
+        specs["agg_revenue_forecast"].build(spark, sf_dir).collect()
+    except Exception as exc:
+        print(f"bench: cannot read {sf_dir}: {exc}", file=sys.stderr)
+        sys.exit(2)
+
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        spec = specs[name]
+        if not spec.bench:
+            continue
+        t0 = time.perf_counter()
+        try:
+            spec.build(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the bench line well-formed on a bad query
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

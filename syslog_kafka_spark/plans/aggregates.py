@@ -1,0 +1,285 @@
+"""Aggregation surface (SURVEY §2B.4): groupBy/agg, rollup, cube, having,
+multi-distinct, conditional aggregation, deterministic collect_list.
+
+All plans are DataFrame-API; Catalyst plans partial (map-side) aggregation
+for every hash aggregate here, so these scale linearly with input —
+the only shuffle is on the (low-cardinality) grouping keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+@query(
+    "agg_pricing_summary",
+    family="aggregation",
+    oracle="""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+          CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+          CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(round(avg(l_quantity), 2) AS DOUBLE) AS avg_qty,
+          CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash-agg → sort.
+
+    Catalyst pushes the shipdate predicate into the parquet scan and does a
+    partial aggregate before the 6-group shuffle, so the exchange carries
+    only (flag, status) partials regardless of input size.
+    """
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_revenue_forecast",
+    family="aggregation",
+    oracle="""
+        SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def agg_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: tight range predicates all pushed to the scan, then a
+    single global sum — no grouping shuffle at all (partial sums reduce to
+    one row)."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    family="aggregation",
+    oracle="""
+        SELECT
+          o_orderstatus,
+          count(DISTINCT o_custkey) AS n_custs,
+          count(DISTINCT o_orderpriority) AS n_prios,
+          count(*) AS n_orders,
+          CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count(DISTINCT) in one aggregate — Catalyst rewrites to an
+    expand + two-phase aggregate rather than N self-joins."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_rollup_revenue",
+    family="aggregation",
+    oracle="""
+        SELECT
+          coalesce(l_returnflag, '<all>') AS returnflag,
+          coalesce(l_linestatus, '<all>') AS linestatus,
+          CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+          count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; null grouping slots made explicit with a
+    sentinel so the sort is deterministic across engines."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "agg_cube_orders",
+    family="aggregation",
+    oracle="""
+        SELECT
+          coalesce(o_orderstatus, '<all>') AS status,
+          coalesce(o_orderpriority, '<all>') AS priority,
+          count(*) AS n,
+          CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all four grouping-set combinations)."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "agg_having_big_customers",
+    family="aggregation",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 8
+        ORDER BY o_custkey
+    """,
+)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregate filter)."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("n_orders") >= 8)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_conditional",
+    family="aggregation",
+    oracle="""
+        SELECT
+          l_returnflag,
+          CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+          CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_price,
+          CAST(round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2) AS DOUBLE)
+            AS high_tax_base
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (sum of CASE WHEN) — pivots without a pivot."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
+            F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0)).cast("bigint").alias("n_full_price"),
+            F.round(
+                F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+            ).alias("high_tax_base"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    family="aggregation",
+    oracle="""
+        SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic via array_sort (collect order is not
+    defined under parallel execution, so the sort is mandatory)."""
+    n = load_tables(spark, sf_dir).nation
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_min_max_extremes",
+    family="aggregation",
+    oracle="""
+        SELECT
+          l_linestatus,
+          CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+          CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+          min(l_shipdate) AS first_ship,
+          max(l_shipdate) AS last_ship
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def agg_min_max_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over doubles and timestamps (exact, no rounding needed)."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local test runs use ``local[N]``; the same config block is what we would
+ship on a real cluster (AQE on, skew-join handling on, broadcast threshold
+sized for dimension tables). Nothing here is local-mode-specific except the
+master URL, which is only applied when no master is configured.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the target workload (star-schema joins + wide scans):
+# - AQE re-plans shuffles at runtime (coalesces small partitions, converts
+#   sort-merge joins to broadcast when the built side turns out small, and
+#   splits skewed partitions) — essential at 100 TB, harmless at sf0.001.
+# - 64 MB advisory partition size keeps post-shuffle partitions big enough
+#   to amortize task overhead but small enough to fit executor memory.
+# - Arrow enabled for every pandas UDF / toPandas boundary.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+    # Parquet scans: vectorized reader + pushdown are on by default; pin
+    # them anyway so a misconfigured environment can't silently disable.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+}
+
+
+def get_spark(app_name: str = "syslog-kafka-spark", **overrides: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``overrides`` take precedence over defaults. The master URL comes from
+    ``$SPARK_GRAFT_CPUS`` (``local[N]``) when launching a fresh local JVM.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    conf = dict(_DEFAULTS)
+    conf.update(overrides)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

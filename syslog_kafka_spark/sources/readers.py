@@ -1,0 +1,92 @@
+"""Batch table loaders for the engine's relational surface.
+
+Parquet is the canonical storage format; CSV/JSON/text are supported as
+schema-on-read ingest paths. All loads are plain ``spark.read`` so Catalyst
+gets full pushdown/pruning — no RDD-level reading anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, fields
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+from syslog_kafka_spark.model import TABLE_NAMES
+
+# Parquet written with nanosecond timestamps (pyarrow default) is illegal
+# for Spark's vectorized reader. We read nanos as raw longs and truncate to
+# microseconds — the same ns→µs truncation DuckDB applies on read, so both
+# engines see identical values. Integer `div` (not `/`) avoids the double
+# round-trip that would corrupt 19-digit nanosecond epochs.
+_TIMESTAMP_COLUMNS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+@dataclass
+class Tables:
+    """Namespace of the ten standard tables as DataFrames."""
+
+    region: DataFrame
+    nation: DataFrame
+    customer: DataFrame
+    supplier: DataFrame
+    part: DataFrame
+    orders: DataFrame
+    lineitem: DataFrame
+    events: DataFrame
+    documents: DataFrame
+    embeddings: DataFrame
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return getattr(self, name)
+
+    @property
+    def names(self) -> list[str]:
+        return [f.name for f in fields(self)]
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _TIMESTAMP_COLUMNS.get(name, []):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    """Load every standard table from ``sf_dir`` as a lazy DataFrame.
+
+    DataFrames are lazy plans — loading all ten costs only a footer read
+    for schema inference, so this is cheap even when a query touches one.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return Tables(**{name: _read_table(spark, sf_dir, name) for name in TABLE_NAMES})
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> Tables:
+    """Register the standard tables as temp views (for ``spark.sql``)."""
+    tables = load_tables(spark, sf_dir)
+    for name in TABLE_NAMES:
+        tables[name].createOrReplaceTempView(f"{name}{suffix}")
+    return tables
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-on-read text ingest: one row per line, column ``value``."""
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update(options)
+    return spark.read.options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    return spark.read.options(**options).json(path)
