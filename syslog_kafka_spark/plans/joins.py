@@ -1,1 +1,379 @@
-"""Placeholder — populated incrementally."""
+"""Join surface (SURVEY §2B.3): equi/outer/semi/anti/cross joins, broadcast
+hints, theta/range joins, as-of join, IN-subquery rewrites.
+
+Scale notes baked into each plan:
+- Dimension tables (region/nation/part) are explicitly ``broadcast()`` so
+  the big fact side never shuffles for them.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew at runtime.
+- The as-of join deliberately avoids the O(n^2) "join then rank" shape: it
+  is a union + sort + last(ignorenulls) carry-forward, one shuffle on
+  user_id, linear in input. The DuckDB oracle uses the rank formulation —
+  same semantics, different (non-scalable) algorithm.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+@query(
+    "join_shipping_priority",
+    family="joins",
+    oracle="""
+        SELECT
+          l_orderkey,
+          CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+          o_orderdate,
+          o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way star join + top-10. customer is small relative
+    to lineitem, so Catalyst broadcast-joins it; order+limit plans as
+    TakeOrderedAndProject (no full sort)."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "join_local_supplier_volume",
+    family="joins",
+    oracle="""
+        SELECT
+          n_name,
+          CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def join_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join. region/nation are broadcast explicitly;
+    the customer=supplier nation equality rides on the supplier join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    family="joins",
+    oracle="""
+        SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        HAVING count(o_orderkey) <= 2
+        ORDER BY c_custkey
+    """,
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers (count = 0)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") <= 2)
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer_nation_counts",
+    family="joins",
+    oracle="""
+        WITH c AS (
+          SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+        ), s AS (
+          SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+        )
+        SELECT
+          coalesce(c.nationkey, s.nationkey) AS nationkey,
+          coalesce(n_cust, 0) AS n_cust,
+          coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        ORDER BY nationkey
+    """,
+)
+def join_full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides with null-fill."""
+    t = load_tables(spark, sf_dir)
+    c = (
+        t.customer.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        t.supplier.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    family="joins",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        )
+        ORDER BY c_custkey
+        LIMIT 100
+    """,
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a 1997+ order — no
+    duplication of the probe side, build side reduced before the join."""
+    t = load_tables(spark, sf_dir)
+    recent = t.orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    return (
+        t.customer.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "join_anti_silent_customers",
+    family="joins",
+    oracle="""
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+)
+def join_anti_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with zero orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    family="joins",
+    oracle="""
+        SELECT r_name, n_name
+        FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name
+    """,
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (plans as BroadcastNestedLoop)."""
+    t = load_tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "join_range_error_burst",
+    family="joins",
+    oracle="""
+        SELECT e2.event_type AS followup_type, count(*) AS n_pairs
+        FROM events e1
+        JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e2.ts > e1.ts
+         AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        WHERE e1.event_type = 'error'
+        GROUP BY e2.event_type
+        ORDER BY followup_type
+    """,
+)
+def join_range_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range self-join: events within 5 minutes after an error by the
+    same user. The user_id equi-key carries the shuffle; the range predicate
+    is applied post-join, so cost is bounded per user, not global."""
+    e = load_tables(spark, sf_dir).events
+    e1 = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("u1"), F.col("ts").alias("ts1")
+    )
+    e2 = e.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"), F.col("event_type"))
+    return (
+        e1.join(
+            e2,
+            (F.col("u1") == F.col("u2"))
+            & (F.col("ts2") > F.col("ts1"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("event_type").alias("followup_type"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("followup_type")
+    )
+
+
+@query(
+    "join_asof_last_error",
+    family="joins",
+    oracle="""
+        WITH pairs AS (
+          SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY e.ts DESC, e.event_id DESC
+                 ) AS rn
+          FROM events p
+          JOIN events e
+            ON e.user_id = p.user_id AND e.ts <= p.ts AND e.event_type = 'error'
+          WHERE p.event_type = 'purchase'
+        )
+        SELECT purchase_id, error_id FROM pairs WHERE rn = 1
+        ORDER BY purchase_id
+    """,
+)
+def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent error at-or-before it
+    by the same user.
+
+    Spark plan is the scalable merge formulation: union both sides, sort
+    within user by (ts, kind, event_id), carry the last error id forward
+    with last(ignorenulls) — one shuffle on user_id, O(n log n), no pair
+    blowup. The oracle uses the classic join+rank formulation; semantics
+    are identical (ties on ts resolved toward the larger error event_id).
+    """
+    from syslog_kafka_spark.operators.asof import asof_join_last
+
+    e = load_tables(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join_last(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="event_id",
+        value_alias="error_id",
+    )
+    return (
+        joined.filter(F.col("error_id").isNotNull())
+        .select(F.col("event_id").alias("purchase_id"), "error_id")
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "join_in_subquery_vip_orders",
+    family="joins",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def join_in_subquery_vip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → semi-join rewrite (expressed via spark.sql to exercise
+    Catalyst's subquery decorrelation explicitly)."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_orders_v")
+    t.customer.createOrReplaceTempView("_customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM _orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM _customer_v WHERE c_acctbal > 9500)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "join_broadcast_brand_volume",
+    family="joins",
+    oracle="""
+        SELECT p_brand,
+               CAST(round(sum(l_quantity), 2) AS DOUBLE) AS total_qty,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 15
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+)
+def join_broadcast_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x broadcast-dim join: part is hinted broadcast so lineitem never
+    shuffles; the p_size filter prunes the build side before shipping."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.part.filter(F.col("p_size") <= 15)), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("n_items"))
+        .orderBy("p_brand")
+    )
