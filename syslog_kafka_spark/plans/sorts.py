@@ -1,1 +1,90 @@
-"""Placeholder — populated incrementally."""
+"""Sort / limit / top-k surface (SURVEY §2B.6).
+
+ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition heap +
+driver merge of k rows) — no global sort materialization. Full sorts use
+range partitioning (sampled split points), which scales; still, every
+query here bounds its output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+@query(
+    "sort_top_orders",
+    family="sorts",
+    oracle="""
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 25
+    """,
+)
+def sort_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY + LIMIT → TakeOrderedAndProject (top-k, no full
+    sort)."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    family="sorts",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(nullif(l_discount, 0.0) AS DOUBLE) AS disc_or_null
+        FROM lineitem
+        WHERE l_orderkey <= 100
+        ORDER BY disc_or_null ASC NULLS FIRST, l_orderkey, l_linenumber
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST ordering (Spark's ASC default, but stated
+    explicitly on both engines since DuckDB defaults to NULLS LAST)."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        )
+        .orderBy(
+            F.col("disc_or_null").asc_nulls_first(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+    )
+
+
+@query(
+    "sort_mixed_direction",
+    family="sorts",
+    oracle="""
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+        FROM customer
+        ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey ASC
+        LIMIT 50
+    """,
+)
+def sort_mixed_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed asc/desc multi-key sort with explicit null placement."""
+    c = load_tables(spark, sf_dir).customer
+    return (
+        c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .orderBy(
+            F.col("c_nationkey").asc(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        )
+        .limit(50)
+    )

@@ -1,1 +1,280 @@
-"""Placeholder — populated incrementally."""
+"""Window-function surface (SURVEY §2B.5): ranking, offsets, running
+frames (ROWS and RANGE), sessionization via lag.
+
+Window shuffles hash on partitionBy keys; all these partition on
+high-cardinality keys (custkey/user_id) so the shuffle is balanced and the
+per-partition sort is small. No global (unpartitioned) windows anywhere —
+those serialize onto one task and are forbidden at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+@query(
+    "window_top3_orders_per_cust",
+    family="windows",
+    oracle="""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rn
+          FROM orders
+        )
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM ranked WHERE rn <= 3 AND o_custkey <= 200
+        ORDER BY o_custkey, rn
+    """,
+)
+def window_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the canonical windowed top-k."""
+    o = load_tables(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") <= 200))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_running_spend",
+    family="windows",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS running_spend
+        FROM orders
+        WHERE o_custkey <= 100
+        ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame (deterministic because the
+    frame order includes the unique o_orderkey)."""
+    o = load_tables(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_rank_family",
+    family="windows",
+    oracle="""
+        SELECT c_nationkey, c_custkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile,
+               CAST(round(percent_rank() OVER w, 4) AS DOUBLE) AS pct_rank,
+               CAST(round(cume_dist() OVER w, 4) AS DOUBLE) AS cdist
+        FROM customer
+        WHERE c_custkey <= 300
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_nationkey, rnk, c_custkey
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist over one window spec
+    (single shuffle+sort serves all five)."""
+    c = load_tables(spark, sf_dir).customer
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.filter(F.col("c_custkey") <= 300)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    )
+
+
+@query(
+    "window_lag_lead_gaps",
+    family="windows",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER w AS prev_ts,
+                 lead(event_id) OVER w AS next_event
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, next_event,
+               (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_sec
+        FROM seq
+        WHERE prev_ts IS NOT NULL
+          AND (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 > 86400
+        ORDER BY user_id, event_id
+    """,
+)
+def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets: find >1-day silences per user in the event log."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+    # Whole-second gap via epoch micros (unix_timestamp would truncate the
+    # sub-second part before subtracting, disagreeing with the oracle).
+    gap = F.expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+    return (
+        seq.filter(F.col("prev_ts").isNotNull() & (gap > 86400))
+        .select(
+            "user_id",
+            "event_id",
+            "next_event",
+            gap.alias("gap_sec"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_range_frame_hourly",
+    family="windows",
+    oracle="""
+        SELECT user_id, event_id,
+               count(*) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events
+        WHERE user_id <= 20
+        ORDER BY user_id, event_id
+    """,
+)
+def window_range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over epoch seconds: events per user in the trailing
+    hour. RANGE frames need a numeric order key in Spark, so both engines
+    order by epoch(ts) — identical semantics."""
+    e = load_tables(spark, sf_dir).events
+    # Exact micros on both engines (epoch(ts) in DuckDB is fractional,
+    # unix_timestamp in Spark truncates — micros agree bit-for-bit).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.filter(F.col("user_id") <= 20)
+        .select("user_id", "event_id", F.count("*").over(w).alias("n_last_hour"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_first_last_value",
+    family="windows",
+    oracle="""
+        SELECT DISTINCT l_orderkey,
+               first_value(l_partkey) OVER w AS first_part,
+               last_value(l_partkey) OVER (
+                 PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_part,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_lines
+        FROM (SELECT * FROM lineitem WHERE l_orderkey <= 500)
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        ORDER BY l_orderkey
+    """,
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over a full-partition frame + unordered count window."""
+    li = load_tables(spark, sf_dir).lineitem
+    w_ord = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        li.filter(F.col("l_orderkey") <= 500)
+        .select(
+            "l_orderkey",
+            F.first("l_partkey").over(w_ord).alias("first_part"),
+            F.last("l_partkey").over(w_full).alias("last_part"),
+            F.count("*").over(Window.partitionBy("l_orderkey")).alias("n_lines"),
+        )
+        .distinct()
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "window_sessionize_30min",
+    family="windows",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def window_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag-gap flag + running sum = session ids, then
+    sessions per user. This is the batch twin of the streaming
+    session_window aggregation (SURVEY §2B.9)."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.select("user_id", F.sum("new_session").over(wrun).alias("session_id"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
