@@ -1,1 +1,368 @@
-"""Placeholder — populated incrementally."""
+"""Scalar-function surface (SURVEY §2B.8): string, date/time, math, array,
+map, JSON, and cast coverage.
+
+All expressions are built-in pyspark.sql.functions — JVM-side, inside
+whole-stage codegen; zero Python UDFs in this family. Oracles restate the
+same computation in DuckDB's dialect (e.g. no initcap there, list_distinct
+is unordered, epoch() is fractional), keeping outputs bit-identical.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+@query(
+    "scalar_string_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          c_custkey,
+          upper(c_name) AS name_upper,
+          lower(c_mktsegment) AS seg_lower,
+          length(c_name) AS name_len,
+          substr(c_name, 1, 8) AS name_prefix,
+          concat(c_name, ':', c_mktsegment) AS name_seg,
+          lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+          trim(concat('  ', c_name, '  ')) AS trimmed,
+          translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+          strpos(c_name, '0') AS first_zero,
+          upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2)) AS seg_title
+        FROM customer
+        WHERE c_custkey <= 100
+        ORDER BY c_custkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat/substr/length/upper/lower/trim/lpad/translate/instr (+ title-
+    casing emulated identically on both engines, DuckDB has no initcap)."""
+    c = load_tables(spark, sf_dir).customer
+    return (
+        c.filter(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.length("c_name").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+            F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+            F.instr("c_name", "0").alias("first_zero"),
+            F.concat(
+                F.upper(F.substring("c_mktsegment", 1, 1)),
+                F.lower(F.substring("c_mktsegment", 2, 2_000_000_000)),
+            ).alias("seg_title"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "scalar_regex_like",
+    family="scalars",
+    oracle="""
+        SELECT
+          p_partkey,
+          p_name,
+          regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+          regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+          CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red,
+          CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END AS is_promo,
+          split_part(p_type, ' ', 1) AS type_head
+        FROM part
+        WHERE p_partkey <= 80
+        ORDER BY p_partkey
+    """,
+)
+def scalar_regex_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / LIKE / RLIKE / split_part. Spark's
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    p = load_tables(spark, sf_dir).part
+    return (
+        p.filter(F.col("p_partkey") <= 80)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("has_red"),
+            F.when(F.col("p_type").rlike("^PROMO"), 1).otherwise(0).alias("is_promo"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          o_orderkey,
+          CAST(year(o_orderdate) AS INT) AS yr,
+          CAST(month(o_orderdate) AS INT) AS mo,
+          CAST(day(o_orderdate) AS INT) AS dy,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+          o_orderdate + INTERVAL 30 DAY AS due_date,
+          datediff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS days_to_eoy,
+          CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+          CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym,
+          CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS epoch_sec
+        FROM orders
+        WHERE o_orderkey <= 300
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day, date_trunc, interval add, datediff, extract,
+    formatting, epoch seconds."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.filter(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dy"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+            F.datediff(F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")).alias("days_to_eoy"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            # cast NTZ→TIMESTAMP first (session tz is UTC, so identical
+            # instant); unix_micros rejects TIMESTAMP_NTZ input.
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias("epoch_sec"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          l_orderkey,
+          l_linenumber,
+          CAST(round(l_extendedprice, 1) AS DOUBLE) AS price_r1,
+          CAST(floor(l_extendedprice) AS DOUBLE) AS price_floor,
+          CAST(ceil(l_extendedprice) AS DOUBLE) AS price_ceil,
+          CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+          CAST(round(pow(l_quantity, 2), 2) AS DOUBLE) AS qty_sq,
+          CAST(round(sqrt(l_extendedprice), 4) AS DOUBLE) AS price_sqrt,
+          CAST(round(ln(l_extendedprice + 1), 4) AS DOUBLE) AS price_ln,
+          CAST(round(log10(l_extendedprice + 1), 4) AS DOUBLE) AS price_log10,
+          CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+          CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+          CAST(greatest(l_quantity, 25.0) AS DOUBLE) AS qty_hi,
+          CAST(least(l_quantity, 25.0) AS DOUBLE) AS qty_lo
+        FROM lineitem
+        WHERE l_orderkey <= 60
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/pow/sqrt/ln/log10/sign/pmod/greatest/least."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.filter(F.col("l_orderkey") <= 60)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.floor("l_extendedprice").cast("double").alias("price_floor"),
+            F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+            F.round(F.log10(F.col("l_extendedprice") + 1), 4).alias("price_log10"),
+            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+            F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+            F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          p_partkey,
+          string_split(p_name, ' ') AS words,
+          len(string_split(p_name, ' ')) AS n_words,
+          CASE WHEN list_contains(string_split(p_name, ' '), 'red') THEN 1 ELSE 0 END AS has_red,
+          list_sort(string_split(p_name, ' ')) AS words_sorted,
+          list_sort(list_distinct(string_split(p_name, ' '))) AS words_uniq,
+          string_split(p_name, ' ')[1] AS first_word,
+          list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first_two_sorted,
+          generate_series(1, p_size % 4 + 1) AS size_seq,
+          array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
+        FROM part
+        WHERE p_partkey <= 60
+        ORDER BY p_partkey
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array construction (split/sequence), size, contains, sort, distinct,
+    element_at, slice, join — exercised over part names."""
+    p = load_tables(spark, sf_dir).part
+    words = F.split(F.col("p_name"), " ")
+    return (
+        p.filter(F.col("p_partkey") <= 60)
+        .select(
+            "p_partkey",
+            words.alias("words"),
+            F.size(words).alias("n_words"),
+            F.when(F.array_contains(words, "red"), 1).otherwise(0).alias("has_red"),
+            F.array_sort(words).alias("words_sorted"),
+            F.array_sort(F.array_distinct(words)).alias("words_uniq"),
+            F.element_at(words, 1).alias("first_word"),
+            F.slice(F.array_sort(words), 1, 2).alias("first_two_sorted"),
+            F.sequence(F.lit(1), F.col("p_size") % 4 + 1).alias("size_seq"),
+            F.array_join(F.array_sort(words), "-").alias("joined"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_explode_tokens",
+    family="scalars",
+    oracle="""
+        SELECT word, count(*) AS n
+        FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+        )
+        GROUP BY word
+        ORDER BY n DESC, word
+        LIMIT 20
+    """,
+)
+def scalar_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral unnest) + aggregate: top-20 words in part names."""
+    p = load_tables(spark, sf_dir).part
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+          count(*) AS n,
+          CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY k_bucket
+        ORDER BY k_bucket
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props payload column."""
+    e = load_tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          n_nationkey,
+          ['name', 'region'] AS tag_keys,
+          [n_name, CAST(n_regionkey AS VARCHAR)] AS tag_values,
+          2 AS n_tags,
+          n_name AS name_tag
+        FROM nation
+        ORDER BY n_nationkey
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + map_keys/map_values/element_at/size — the LogLine
+    ``tag`` analytics path. Output projected to arrays/strings so both
+    engines hash identically (map cell ordering is engine-defined)."""
+    n = load_tables(spark, sf_dir).nation
+    tag = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return (
+        n.select(
+            "n_nationkey",
+            F.map_keys(tag).alias("tag_keys"),
+            F.map_values(tag).alias("tag_values"),
+            F.size(tag).alias("n_tags"),
+            F.element_at(tag, "name").alias("name_tag"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "scalar_casts_conditionals",
+    family="scalars",
+    oracle="""
+        SELECT
+          o_orderkey,
+          CAST(floor(o_totalprice) AS BIGINT) AS price_long,
+          CAST(CAST(floor(o_totalprice) AS INT) AS DOUBLE) AS price_int_back,
+          CAST(o_orderkey AS VARCHAR) AS key_str,
+          CAST(o_orderdate AS DATE) AS order_date,
+          CASE
+            WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low'
+          END AS price_band,
+          coalesce(nullif(o_orderstatus, 'O'), 'open?') AS status_or_default,
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS urgent
+        FROM orders
+        WHERE o_orderkey <= 200
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast matrix (double→bigint/int/string, ts→date) + CASE WHEN /
+    coalesce / nullif / IN."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            # floor() first: Spark's double→int cast truncates while
+            # DuckDB's rounds — floor makes the semantics explicit.
+            F.floor("o_totalprice").cast("bigint").alias("price_long"),
+            F.floor("o_totalprice").cast("int").cast("double").alias("price_int_back"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.when(F.col("o_totalprice") > 300000, "high")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open?")).alias("status_or_default"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("urgent"),
+        )
+        .orderBy("o_orderkey")
+    )
