@@ -1,0 +1,117 @@
+"""Portable hash expression builders.
+
+Everything here is a pure Column expression (JVM-side, codegen'd, no UDFs)
+built on md5 — the one hash primitive whose bytes agree across Spark,
+DuckDB, and any other engine, which makes MinHash/fingerprint queries
+oracle-checkable. Spark's builtin hash()/xxhash64 are engine-private.
+
+hash64: first 15 hex digits of md5 → 60-bit non-negative BIGINT.
+Spark:  CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)
+DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def hash64(col: Column | str, salt: str = "") -> Column:
+    """Deterministic 60-bit hash of a string column (md5-derived)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("string")
+    if salt:
+        c = F.concat(c, F.lit(salt))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hash64_sql(expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash64` for oracle queries."""
+    salted = f"({expr}) || '{salt}'" if salt else expr
+    return f"(('0x' || substr(md5({salted}), 1, 15))::BIGINT)"
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams of a string as an array (short-string
+    safe: strings under k chars yield their whole text as one shingle).
+
+    Built as transform(sequence(...)) — fully codegen'd, no explode, so it
+    composes inside aggregations without a row blowup.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def char_shingles_sql(expr: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`char_shingles`."""
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({expr}) - {k - 1}, 1)), "
+        f"i -> substr({expr}, i, {k})))"
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n minima over salted hash64 values.
+
+    One pass over the shingle array per hash function; no shuffle, no UDF.
+    """
+    # NB: the lambda must be single-argument — F.transform passes the array
+    # index as a second argument when the lambda's arity is 2, so the usual
+    # `lambda s, i=i` closure trick would silently salt by position.
+    def one_hash(i: int):
+        salt = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(
+                shingle_col,
+                lambda s: F.conv(F.substring(F.md5(F.concat(s, salt)), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        )
+
+    return F.array(*[one_hash(i) for i in range(n_hashes)])
+
+
+def minhash_signature_sql(shingles_expr: str, n_hashes: int = 16) -> str:
+    """DuckDB twin of :func:`minhash_signature`."""
+    mins = [
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> (('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT)))"
+        for i in range(n_hashes)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def fnv1a32(col: Column | str) -> Column:
+    """FNV-1a 32-bit hash of a string's UTF-8 bytes.
+
+    Byte-level parity with the reference's default partitioner
+    (/root/reference Godeps .../elodina/siesta-producer/partitioner.go:15-44):
+    h = 2166136261; for each byte: h = (h XOR b) * 16777619 mod 2^32.
+    Pure fold over the byte array — no UDF, exact uint32 wraparound.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    b = c.cast("binary")
+    idx = F.sequence(F.lit(1), F.length(b))
+    byte_vals = F.when(F.length(b) == 0, F.expr("array()").cast("array<int>")).otherwise(
+        F.transform(idx, lambda i: F.conv(F.hex(b.substr(i, F.lit(1))), 16, 10).cast("int"))
+    )
+    two32 = F.lit(4294967296).cast("bigint")
+    return F.aggregate(
+        byte_vals,
+        F.lit(2166136261).cast("bigint"),
+        lambda acc, byte: F.pmod(
+            acc.bitwiseXOR(byte.cast("bigint")) * F.lit(16777619).cast("bigint"), two32
+        ),
+    )
+
+
+def fnv1a32_partition(col: Column | str, num_partitions: int) -> Column:
+    """Reference hash-partitioner parity: abs(fnv1a32(key)) % n
+    (partitioner.go:27-44; the Go int32 cast can go negative, abs'd)."""
+    h32 = fnv1a32(col)
+    # Go casts the uint32 to int32 (may be negative), then takes abs.
+    signed = F.when(h32 >= F.lit(2147483648), h32 - F.lit(4294967296)).otherwise(h32)
+    return F.abs(signed) % F.lit(num_partitions)

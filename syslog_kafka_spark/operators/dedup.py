@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all DataFrame-native (no Python in the hot path):
+
+- exact_dedup: normalize → md5 → one hash-aggregate. One shuffle on the
+  digest; survivors are min-id per group (deterministic).
+- minhash_lsh_pairs: shingle → MinHash signature → band buckets → bucket
+  equi-join → (optionally) exact Jaccard verify. The join shuffles on
+  (band, band_hash) — candidate pairs only, never all pairs.
+- simhash64: 64-bit SimHash via per-bit majority over token hashes —
+  computed with 64 aggregate expressions in ONE groupBy pass.
+- jaccard_pairs: exact shingle-set Jaccard for candidate pairs produced by
+  any blocking scheme.
+
+At 100 TB the blocking key (band hash / prefix) is what bounds the join;
+none of these operators ever materializes the O(n^2) pair space.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from syslog_kafka_spark.functions.hashes import char_shingles, hash64, minhash_signature
+
+
+def normalized(text: Column | str) -> Column:
+    """Canonical text form for dedup: lower + trim + whitespace collapse."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop exact duplicates (after normalization), keeping the smallest id.
+
+    Returns the surviving rows of ``df``. Implemented as min-id-per-digest
+    + semi-join back, so only the (digest, min_id) pairs shuffle — not the
+    full rows.
+    """
+    digest = F.md5(normalized(text_col)).alias("_digest")
+    survivors = (
+        df.select(digest, F.col(id_col))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per duplicate group: digest, size, surviving (min) id."""
+    return (
+        df.select(F.md5(normalized(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("group_size"), F.min(id_col).alias("survivor_id"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    rows_per_band = n_hashes // bands; docs collide when one band of their
+    signatures matches exactly. Returns (id_a, id_b, jaccard) with
+    id_a < id_b; ``verify_threshold`` filters by exact shingle Jaccard
+    (None skips verification and returns jaccard = null).
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        normalized(text_col).alias("_norm"),
+    ).withColumn("_sig", minhash_signature(char_shingles(F.col("_norm"), k), n_hashes))
+
+    # band value = hash64 of the band's signature slice, exploded to
+    # (band_idx, band_hash) rows: the LSH bucket key.
+    banded = base.select(
+        "_id",
+        "_norm",
+        F.posexplode(
+            F.array(
+                *[
+                    hash64(F.concat_ws(",", *[F.col("_sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_norm").alias("norm_a"), "_band", "_bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_norm").alias("norm_b"), "_band", "_bucket"
+    )
+    pairs = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "norm_a", "norm_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return pairs.select("id_a", "id_b", F.lit(None).cast("double").alias("jaccard"))
+    verified = pairs.withColumn(
+        "jaccard", jaccard_expr(char_shingles(F.col("norm_a"), k), char_shingles(F.col("norm_b"), k))
+    )
+    return verified.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    Single explode + ONE groupBy with 64 conditional-sum aggregates (bit i
+    set when the majority of token hashes have bit i set). No UDFs; the
+    shuffle carries 64 ints per doc.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized(text_col), " ")).alias("_tok"),
+    ).withColumn("_h", hash64(F.col("_tok")))
+
+    bit_sums = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(60)  # hash64 is 60 bits
+    ]
+    agg = tokens.groupBy(id_col).agg(F.count("*").alias("_n"), *bit_sums)
+    sim = None
+    for i in range(60):
+        bit = F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Blocking on the top ``prefix_bits`` bits keeps the self-join keyed
+    (candidates must agree on the prefix — sound only for docs whose
+    difference doesn't touch the prefix; standard SimHash rotation tricks
+    trade recall for cost and are exposed via multiple calls).
+    """
+    sims = simhash64(df, text_col, id_col)
+    block = F.shiftright(F.col("simhash"), 60 - prefix_bits)
+    a = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), block.alias("_blk"))
+    b = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), block.alias("_blk"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: exact brute force — the correctness baseline. Queries are
+  broadcast (they're the small side by construction); each executor scans
+  its corpus partition once and a window takes top-k. Deterministic ties:
+  (score DESC, vec_id ASC).
+- srp_lsh_topk: the scale path — signed-random-projection LSH buckets cut
+  the scanned corpus to colliding buckets only. Signatures are computed by
+  an Arrow-batched pandas UDF (numpy matmul), seeded deterministically.
+
+At 100 TB the brute force is O(Q x N) dot products spread across the
+cluster (embarrassingly parallel, no shuffle on the corpus side); SRP
+trades recall for a ~bucket-fraction scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array columns — zip_with + aggregate fold,
+    JVM-side, summed left-to-right in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    """L2 norm of an array column."""
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns (query_id, rank, neighbor_id, score). Self-matches excluded.
+    ``queries`` is broadcast; the corpus is scanned once, no shuffle until
+    the final per-query top-k window over Q x N candidate rows (bounded by
+    pushing the rank filter — Spark plans it as a WindowGroupLimit).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):
+    """Pandas UDF computing signed-random-projection bucket ids for
+    ``n_tables`` independent hash tables (array<bigint>, one per table;
+    the table index is folded into the bucket id so buckets never collide
+    across tables).
+
+    The plane tensor is derived from a fixed seed on each executor —
+    deterministic across runs.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+
+    @pandas_udf("array<bigint>")
+    def srp(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        out = []
+        sigs = np.empty((n_tables, mat.shape[0]), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ planes[t]) > 0  # (batch, n_planes)
+            sigs[t] = bits.astype(np.int64) @ weights + (t << n_planes)
+        for row in sigs.T:
+            out.append(row.tolist())
+        return pd.Series(out)
+
+    return srp
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: multi-table SRP LSH.
+
+    Candidates are the union over ``n_tables`` independent bucket joins
+    (recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/pi), deduplicated
+    before the exact cosine is computed. The bucket key bounds the join —
+    no full Q x N scan; cost scales with bucket collision rate."""
+    from pyspark.sql import Window
+
+    srp = srp_signature_udf(dim, n_planes, seed, n_tables)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("_bucket", F.explode(srp(F.col("_cvec"))))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_bucket", F.explode(srp(F.col("_qvec"))))
+
+    candidates = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_cvec", "_qvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn("score", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on ``label_col``
+    (e.g. a cluster/shard assignment) so the self-join never goes global."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col(label_col).alias("_blk")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col(label_col).alias("_blk")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

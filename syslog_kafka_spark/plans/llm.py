@@ -1,1 +1,459 @@
-"""Placeholder — populated incrementally."""
+"""LLM-data-pipeline surface (SURVEY §2B.10): dedup (exact / MinHash /
+SimHash / n-gram Jaccard / embedding cosine), similarity search, text
+analysis (lang-ID, quality, token counts, fingerprints).
+
+Deterministic ops carry DuckDB oracles (portable md5-based hashing makes
+even MinHash cross-checkable). The pandas-UDF ANN path and the full LSH
+pipelines are rows-only checks (driver records the weaker gate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syslog_kafka_spark.functions.hashes import (
+    char_shingles,
+    char_shingles_sql,
+    minhash_signature,
+    minhash_signature_sql,
+)
+from syslog_kafka_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+from syslog_kafka_spark.operators.dedup import (
+    duplicate_groups,
+    jaccard_expr,
+    minhash_lsh_pairs,
+    normalized,
+    simhash_neardup_pairs,
+)
+from syslog_kafka_spark.operators.similarity import cosine_topk, embedding_neardup_pairs, srp_lsh_topk
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKENS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+
+
+@query(
+    "llm_dedup_exact_stats",
+    family="llm",
+    oracle=f"""
+        SELECT
+          count(*) AS n_docs,
+          count(DISTINCT md5({_NORM_SQL})) AS n_unique,
+          count(*) - count(DISTINCT md5({_NORM_SQL})) AS n_dropped
+        FROM documents
+    """,
+)
+def llm_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: corpus size vs surviving unique texts."""
+    d = load_tables(spark, sf_dir).documents
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(normalized("text"))).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5(normalized("text")))).alias("n_dropped"),
+    )
+
+
+@query(
+    "llm_dedup_groups",
+    family="llm",
+    oracle=f"""
+        SELECT md5({_NORM_SQL}) AS digest,
+               count(*) AS group_size,
+               min(doc_id) AS survivor_id
+        FROM documents
+        GROUP BY digest
+        HAVING count(*) > 1
+        ORDER BY survivor_id
+    """,
+)
+def llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups (size > 1) with their surviving min doc_id."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        duplicate_groups(d)
+        .filter(F.col("group_size") > 1)
+        .orderBy("survivor_id")
+    )
+
+
+@query(
+    "llm_fingerprint_collisions",
+    family="llm",
+    oracle=f"""
+        SELECT {fingerprint_sql('text')} AS fp,
+               count(*) AS n_docs,
+               min(doc_id) AS first_doc
+        FROM documents
+        GROUP BY fp
+        HAVING count(*) > 1
+        ORDER BY first_doc
+    """,
+)
+def llm_fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-fingerprint collisions (near-identical heads): rolling-
+    hash-style signature, groups with >1 doc."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("first_doc")
+    )
+
+
+@query(
+    "llm_token_stats",
+    family="llm",
+    oracle=f"""
+        SELECT
+          lang,
+          count(*) AS n_docs,
+          CAST(round(avg(len({_TOKENS_SQL})), 2) AS DOUBLE) AS avg_tokens,
+          CAST(round(avg(length(text)), 2) AS DOUBLE) AS avg_chars,
+          CAST(max(len({_TOKENS_SQL})) AS INT) AS max_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token statistics per language tag."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(token_count("text")), 2).alias("avg_tokens"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+            F.max(token_count("text")).alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "llm_term_freq",
+    family="llm",
+    oracle=f"""
+        SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        FROM (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        )
+        GROUP BY term
+        ORDER BY freq DESC, term
+        LIMIT 25
+    """,
+)
+def llm_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (top 25 terms + document frequency)."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(25)
+    )
+
+
+@query(
+    "llm_quality_scores",
+    family="llm",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id <= 50
+        )
+        SELECT
+          doc_id,
+          length(text) AS n_chars,
+          len(toks) AS n_tokens,
+          CAST(round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1), 4) AS DOUBLE) AS punct_ratio,
+          CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / greatest(length(text), 1), 4) AS DOUBLE) AS digit_ratio,
+          CAST(round(CASE WHEN len(toks) > 0
+               THEN length(text) / len(toks) ELSE 0.0 END, 4) AS DOUBLE) AS mean_token_len,
+          CAST(round(len(list_distinct(toks)) / greatest(len(toks), 1), 4) AS DOUBLE)
+            AS uniq_token_ratio
+        FROM t
+        ORDER BY doc_id
+    """,
+)
+def llm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: punctuation/digit ratios, mean
+    token length, unique-token ratio."""
+    d = load_tables(spark, sf_dir).documents
+    feats = quality_features("text")
+    return (
+        d.filter(F.col("doc_id") <= 50)
+        .select(
+            "doc_id",
+            feats["n_chars"].alias("n_chars"),
+            feats["n_tokens"].alias("n_tokens"),
+            feats["punct_ratio"].alias("punct_ratio"),
+            feats["digit_ratio"].alias("digit_ratio"),
+            feats["mean_token_len"].alias("mean_token_len"),
+            feats["uniq_token_ratio"].alias("uniq_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _langid_sql() -> str:
+    """DuckDB argmax-over-marker-hits replicating functions.text.lang_id."""
+    toks = _TOKENS_SQL
+    score = {
+        lang: " + ".join(
+            f"CASE WHEN list_contains({toks}, '{w}') THEN 1 ELSE 0 END" for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    # fold in sorted-lang order with strictly-greater, exactly like lang_id()
+    langs = sorted(LANG_MARKERS)
+    best, best_score = f"'{langs[0]}'", f"({score[langs[0]]})"
+    for lang in langs[1:]:
+        s = f"({score[lang]})"
+        best = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    return f"CASE WHEN {best_score} > 0 THEN {best} ELSE 'und' END"
+
+
+@query(
+    "llm_langid_confusion",
+    family="llm",
+    oracle=f"""
+        SELECT lang AS tagged_lang, {_langid_sql()} AS predicted_lang, count(*) AS n
+        FROM documents
+        GROUP BY tagged_lang, predicted_lang
+        ORDER BY tagged_lang, predicted_lang
+    """,
+)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the corpus lang tag (confusion
+    counts)."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select(F.col("lang").alias("tagged_lang"), lang_id("text").alias("predicted_lang"))
+        .groupBy("tagged_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("tagged_lang", "predicted_lang")
+    )
+
+
+@query(
+    "llm_bpe_token_counts",
+    family="llm",
+    oracle="""
+        SELECT
+          doc_id,
+          len(regexp_extract_all(text, '([A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s])', 1)) AS n_bpe_tokens
+        FROM documents
+        WHERE doc_id <= 100
+        ORDER BY doc_id
+    """,
+)
+def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token counting via a regex vocabulary proxy."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.filter(F.col("doc_id") <= 100)
+        .select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+_BLOCKED_PAIRS_SQL = f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.norm AS norm_a, b.norm AS norm_b
+    FROM d a JOIN d b
+      ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32) AND a.doc_id < b.doc_id
+"""
+
+
+@query(
+    "llm_jaccard_neardup",
+    family="llm",
+    oracle=f"""
+        WITH pairs AS ({_BLOCKED_PAIRS_SQL})
+        SELECT id_a, id_b,
+               CAST(round(
+                 len(list_intersect({char_shingles_sql('norm_a')}, {char_shingles_sql('norm_b')}))
+                 / greatest(len(list_distinct(list_concat(
+                     {char_shingles_sql('norm_a')}, {char_shingles_sql('norm_b')}))), 1)
+               , 4) AS DOUBLE) AS jaccard
+        FROM pairs
+        WHERE len(list_intersect({char_shingles_sql('norm_a')}, {char_shingles_sql('norm_b')}))
+              / greatest(len(list_distinct(list_concat(
+                  {char_shingles_sql('norm_a')}, {char_shingles_sql('norm_b')}))), 1) >= 0.6
+        ORDER BY id_a, id_b
+    """,
+)
+def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, prefix-blocked (the blocking key
+    bounds the self-join; 5-char shingles, threshold 0.6)."""
+    d = load_tables(spark, sf_dir).documents
+    base = d.select("doc_id", normalized("text").alias("norm")).withColumn(
+        "blk", F.substring("norm", 1, 32)
+    )
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"), "blk")
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"), "blk")
+    jac = jaccard_expr(char_shingles(F.col("norm_a"), 5), char_shingles(F.col("norm_b"), 5))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "llm_minhash_estimate",
+    family="llm",
+    oracle=f"""
+        WITH pairs AS ({_BLOCKED_PAIRS_SQL}),
+        sigs AS (
+          SELECT id_a, id_b,
+                 {minhash_signature_sql(char_shingles_sql('norm_a'), 16)} AS sig_a,
+                 {minhash_signature_sql(char_shingles_sql('norm_b'), 16)} AS sig_b
+          FROM pairs
+        )
+        SELECT id_a, id_b,
+               CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) AS DOUBLE) / 16
+                 AS minhash_sim
+        FROM sigs
+        WHERE len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) >= 8
+        ORDER BY id_a, id_b
+    """,
+)
+def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimated similarity on blocked candidate pairs: fraction of
+    matching components of 16-hash signatures (portable md5-salted hashes,
+    so the oracle reproduces the signatures exactly)."""
+    d = load_tables(spark, sf_dir).documents
+    base = d.select("doc_id", normalized("text").alias("norm")).withColumn(
+        "blk", F.substring("norm", 1, 32)
+    )
+    sig = minhash_signature(char_shingles(F.col("norm"), 5), 16)
+    a = base.select(F.col("doc_id").alias("id_a"), sig.alias("sig_a"), "blk")
+    b = base.select(F.col("doc_id").alias("id_b"), sig.alias("sig_b"), "blk")
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_m", matches)
+        .filter(F.col("_m") >= 8)
+        .select("id_a", "id_b", (F.col("_m").cast("double") / 16).alias("minhash_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "llm_similarity_topk",
+    family="llm",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 10
+        ), c AS (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 list_dot_product(cv, qv)
+                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS s,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(cv, qv)
+                     / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     neighbor_id
+                 ) AS rank
+          FROM c CROSS JOIN q
+          WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, rank, neighbor_id, CAST(round(s, 4) AS DOUBLE) AS score
+        FROM scored WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+)
+def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 neighbors for query vectors
+    (vec_id < 10) — the deterministic ANN baseline. Queries broadcast;
+    corpus scanned once; per-query window top-k."""
+    emb = load_tables(spark, sf_dir).embeddings
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, round_to=4)
+    return out.orderBy("query_id", "rank")
+
+
+@query(
+    "llm_embedding_neardup",
+    family="llm",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS DOUBLE)
+                 AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+        ORDER BY id_a, id_b
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on the label column
+    (cluster assignment) so the self-join stays keyed."""
+    emb = load_tables(spark, sf_dir).embeddings
+    return embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+@query("llm_minhash_lsh_pairs", family="llm", oracle=None)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline (banding, bucket join, exact
+    Jaccard verify ≥ 0.5). Rows-only gate: banding layout is
+    engine-specific SQL would be unwieldy; Jaccard correctness is covered
+    by llm_jaccard_neardup and unit tests."""
+    d = load_tables(spark, sf_dir).documents
+    return minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("llm_simhash_neardup", family="llm", oracle=None)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 12 on 60-bit hashes, 12-bit
+    prefix blocking). Rows-only gate; determinism unit-tested."""
+    d = load_tables(spark, sf_dir).documents
+    return simhash_neardup_pairs(d, max_hamming=12, prefix_bits=12).orderBy("id_a", "id_b")
+
+
+@query("llm_ann_srp_topk", family="llm", oracle=None)
+def llm_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via signed-random-projection LSH buckets (pandas
+    UDF signatures). Rows-only gate; recall vs brute force is asserted in
+    unit tests."""
+    emb = load_tables(spark, sf_dir).embeddings
+    return srp_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=4, n_tables=16
+    ).orderBy("query_id", "rank")
