@@ -1,0 +1,169 @@
+"""RFC 3164 / RFC 5424 syslog parsing as Catalyst expressions.
+
+The reference never actually parses syslog — its `scan()` treats each line
+as an opaque string (/root/reference syslog/syslog_producer.go:177-183; a
+leftover `syslogparser.LogParts` comment at :59 shows parsing was intended).
+This module supplies the real capability for the rebuilt engine.
+
+Output schema (FIXTURES.md §B.2):
+  pri, facility (=pri/8), severity (=pri%8), version, ts, host, app,
+  procid, msgid, msg, raw
+Unparseable fields are null; unparseable lines keep pri NULL + raw.
+
+Everything is regexp_extract + casts — JVM-side, codegen'd, and the
+regexes stay in the RE2-compatible subset (no lookaround/backrefs) so the
+DuckDB oracle can run the *same* patterns.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# RFC 5424: <PRI>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP PROCID SP
+#           MSGID SP STRUCTURED-DATA [SP MSG]
+# groups:    1 pri   2 ver  3 ts    4 host  5 app  6 procid  7 msgid
+#            8 structured-data ('-' or one-or-more [..] blocks)  9 msg
+RFC5424_RE = (
+    r"^<([0-9]{1,3})>([0-9]{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+)"
+    r"(?: (-|(?:\[[^\]]*\])+))?(?: (.*))?$"
+)
+
+# RFC 3164: <PRI>Mmm [d]d HH:MM:SS HOST TAG[PID]: MSG
+# groups:    1 pri  2 month  3 day  4 time  5 host  6 app  7 pid  8 msg
+RFC3164_RE = (
+    r"^<([0-9]{1,3})>([A-Z][a-z]{2}) {1,2}([0-9]{1,2}) "
+    r"([0-9]{2}:[0-9]{2}:[0-9]{2}) (\S+) ([^\[: ]+)(?:\[([0-9]+)\])?: ?(.*)$"
+)
+
+# RFC 3164 timestamps carry no year; the collector assumes one.
+DEFAULT_YEAR = 2024
+
+
+def _nil(c: Column) -> Column:
+    """RFC 5424 nil value ('-') and empty extracts → null."""
+    return F.when((c == "") | (c == "-"), F.lit(None)).otherwise(c)
+
+
+def parse_syslog_lines(df: DataFrame, line_col: str = "line", year: int = DEFAULT_YEAR) -> DataFrame:
+    """Parse a DataFrame of raw syslog lines into the structured schema.
+
+    Dispatch: a line is RFC 5424 when `<PRI>VERSION ` prefixes it, RFC 3164
+    when `<PRI>Mmm` does; anything else is unparseable (pri NULL, raw kept).
+    """
+    line = F.col(line_col)
+    is5424 = line.rlike(r"^<[0-9]{1,3}>[0-9]{1,2} ")
+    is3164 = line.rlike(r"^<[0-9]{1,3}>[A-Z][a-z]{2} {1,2}[0-9]{1,2} ")
+
+    def g5424(i: int) -> Column:
+        return F.regexp_extract(line, RFC5424_RE, i)
+
+    def g3164(i: int) -> Column:
+        return F.regexp_extract(line, RFC3164_RE, i)
+
+    pri = (
+        F.when(is5424, g5424(1)).when(is3164, g3164(1)).otherwise(F.lit(None)).cast("int")
+    )
+    # PRI is 0..191 per RFC 5424 §6.2.1; beyond that the line is invalid.
+    pri = F.when(pri <= 191, pri)
+
+    ts5424 = _nil(g5424(3)).cast("timestamp")
+    # 'Mmm  d' double space already normalized by the {1,2} match; rebuild
+    # with the assumed year for a real timestamp.
+    ts3164 = F.to_timestamp(
+        F.concat(F.lit(f"{year} "), g3164(2), F.lit(" "), g3164(3), F.lit(" "), g3164(4)),
+        "yyyy MMM d HH:mm:ss",
+    )
+
+    parsed = df.select(
+        pri.alias("pri"),
+        F.floor(pri / 8).cast("int").alias("facility"),
+        (pri % 8).cast("int").alias("severity"),
+        F.when(is5424 & pri.isNotNull(), g5424(2).cast("int")).alias("version"),
+        F.when(is5424 & pri.isNotNull(), ts5424)
+        .when(is3164 & pri.isNotNull(), ts3164)
+        .alias("ts"),
+        F.when(is5424 & pri.isNotNull(), _nil(g5424(4)))
+        .when(is3164 & pri.isNotNull(), _nil(g3164(5)))
+        .alias("host"),
+        F.when(is5424 & pri.isNotNull(), _nil(g5424(5)))
+        .when(is3164 & pri.isNotNull(), _nil(g3164(6)))
+        .alias("app"),
+        F.when(is5424 & pri.isNotNull(), _nil(g5424(6)))
+        .when(is3164 & pri.isNotNull(), _nil(g3164(7)))
+        .alias("procid"),
+        F.when(is5424 & pri.isNotNull(), _nil(g5424(7))).alias("msgid"),
+        F.when(is5424 & pri.isNotNull(), _nil(g5424(9)))
+        .when(is3164 & pri.isNotNull(), _nil(g3164(8)))
+        .alias("msg"),
+        line.alias("raw"),
+    )
+    return parsed
+
+
+def parse_syslog_text(spark, path: str, year: int = DEFAULT_YEAR) -> DataFrame:
+    """Batch entry point: parse a text file of syslog lines (one per row)."""
+    raw = spark.read.text(path).withColumnRenamed("value", "line")
+    return parse_syslog_lines(raw, "line", year)
+
+
+def oracle_sql_for_lines(values_sql: str, year: int = DEFAULT_YEAR) -> str:
+    """DuckDB twin of :func:`parse_syslog_lines` over a VALUES list.
+
+    ``values_sql`` must be a `(VALUES (...), ...) AS t(line)` relation.
+    Shares the exact regex constants with the Spark side.
+    """
+    r5424 = RFC5424_RE.replace("'", "''")
+    r3164 = RFC3164_RE.replace("'", "''")
+    return f"""
+        WITH raw AS (SELECT line FROM {values_sql}),
+        flags AS (
+          SELECT line,
+                 regexp_matches(line, '^<[0-9]{{1,3}}>[0-9]{{1,2}} ') AS is5424,
+                 regexp_matches(line, '^<[0-9]{{1,3}}>[A-Z][a-z]{{2}} {{1,2}}[0-9]{{1,2}} ') AS is3164
+          FROM raw
+        ),
+        pris AS (
+          SELECT *,
+            CASE
+              WHEN is5424 THEN TRY_CAST(regexp_extract(line, '{r5424}', 1) AS INT)
+              WHEN is3164 THEN TRY_CAST(regexp_extract(line, '{r3164}', 1) AS INT)
+            END AS pri0
+          FROM flags
+        ),
+        p AS (SELECT *, CASE WHEN pri0 <= 191 THEN pri0 END AS pri FROM pris)
+        SELECT
+          pri,
+          CAST(floor(pri / 8) AS INT) AS facility,
+          CAST(pri % 8 AS INT) AS severity,
+          CASE WHEN is5424 AND pri IS NOT NULL
+               THEN TRY_CAST(regexp_extract(line, '{r5424}', 2) AS INT) END AS version,
+          CASE
+            WHEN is5424 AND pri IS NOT NULL
+              THEN TRY_CAST(nullif(nullif(regexp_extract(line, '{r5424}', 3), ''), '-') AS TIMESTAMP)
+            WHEN is3164 AND pri IS NOT NULL
+              THEN strptime('{year} ' || regexp_extract(line, '{r3164}', 2) || ' '
+                   || regexp_extract(line, '{r3164}', 3) || ' '
+                   || regexp_extract(line, '{r3164}', 4), '%Y %b %-d %H:%M:%S')
+          END AS ts,
+          CASE
+            WHEN is5424 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r5424}', 4), ''), '-')
+            WHEN is3164 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r3164}', 5), ''), '-')
+          END AS host,
+          CASE
+            WHEN is5424 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r5424}', 5), ''), '-')
+            WHEN is3164 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r3164}', 6), ''), '-')
+          END AS app,
+          CASE
+            WHEN is5424 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r5424}', 6), ''), '-')
+            WHEN is3164 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r3164}', 7), ''), '-')
+          END AS procid,
+          CASE WHEN is5424 AND pri IS NOT NULL
+               THEN nullif(nullif(regexp_extract(line, '{r5424}', 7), ''), '-') END AS msgid,
+          CASE
+            WHEN is5424 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r5424}', 9), ''), '-')
+            WHEN is3164 AND pri IS NOT NULL THEN nullif(nullif(regexp_extract(line, '{r3164}', 8), ''), '-')
+          END AS msg,
+          line AS raw
+        FROM p
+    """
