@@ -1,0 +1,164 @@
+"""Byte-golden tests for the Avro/Confluent and Protobuf wire encodings
+(mirrors the reference's golden-byte test style, SURVEY §5).
+
+Goldens below are hand-derived from the public specs:
+- Avro: zigzag varints; [null,X] union index precedes each field; maps and
+  arrays are block-encoded (count, items, 0 terminator).
+- Proto2: key = (field_no << 3) | wire_type; strings length-delimited;
+  repeated int64 unpacked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from syslog_kafka_spark.encode.avro_binary import (
+    confluent_frame,
+    encode_logline,
+    encode_logline_confluent,
+    write_long,
+    write_string,
+    write_varint,
+    zigzag,
+)
+from syslog_kafka_spark.encode.proto_wire import encode_logline_proto
+from syslog_kafka_spark.encode.registry import SchemaRegistryClient
+from syslog_kafka_spark.model import LOGLINE_AVSC
+
+
+def test_varint_and_zigzag_spec_vectors():
+    # Avro/protobuf spec examples
+    assert write_varint(0) == b"\x00"
+    assert write_varint(127) == b"\x7f"
+    assert write_varint(128) == b"\x80\x01"
+    assert write_varint(300) == b"\xac\x02"
+    assert zigzag(0) == 0
+    assert zigzag(-1) == 1
+    assert zigzag(1) == 2
+    assert zigzag(-2) == 3
+    assert write_long(1) == b"\x02"
+    assert write_long(-1) == b"\x01"
+    assert write_long(64) == b"\x80\x01"
+
+
+def test_avro_line_only_golden():
+    # line="hello", all other fields null:
+    # union 1 (0x02), len 5 (0x0a), "hello", then 4x null-union (0x00)
+    assert encode_logline({"line": "hello"}) == b"\x02\x0ahello\x00\x00\x00\x00"
+
+
+def test_avro_all_null_golden():
+    assert encode_logline({}) == b"\x00" * 5
+
+
+def test_avro_full_record_golden():
+    rec = {
+        "line": "a",
+        "source": "web01",
+        "tag": {"dc": "ams"},
+        "logtypeid": 3,
+        "timings": [{"eventName": "received", "value": 1}],
+    }
+    expected = (
+        b"\x02" + b"\x02a"  # line: union 1, len 1, 'a'
+        + b"\x02" + b"\x0aweb01"  # source
+        + b"\x02" + b"\x02" + b"\x04dc" + b"\x06ams" + b"\x00"  # tag map: 1 entry + end
+        + b"\x02" + b"\x06"  # logtypeid: union 1, zigzag(3)=6
+        + b"\x02" + b"\x02" + b"\x10received" + b"\x02" + b"\x00"  # timings: 1 item + end
+    )
+    assert encode_logline(rec) == expected
+
+
+def test_confluent_framing_golden():
+    # magic 0x00 + schema id 7 BE + body (go-kafka-avro framing)
+    assert confluent_frame(7, b"\x02a") == b"\x00\x00\x00\x00\x07\x02a"
+    assert encode_logline_confluent({"line": "a"}, 1)[:5] == b"\x00\x00\x00\x00\x01"
+
+
+def test_proto_line_only_golden():
+    # field 1 (key 0x0a), len 5, "hello"
+    assert encode_logline_proto({"line": "hello"}) == b"\x0a\x05hello"
+
+
+def test_proto_full_record_golden():
+    rec = {
+        "line": "a",
+        "source": "s",
+        "tag": {"k": "v"},
+        "logtypeid": 7,
+        "timings": [1, 300],
+    }
+    expected = (
+        b"\x0a\x01a"  # line
+        + b"\x12\x01s"  # source
+        + b"\x1a\x06" + b"\x0a\x01k" + b"\x12\x01v"  # tag message
+        + b"\x20\x07"  # logtypeid varint
+        + b"\x28\x01" + b"\x28\xac\x02"  # timings unpacked
+    )
+    assert encode_logline_proto(rec) == expected
+
+
+def test_proto_requires_line():
+    with pytest.raises(ValueError):
+        encode_logline_proto({"source": "x"})
+
+
+def test_registry_client_caches_and_uses_value_subject():
+    calls = []
+
+    def fake_http(method, url, payload):
+        calls.append((method, url))
+        if method == "POST":
+            return {"id": 42}
+        return {"schema": "{}"}
+
+    client = SchemaRegistryClient("http://registry:8081/", http=fake_http)
+    sid = client.register("LogLine", LOGLINE_AVSC)
+    assert sid == 42
+    assert client.register("LogLine", LOGLINE_AVSC) == 42  # cached
+    assert len([c for c in calls if c[0] == "POST"]) == 1
+    assert calls[0][1] == "http://registry:8081/subjects/LogLine-value/versions"
+
+
+def test_transformers_end_to_end(spark):
+    from syslog_kafka_spark.encode.transformers import (
+        avro_transform,
+        proto_transform,
+        string_transform,
+        with_fnv1a_partition,
+    )
+
+    msgs = spark.createDataFrame(
+        [("GET / 200", "collector01", "2024-01-01 00:00:00")],
+        ["line", "source", "received_ts"],
+    ).withColumn("received_ts", F.col("received_ts").cast("timestamp"))
+
+    srow = string_transform(msgs, "logs").collect()[0]
+    assert srow.value == b"GET / 200"
+    assert srow.topic == "logs"
+
+    arow = avro_transform(msgs, "logs", schema_id=5, tags={"dc": "ams"}, logtypeid=9).collect()[0]
+    assert arow.value[:5] == b"\x00\x00\x00\x00\x05"
+    # decode enough to confirm line round-trips: union 1 + len + bytes
+    body = arow.value[5:]
+    assert body[0] == 0x02 and body[1] == 2 * len(b"GET / 200")
+    assert body[2 : 2 + 9] == b"GET / 200"
+
+    prow = proto_transform(msgs, "logs", tags={"dc": "ams"}).collect()[0]
+    assert prow.value.startswith(b"\x0a\x09GET / 200")
+    # two timings fields (received, sent) present: field 5 key 0x28 twice
+    assert prow.value.count(b"\x28") >= 2
+
+    parted = with_fnv1a_partition(
+        string_transform(msgs, "logs").withColumn("key", F.lit("GET / 200")), "key", 8
+    ).collect()[0]
+    import ctypes
+
+    def fnv(s):
+        h = 2166136261
+        for b in s.encode():
+            h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+        return abs(ctypes.c_int32(h).value) % 8
+
+    assert parted.partition == fnv("GET / 200")
