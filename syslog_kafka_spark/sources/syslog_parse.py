@@ -45,8 +45,9 @@ def _nil(c: Column) -> Column:
     return F.when((c == "") | (c == "-"), F.lit(None)).otherwise(c)
 
 
-def parse_syslog_lines(df: DataFrame, line_col: str = "line", year: int = DEFAULT_YEAR) -> DataFrame:
-    """Parse a DataFrame of raw syslog lines into the structured schema.
+def syslog_columns(line_col: str = "line", year: int = DEFAULT_YEAR) -> list[Column]:
+    """The parse as a list of aliased Column expressions (pure projection —
+    usable via select on batch or streaming frames alike).
 
     Dispatch: a line is RFC 5424 when `<PRI>VERSION ` prefixes it, RFC 3164
     when `<PRI>Mmm` does; anything else is unparseable (pri NULL, raw kept).
@@ -75,7 +76,7 @@ def parse_syslog_lines(df: DataFrame, line_col: str = "line", year: int = DEFAUL
         "yyyy MMM d HH:mm:ss",
     )
 
-    parsed = df.select(
+    return [
         pri.alias("pri"),
         F.floor(pri / 8).cast("int").alias("facility"),
         (pri % 8).cast("int").alias("severity"),
@@ -97,8 +98,12 @@ def parse_syslog_lines(df: DataFrame, line_col: str = "line", year: int = DEFAUL
         .when(is3164 & pri.isNotNull(), _nil(g3164(8)))
         .alias("msg"),
         line.alias("raw"),
-    )
-    return parsed
+    ]
+
+
+def parse_syslog_lines(df: DataFrame, line_col: str = "line", year: int = DEFAULT_YEAR) -> DataFrame:
+    """Parse a DataFrame of raw syslog lines into the structured schema."""
+    return df.select(*syslog_columns(line_col, year))
 
 
 def parse_syslog_text(spark, path: str, year: int = DEFAULT_YEAR) -> DataFrame:

@@ -1,0 +1,147 @@
+"""Streaming operator surface (SURVEY §2B.9) and the end-to-end ingest
+pipeline: syslog source → parse → encode → sink.
+
+Every builder is a pure DataFrame transformation, so the same code path
+serves a batch frame (for the oracle-gated batch twins) and a streaming
+one — the core Structured Streaming design, exploited deliberately.
+
+Delivery semantics: file/kafka sinks are exactly-once per Structured
+Streaming's checkpoint contract; the socket source itself is at-least-once
+with possible loss of in-flight lines on crash, exactly like the
+reference's unbuffered channel (syslog/syslog_producer.go:89 — no WAL).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from syslog_kafka_spark.sources.syslog_parse import syslog_columns
+
+
+def parsed_messages(messages: DataFrame) -> DataFrame:
+    """SyslogMessage stream → parsed fields + ingestion envelope
+    (source, received_ts). Pure projection — no shuffle, no state."""
+    return messages.select("source", "received_ts", *syslog_columns("line"))
+
+
+def windowed_severity_counts(
+    parsed: DataFrame,
+    *,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "received_ts",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) severity histogram with
+    late-data handling: rows later than ``watermark`` are dropped and the
+    window state is finalized — bounded state at any scale."""
+    win = (
+        F.window(F.col(time_col), window, slide) if slide else F.window(F.col(time_col), window)
+    )
+    return (
+        parsed.withWatermark(time_col, watermark)
+        .groupBy(win.alias("win"), F.col("severity"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "severity",
+            "n",
+        )
+    )
+
+
+def sessionized_host_activity(
+    parsed: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "received_ts",
+) -> DataFrame:
+    """Session windows per host: a session closes after ``gap`` of silence
+    (the streaming twin of the batch lag-gap sessionization)."""
+    return (
+        parsed.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap).alias("sess"), F.col("host"))
+        .agg(F.count("*").alias("n_lines"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "host",
+            "n_lines",
+        )
+    )
+
+
+def deduped_stream(
+    messages: DataFrame, *, watermark: str = "10 minutes", time_col: str = "received_ts"
+) -> DataFrame:
+    """Streaming dedup on (line, source) within the watermark horizon —
+    state is purged as the watermark advances (bounded memory)."""
+    return messages.withWatermark(time_col, watermark).dropDuplicates(["line", "source"])
+
+
+def stream_static_enrich(parsed: DataFrame, dim: DataFrame, on: str, how: str = "left") -> DataFrame:
+    """Stream-static join: each microbatch joins against the (broadcast)
+    static dimension — no streaming state involved."""
+    return parsed.join(F.broadcast(dim), on, how)
+
+
+def run_syslog_ingest(
+    spark: SparkSession,
+    *,
+    host: str,
+    port: int,
+    protocol: str,
+    topic: str,
+    brokers: str | None,
+    checkpoint: str,
+    encoding: str = "string",
+    schema_id: int | None = None,
+    tags: dict[str, str] | None = None,
+    logtypeid: int | None = None,
+    output_path: str | None = None,
+):
+    """The reference's whole dataflow as one streaming query (R1-R16):
+    listen → frame → transform → produce.
+
+    ``brokers`` None routes to a parquet sink at ``output_path`` instead of
+    Kafka (same projection) — useful for air-gapped runs and tests.
+    Returns the StreamingQuery.
+    """
+    from syslog_kafka_spark.encode.transformers import (
+        avro_transform,
+        proto_transform,
+        string_transform,
+        write_kafka_stream,
+    )
+    from syslog_kafka_spark.sources.syslog_source import SyslogDataSource
+
+    spark.dataSource.register(SyslogDataSource)
+    messages = (
+        spark.readStream.format("syslog")
+        .option("host", host)
+        .option("port", str(port))
+        .option("protocol", protocol)
+        .load()
+    )
+    if encoding == "string":
+        records = string_transform(messages, topic)
+    elif encoding == "avro":
+        if schema_id is None:
+            raise ValueError("avro encoding requires schema_id (register via SchemaRegistryClient)")
+        records = avro_transform(messages, topic, schema_id, tags, logtypeid)
+    elif encoding == "proto":
+        records = proto_transform(messages, topic, tags, logtypeid)
+    else:
+        raise ValueError(f"unknown encoding {encoding!r}")
+
+    if brokers:
+        return write_kafka_stream(records, brokers=brokers, checkpoint=checkpoint)
+    return (
+        records.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
