@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side mechanics — schema, batching, partition sizing, UDF
+signatures — are real and tested; the actual media decode is stubbed
+behind ``decoder=`` (no image/audio libraries exist in this container).
+A deterministic fake decoder ships for tests; swapping in a real one
+(PIL/ffmpeg/torchaudio) changes no Spark code.
+
+Design notes for 100 TB:
+- media bytes ride in the row (parquet binary) or as object-store URIs;
+  both shapes share MEDIA_SCHEMA, with `payload` nullable for URI mode.
+- mapInPandas streams Arrow batches, so peak executor memory is
+  O(batch of payloads), controlled by spark.sql.execution.arrow
+  .maxRecordsPerBatch — set it low (e.g. 64) for large blobs.
+- feature extraction emits fixed-size vectors → downstream similarity
+  operators (operators/similarity.py) apply unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("uri", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("format", StringType(), True),  # jpeg | wav | mp4 | ...
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+Decoder = Callable[[bytes, str], np.ndarray]
+
+
+def real_decoder(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode media bytes to a pixel/sample array.
+
+    STUB: no media libraries (PIL/ffmpeg) exist in this container. The
+    Spark plumbing around it is real; replace this function to go live.
+    """
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in this "
+        "environment; inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def fake_decoder(payload: bytes, fmt: str) -> np.ndarray:
+    """Deterministic stand-in: bytes → repeatable pseudo-signal. Lets the
+    full pipeline (decode → feature → similarity) run end-to-end in tests."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    if arr.size == 0:
+        arr = np.zeros(1, dtype=np.float32)
+    return arr
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    dim: int = 16,
+    decoder: Decoder = real_decoder,
+    batch_size: int | None = 64,
+) -> DataFrame:
+    """media rows → fixed-``dim`` feature vectors via mapInPandas.
+
+    The feature is a bucketed byte-histogram of the decoded signal —
+    deterministic, cheap, and shaped exactly like a real embedding head.
+    """
+    if batch_size is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"]
+                if payload is None:
+                    out.append((r["media_id"], r["kind"], None, None))
+                    continue
+                sig = decoder(bytes(payload), r["format"])
+                hist, _ = np.histogram(sig % dim if sig.dtype != np.float32 else sig % dim, bins=dim, range=(0, dim))
+                total = hist.sum() or 1
+                out.append(
+                    (
+                        int(r["media_id"]),
+                        r["kind"],
+                        len(payload),
+                        (hist / total).astype(np.float32).tolist(),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "kind", "n_bytes", "feature"])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize: metadata updates are real; pixel work is stubbed in
+    the same decoder seam as extract_features."""
+    return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp (real
+    Spark-side expansion via sequence+explode; frame decode is the stub)."""
+    n = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("frame_no", F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))))
+        .withColumn("frame_ts_ms", F.col("frame_no") * every_ms)
+        .select("media_id", "frame_no", "frame_ts_ms", "format", "payload")
+    )
