@@ -75,14 +75,18 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     # cache() is a deliberate materialization barrier: the self-join below
-    # references this frame twice, and signatures are the expensive column
-    # (at warehouse scale this would be a checkpoint/intermediate table).
+    # references this frame twice, and shingles + signatures are the
+    # expensive columns (at warehouse scale this would be a checkpoint or
+    # intermediate table). Carrying the shingle arrays through the join
+    # means the verify stage never re-shingles a document.
     base = (
         df.select(
             F.col(id_col).alias("_id"),
             normalized(text_col).alias("_norm"),
         )
-        .withColumn("_sig", minhash_signature(char_shingles(F.col("_norm"), k), n_hashes))
+        .withColumn("_sh", char_shingles(F.col("_norm"), k))
+        .withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+        .select("_id", "_sh", "_sig")
         .cache()
     )
 
@@ -90,7 +94,7 @@ def minhash_lsh_pairs(
     # (band_idx, band_hash) rows: the LSH bucket key.
     banded = base.select(
         "_id",
-        "_norm",
+        "_sh",
         F.posexplode(
             F.array(
                 *[
@@ -102,21 +106,24 @@ def minhash_lsh_pairs(
     )
 
     left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_norm").alias("norm_a"), "_band", "_bucket"
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band", "_bucket"
     )
     right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_norm").alias("norm_b"), "_band", "_bucket"
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band", "_bucket"
     )
     pairs = (
         left.join(right, ["_band", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "norm_a", "norm_b")
-        .distinct()
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     if verify_threshold is None:
         return pairs.select("id_a", "id_b", F.lit(None).cast("double").alias("jaccard"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: one intersect, no array_union pass
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
     verified = pairs.withColumn(
-        "jaccard", jaccard_expr(char_shingles(F.col("norm_a"), k), char_shingles(F.col("norm_b"), k))
+        "jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
     )
     return verified.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
 
