@@ -1,0 +1,171 @@
+"""Coverage extras: grouping sets + GROUPING_ID, correlated EXISTS,
+from_json/json_tuple, approximate aggregates (tolerance-checked, not
+hash-gated), and the streaming replay throughput probe.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+@query(
+    "agg_grouping_sets",
+    family="aggregation",
+    oracle="""
+        SELECT
+          coalesce(l_returnflag, '<all>') AS returnflag,
+          coalesce(l_linestatus, '<all>') AS linestatus,
+          CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY gid, returnflag, linestatus
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING_ID disambiguation (the bitmask
+    agrees across engines: bit per column, 1 = aggregated-away)."""
+    t = load_tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(l_returnflag, '<all>') AS returnflag,
+          coalesce(l_linestatus, '<all>') AS linestatus,
+          CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
+
+
+@query(
+    "join_exists_correlated",
+    family="joins",
+    oracle="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_partkey = p_partkey AND l_quantity > 49 AND l_discount = 0.0
+        )
+        ORDER BY p_partkey
+    """,
+)
+def join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with extra predicates — Catalyst decorrelates to a
+    semi-join with the predicates pushed into the build side."""
+    t = load_tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("_part_ex")
+    t.lineitem.createOrReplaceTempView("_li_ex")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM _part_ex
+        WHERE EXISTS (
+          SELECT 1 FROM _li_ex
+          WHERE l_partkey = p_partkey AND l_quantity > 49 AND l_discount = 0.0
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "scalar_from_json_struct",
+    family="scalars",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+               CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+                    THEN 'missing' ELSE 'present' END AS k_status
+        FROM events
+        WHERE event_id <= 200
+        ORDER BY event_id
+    """,
+)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct (schema-on-read over the props JSON
+    payload), with null semantics for absent keys."""
+    e = load_tables(spark, sf_dir).events
+    schema = StructType([StructField("k", IntegerType(), True)])
+    parsed = F.from_json("props", schema)
+    return (
+        e.filter(F.col("event_id") <= 200)
+        .select(
+            "event_id",
+            parsed["k"].alias("k_val"),
+            F.when(parsed["k"].isNull(), "missing").otherwise("present").alias("k_status"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query("approx_distinct_users", family="aggregation", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct next to the exact count — tolerance is
+    asserted in unit tests (approx results are engine-specific, so no
+    hash gate by design)."""
+    e = load_tables(spark, sf_dir).events
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).orderBy("event_type")
+
+
+@query("approx_percentiles", family="aggregation", oracle=None)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx over order prices (engine-specific sketch — unit
+    tests bound the error against exact percentiles)."""
+    o = load_tables(spark, sf_dir).orders
+    return o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact_pcts"),
+    )
+
+
+@query("stream_replay_throughput", family="streaming", oracle=None, bench=True)
+def stream_replay_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest probe: replay the syslog corpus (~100k lines)
+    through a file-source microbatch stream with full RFC parsing, count
+    rows per severity. Returns the final severity histogram; bench wall
+    time / line count gives sustained lines/sec (BASELINE budget:
+    ≥ 50k lines/s)."""
+    import tempfile
+
+    from syslog_kafka_spark.sources.syslog_fixtures import SYSLOG_CORPUS
+    from syslog_kafka_spark.streaming.pipeline import parsed_messages
+
+    n_copies = 6000  # 17 lines x 6000 ≈ 102k lines
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/replay.txt"
+        block = "\n".join(SYSLOG_CORPUS) + "\n"
+        with open(path, "w") as f:
+            for _ in range(n_copies):
+                f.write(block)
+        raw = spark.readStream.text(d)
+        messages = raw.select(
+            F.col("value").alias("line"),
+            F.lit("bench-collector").alias("source"),
+            F.current_timestamp().alias("received_ts"),
+        )
+        counts = parsed_messages(messages).groupBy("severity").agg(F.count("*").alias("n"))
+        name = f"replay_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.table(name).orderBy(F.col("severity").asc_nulls_first())

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
     # get the complete inventory with one call.
     from syslog_kafka_spark.plans import (  # noqa: F401
         aggregates,
+        extras,
         joins,
         llm,
         scalars,
