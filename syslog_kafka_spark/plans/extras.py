@@ -169,3 +169,75 @@ def stream_replay_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     return spark.table(name).orderBy(F.col("severity").asc_nulls_first())
+
+
+@query(
+    "scalar_array_advanced",
+    family="scalars",
+    oracle="""
+        SELECT
+          p_partkey,
+          list_transform(list_zip(generate_series(1, 4), generate_series(11, 14)),
+                         p -> p[1] * p[2]) AS zipped_products,
+          flatten([string_split(p_name, ' '), ['<end>']]) AS flat_tail,
+          list_reverse_sort(string_split(p_name, ' ')) AS words_desc,
+          len(flatten([string_split(p_name, ' '), string_split(p_type, ' ')])) AS n_all_words
+        FROM part
+        WHERE p_partkey <= 40
+        ORDER BY p_partkey
+    """,
+)
+def scalar_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with (arrays_zip + product), flatten, descending sort_array."""
+    p = load_tables(spark, sf_dir).part
+    words = F.split(F.col("p_name"), " ")
+    type_words = F.split(F.col("p_type"), " ")
+    return (
+        p.filter(F.col("p_partkey") <= 40)
+        .select(
+            "p_partkey",
+            F.zip_with(
+                F.sequence(F.lit(1), F.lit(4)),
+                F.sequence(F.lit(11), F.lit(14)),
+                lambda x, y: x * y,
+            ).alias("zipped_products"),
+            F.flatten(F.array(words, F.array(F.lit("<end>")))).alias("flat_tail"),
+            F.sort_array(words, asc=False).alias("words_desc"),
+            F.size(F.flatten(F.array(words, type_words))).alias("n_all_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_json_roundtrip",
+    family="scalars",
+    oracle="""
+        SELECT
+          event_id,
+          json_extract_string(props, '$.k') AS k_str,
+          CAST(json_extract_string(
+            to_json({ek: event_id, et: event_type}), '$.ek') AS BIGINT) AS roundtrip_id,
+          json_extract_string(
+            to_json({ek: event_id, et: event_type}), '$.et') AS roundtrip_type
+        FROM events
+        WHERE event_id <= 100
+        ORDER BY event_id
+    """,
+)
+def scalar_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple extraction + to_json/get_json_object roundtrip (gated on
+    extracted VALUES, not raw JSON text — key ordering/whitespace is
+    engine-specific)."""
+    e = load_tables(spark, sf_dir).events
+    packed = F.to_json(F.struct(F.col("event_id").alias("ek"), F.col("event_type").alias("et")))
+    return (
+        e.filter(F.col("event_id") <= 100)
+        .select(
+            "event_id",
+            F.json_tuple(F.col("props"), "k").alias("k_str"),
+            F.get_json_object(packed, "$.ek").cast("bigint").alias("roundtrip_id"),
+            F.get_json_object(packed, "$.et").alias("roundtrip_type"),
+        )
+        .orderBy("event_id")
+    )
