@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         sorts,
         syslog_queries,
+        tpch_like,
         windows,
     )
 
