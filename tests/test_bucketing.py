@@ -30,7 +30,7 @@ def bucketed_tables(spark, sf_dir, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
     left, right = bucketed_tables
     # disable broadcast so the join would otherwise be a shuffled SMJ
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -44,7 +44,7 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert "Exchange hashpartitioning(orderkey" not in join_part, plan
         # correctness unchanged
         rows = {r.o_orderstatus: r["count"] for r in joined.collect()}
-        t = load_tables(spark, spark.conf.get("spark.graft.test.sfdir", "/root/testdata/sf0.001"))
+        t = load_tables(spark, sf_dir)
         expected = {
             r.o_orderstatus: r["count"]
             for r in t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
