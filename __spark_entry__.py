@@ -19,15 +19,30 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "agg_pricing_summary"
 
 
+def _utc(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone to UTC before building.
+
+    The driver supplies its own SparkSession; timestamp collection and
+    string→timestamp casts are session-tz-dependent, and every oracle
+    compares against DuckDB's tz-naive UTC values.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return build(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     specs = load_all()
-    return specs[FLAGSHIP].build(spark, SMOKE_SF_DIR)
+    return _utc(specs[FLAGSHIP].build)(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.build for name, spec in load_all().items()}
+    return {name: _utc(spec.build) for name, spec in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
