@@ -162,3 +162,30 @@ def test_transformers_end_to_end(spark):
         return abs(ctypes.c_int32(h).value) % 8
 
     assert parted.partition == fnv("GET / 200")
+
+
+def test_decode_udfs_batch(spark):
+    """Decode UDFs over a batch frame (the same expression the Kafka
+    source applies to its value column)."""
+    from syslog_kafka_spark.encode.avro_binary import encode_logline_confluent
+    from syslog_kafka_spark.encode.proto_wire import encode_logline_proto
+    from syslog_kafka_spark.sources.kafka_source import decode_confluent_udf, decode_proto_udf
+
+    rec = {
+        "line": "GET / 200",
+        "source": "web01",
+        "tag": {"dc": "ams"},
+        "logtypeid": 3,
+        "timings": [{"eventName": "received", "value": 123}],
+    }
+    avro_df = spark.createDataFrame(
+        [(bytearray(encode_logline_confluent(rec, 9)),)], ["value"]
+    )
+    out = avro_df.select(decode_confluent_udf("value").alias("l")).select("l.*").collect()[0]
+    assert out.schema_id == 9 and out.line == "GET / 200"
+    assert out.tag == {"dc": "ams"} and out.timings[0].value == 123
+
+    prec = {"line": "x", "source": None, "tag": None, "logtypeid": None, "timings": [1, 2]}
+    proto_df = spark.createDataFrame([(bytearray(encode_logline_proto(prec)),)], ["value"])
+    pout = proto_df.select(decode_proto_udf("value").alias("l")).select("l.*").collect()[0]
+    assert pout.line == "x" and list(pout.timings) == [1, 2]
