@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras,
         joins,
         llm,
+        reshape,
         scalars,
         setops,
         sorts,
