@@ -463,3 +463,70 @@ def llm_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=4, n_tables=16
     ).orderBy("query_id", "rank")
+
+
+_TFIDF_TERMS = ["spark", "query", "data"]
+
+
+@query(
+    "llm_tfidf_rank",
+    family="llm",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('spark', 'query', 'data')
+          GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term IN ('spark', 'query', 'data')
+          GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id,
+            {" + ".join(
+              f"coalesce(sum(CASE WHEN tf.term = '{t}' THEN tf * ln(CAST(n_docs AS DOUBLE) / df) END), 0.0)"
+              for t in _TFIDF_TERMS
+            )} AS score
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, CAST(round(score, 4) AS DOUBLE) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    """,
+)
+def llm_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF document ranking for a fixed query-term set.
+
+    Per-term partial scores are summed in a FIXED expression order
+    (t_spark + t_query + t_data) on both engines — a floating SUM over an
+    engine-chosen order could flip the last ulp and the rounding."""
+    d = load_tables(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term")).filter(
+        F.col("term").isin(_TFIDF_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # tiny driver-side scalar; broadcast into the expr
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("partial", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == t, F.col("partial"))), F.lit(0.0)
+                ).alias(f"_s_{t}")
+                for t in _TFIDF_TERMS
+            ]
+        )
+        .withColumn("score", sum([F.col(f"_s_{t}") for t in _TFIDF_TERMS], F.lit(0.0)))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
