@@ -283,3 +283,60 @@ def agg_min_max_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query(
+    "agg_stats_moments",
+    family="aggregation",
+    oracle="""
+        SELECT
+          l_returnflag,
+          CAST(round(stddev_samp(l_extendedprice), 2) AS DOUBLE) AS price_stddev,
+          CAST(round(var_samp(l_quantity), 2) AS DOUBLE) AS qty_var,
+          CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS qty_price_corr,
+          CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS qty_price_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 2).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    family="aggregation",
+    oracle="""
+        SELECT
+          o_orderstatus,
+          CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS median_price,
+          CAST(round(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS p90_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles — Spark percentile() and DuckDB
+    quantile_cont() both use linear interpolation."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

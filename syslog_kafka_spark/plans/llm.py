@@ -530,3 +530,39 @@ def llm_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "llm_word_bigrams",
+    family="llm",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        bigrams AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> t[i] || ' ' || t[i + 1])) AS bigram
+          FROM toks
+        )
+        SELECT bigram, count(*) AS freq
+        FROM bigrams
+        GROUP BY bigram
+        ORDER BY freq DESC, bigram
+        LIMIT 20
+    """,
+)
+def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-grams (bigrams) via index-transform over the token array —
+    no explode until the final count, 1-based element_at on both engines."""
+    d = load_tables(spark, sf_dir).documents
+    t = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "bigram")
+        .limit(20)
+    )
