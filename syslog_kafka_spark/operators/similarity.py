@@ -183,3 +183,82 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def _kmeans_centroids(samples: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny driver-side k-means (numpy, seeded) for the IVF coarse
+    quantizer. Runs on a bounded sample — never on the full corpus."""
+    rng = np.random.default_rng(seed)
+    centroids = samples[rng.choice(len(samples), size=k, replace=False)]
+    for _ in range(iters):
+        # cosine assignment on normalized vectors == dot-product argmax
+        sims = samples @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = samples[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        centroids = centroids / np.clip(norms, 1e-12, None)
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 3,
+    sample_size: int = 2048,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Coarse quantizer: k-means centroids fit on a driver-side sample
+    (bounded; at warehouse scale this is the standard train-on-sample
+    pattern). Every corpus vector is assigned to its nearest centroid
+    (one pandas-UDF pass); queries probe their ``n_probe`` nearest lists,
+    so the exact-cosine rescan touches ~n_probe/n_lists of the corpus.
+    """
+    from pyspark.sql import Window
+
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    samples = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    samples = samples / np.clip(np.linalg.norm(samples, axis=1, keepdims=True), 1e-12, None)
+    centroids = _kmeans_centroids(samples, n_lists, seed=seed)
+
+    @pandas_udf("array<int>")
+    def nearest_lists(vecs: pd.Series, n: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = mat @ centroids.T
+        out = []
+        for row, probe in zip(sims, n):
+            out.append(np.argsort(-row)[: int(probe)].astype(np.int32).tolist())
+        return pd.Series(out)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("_list", F.element_at(nearest_lists(F.col("_cvec"), F.lit(1)), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_list", F.explode(nearest_lists(F.col("_qvec"), F.lit(n_probe))))
+
+    scored = (
+        c.join(F.broadcast(q), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine_expr(F.col("_cvec"), F.col("_qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out

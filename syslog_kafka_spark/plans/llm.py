@@ -566,3 +566,18 @@ def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "bigram")
         .limit(20)
     )
+
+
+@query("llm_ann_ivf_topk", family="llm", oracle=None)
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (driver-side
+    sample), nearest-list assignment, n_probe-list rescan with exact
+    cosine. Rows-only gate; recall vs brute force asserted in unit tests.
+    The second ANN scale path next to SRP-LSH: IVF scans ~n_probe/n_lists
+    of the corpus per query."""
+    from syslog_kafka_spark.operators.similarity import ivf_topk
+
+    emb = load_tables(spark, sf_dir).embeddings
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=3
+    ).orderBy("query_id", "rank")
