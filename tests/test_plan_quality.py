@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale-discipline invariants from
+ARCHITECTURE.md, asserted programmatically.
+
+These catch silent plan rot — a lost filter pushdown or a broadcast that
+degrades to sort-merge changes nothing at sf0.001 but everything at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from syslog_kafka_spark.plans.registry import load_all
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = load_all()[name].build(spark, sf_dir)
+    jexec = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jexec.explainString(mode)
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches parquet
+    # column pruning: the scan must not read the join keys it doesn't need
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_star_joins_broadcast_not_sortmerge(spark, sf_dir):
+    for name in ("join_local_supplier_volume", "join_shipping_priority", "join_broadcast_brand_volume"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_order_limit_is_topk(spark, sf_dir):
+    for name in ("sort_top_orders", "join_shipping_priority"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: order+limit not planned as top-k"
+
+
+def test_dim_filter_pushdown_through_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_shipping_priority")
+    # the BUILDING segment filter must reach the customer scan, not sit
+    # above the join
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_window_topk_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_top3_orders_per_cust")
+    assert "LessThanOrEqual(o_custkey,200)" in plan
+
+
+def test_no_cartesian_products_outside_cross(spark, sf_dir):
+    # every join query except the explicit cross join must avoid
+    # CartesianProduct (BroadcastNestedLoop for the tiny cross is fine)
+    for name, spec in load_all().items():
+        if spec.family != "joins" or name == "join_cross_region_nation":
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
