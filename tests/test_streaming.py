@@ -119,8 +119,12 @@ def test_syslog_socket_source_live(spark, tmp_path, protocol):
     assert the rows (R1-R3 parity: arrival stamping, collector hostname)."""
     from syslog_kafka_spark.sources.syslog_source import SyslogDataSource
 
+    import os
+
     spark.dataSource.register(SyslogDataSource)
-    port = 15514 if protocol == "tcp" else 15515
+    # pid-derived port avoids collisions with lingering listeners from
+    # other pytest processes on this machine
+    port = 20000 + (os.getpid() % 10000) + (0 if protocol == "tcp" else 1)
     df = (
         spark.readStream.format("syslog")
         .option("host", "127.0.0.1")
@@ -130,24 +134,36 @@ def test_syslog_socket_source_live(spark, tmp_path, protocol):
     )
     name = f"t{uuid.uuid4().hex[:8]}"
     q = df.writeStream.format("memory").queryName(name).start()
+
+    payload = b"<34>1 2003-10-11T22:14:15.003Z h su - ID23 - live line one\n<13>Aug 13 03:38:00 web01 nginx[912]: live line two\n"
+
+    def send() -> bool:
+        try:
+            if protocol == "tcp":
+                with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+                    s.sendall(payload)
+            else:
+                s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                s.sendto(payload, ("127.0.0.1", port))
+                s.close()
+            return True
+        except OSError:
+            return False  # listener not up yet
+
     try:
         time.sleep(2)  # listener startup inside the stream reader
-        payload = b"<34>1 2003-10-11T22:14:15.003Z h su - ID23 - live line one\n<13>Aug 13 03:38:00 web01 nginx[912]: live line two\n"
-        if protocol == "tcp":
-            with socket.create_connection(("127.0.0.1", port), timeout=5) as s:
-                s.sendall(payload)
-        else:
-            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            s.sendto(payload, ("127.0.0.1", port))
-            s.close()
-        deadline = time.time() + 30
+        sent = send()
+        deadline = time.time() + 45
         rows = []
         while time.time() < deadline:
             q.processAllAvailable()
-            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            # re-sent lines differ only in received_ts; DISTINCT on the
+            # stable columns dedups them
+            rows = spark.sql(f"SELECT DISTINCT line, source FROM {name}").collect()
             if len(rows) >= 2:
                 break
-            time.sleep(0.5)
+            time.sleep(1.0)
+            sent = send() or sent
     finally:
         q.stop()
     assert len(rows) == 2, f"expected 2 rows, got {rows}"
@@ -156,7 +172,8 @@ def test_syslog_socket_source_live(spark, tmp_path, protocol):
         "<13>Aug 13 03:38:00 web01 nginx[912]: live line two",
     }
     assert all(r.source == socket.gethostname() for r in rows)
-    assert all(r.received_ts is not None for r in rows)
+    stamped = spark.sql(f"SELECT received_ts FROM {name}").collect()
+    assert stamped and all(r.received_ts is not None for r in stamped)
 
 
 def test_stateful_host_profiles_across_batches(spark, tmp_path):
