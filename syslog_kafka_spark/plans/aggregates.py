@@ -238,7 +238,8 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     family="aggregation",
     oracle="""
-        SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+        SELECT n_regionkey,
+               array_to_string(list(n_name ORDER BY n_name), ',') AS nations
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
@@ -246,11 +247,13 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list made deterministic via array_sort (collect order is not
-    defined under parallel execution, so the sort is mandatory)."""
+    defined under parallel execution, so the sort is mandatory). The array
+    is projected through array_join so the gated output is scalar-only —
+    the driver's canonicalizer cannot hash list cells."""
     n = load_tables(spark, sf_dir).nation
     return (
         n.groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("n_regionkey")
     )
 

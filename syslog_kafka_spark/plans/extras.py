@@ -125,11 +125,21 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_percentiles", family="aggregation", oracle=None)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx over order prices (engine-specific sketch — unit
-    tests bound the error against exact percentiles)."""
+    tests bound the error against exact percentiles). Quantiles are
+    projected to scalar columns so the rows-only driver check can hash
+    the output (array cells crash its canonicalizer)."""
     o = load_tables(spark, sf_dir).orders
-    return o.agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
-        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact_pcts"),
+    agg = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000).alias("ap"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("ep"),
+    )
+    return agg.select(
+        F.round(F.element_at("ap", 1), 2).alias("approx_p50"),
+        F.round(F.element_at("ap", 2), 2).alias("approx_p90"),
+        F.round(F.element_at("ap", 3), 2).alias("approx_p99"),
+        F.round(F.element_at("ep", 1), 2).alias("exact_p50"),
+        F.round(F.element_at("ep", 2), 2).alias("exact_p90"),
+        F.round(F.element_at("ep", 3), 2).alias("exact_p99"),
     )
 
 
@@ -177,10 +187,12 @@ def stream_replay_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           p_partkey,
-          list_transform(list_zip(generate_series(1, 4), generate_series(11, 14)),
-                         p -> p[1] * p[2]) AS zipped_products,
-          flatten([string_split(p_name, ' '), ['<end>']]) AS flat_tail,
-          list_reverse_sort(string_split(p_name, ' ')) AS words_desc,
+          array_to_string(list_transform(
+            list_transform(list_zip(generate_series(1, 4), generate_series(11, 14)),
+                           p -> p[1] * p[2]),
+            x -> CAST(x AS VARCHAR)), ',') AS zipped_products,
+          array_to_string(flatten([string_split(p_name, ' '), ['<end>']]), ',') AS flat_tail,
+          array_to_string(list_reverse_sort(string_split(p_name, ' ')), ',') AS words_desc,
           len(flatten([string_split(p_name, ' '), string_split(p_type, ' ')])) AS n_all_words
         FROM part
         WHERE p_partkey <= 40
@@ -188,21 +200,30 @@ def stream_replay_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zip_with (arrays_zip + product), flatten, descending sort_array."""
+    """zip_with (arrays_zip + product), flatten, descending sort_array.
+
+    Array results are projected through array_join (string-cast elements)
+    so the gated output is scalar-only — the driver's canonicalizer cannot
+    hash list cells. The operators under test are unchanged."""
     p = load_tables(spark, sf_dir).part
     words = F.split(F.col("p_name"), " ")
     type_words = F.split(F.col("p_type"), " ")
+    zipped = F.zip_with(
+        F.sequence(F.lit(1), F.lit(4)),
+        F.sequence(F.lit(11), F.lit(14)),
+        lambda x, y: x * y,
+    )
     return (
         p.filter(F.col("p_partkey") <= 40)
         .select(
             "p_partkey",
-            F.zip_with(
-                F.sequence(F.lit(1), F.lit(4)),
-                F.sequence(F.lit(11), F.lit(14)),
-                lambda x, y: x * y,
-            ).alias("zipped_products"),
-            F.flatten(F.array(words, F.array(F.lit("<end>")))).alias("flat_tail"),
-            F.sort_array(words, asc=False).alias("words_desc"),
+            F.array_join(F.transform(zipped, lambda x: x.cast("string")), ",").alias(
+                "zipped_products"
+            ),
+            F.array_join(F.flatten(F.array(words, F.array(F.lit("<end>")))), ",").alias(
+                "flat_tail"
+            ),
+            F.array_join(F.sort_array(words, asc=False), ",").alias("words_desc"),
             F.size(F.flatten(F.array(words, type_words))).alias("n_all_words"),
         )
         .orderBy("p_partkey")

@@ -62,8 +62,80 @@ def query(
     return deco
 
 
+# The driver's correctness gate evaluates the FIRST 50 registry entries in
+# iteration order. This explicit ordering guarantees every SURVEY §2B family
+# gets oracle-gated rows inside that window: all previously-unchecked
+# families (windows, sorts, setops, syslog, scalars, TPC-H composites) lead,
+# followed by one representative per already-proven family. Queries past the
+# window remain covered by the pytest oracle suite (tests/test_inventory_oracle.py).
+WINDOW_PRIORITY: tuple[str, ...] = (
+    # flagship
+    "agg_pricing_summary",
+    # windows (2B.5) — none driver-checked in r01
+    "window_tumbling_batch_twin",
+    "window_top3_orders_per_cust",
+    "window_running_spend",
+    "window_rank_family",
+    "window_lag_lead_gaps",
+    "window_range_frame_hourly",
+    "window_first_last_value",
+    "window_sessionize_30min",
+    # sorts (2B.6)
+    "sort_top_orders",
+    "sort_nulls_ordering",
+    "sort_mixed_direction",
+    # set operations (2B.7)
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    # syslog batch parse (2B.1)
+    "syslog_parse_corpus",
+    "syslog_severity_histogram",
+    # scalar/function coverage (2B.2, 2B.8)
+    "scalar_value_bucketing",
+    "scalar_string_funcs",
+    "scalar_regex_like",
+    "scalar_datetime_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_explode_tokens",
+    "scalar_json_funcs",
+    "scalar_map_funcs",
+    "scalar_casts_conditionals",
+    "scalar_array_advanced",
+    # canonicalizer-fixed aggregates
+    "agg_collect_sorted",
+    "approx_percentiles",
+    # joins not yet driver-checked
+    "join_not_in_subquery",
+    # TPC-H composites (join reordering / decorrelation shapes)
+    "tpch_promo_revenue",
+    "tpch_large_volume_customers",
+    "tpch_disjunctive_predicates",
+    "tpch_above_nation_average",
+    "tpch_nation_volume_flow",
+    "tpch_scalar_subquery_filter",
+    # representatives of families already driver-green in r01
+    "join_broadcast_brand_volume",
+    "join_asof_last_error",
+    "join_range_error_burst",
+    "agg_grouping_sets",
+    "llm_dedup_exact_stats",
+    "llm_minhash_estimate",
+    "llm_similarity_topk",
+    "llm_tfidf_rank",
+    "stream_replay_throughput",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every plan module so its @query decorators run."""
+    """Import every plan module so its @query decorators run.
+
+    Returns the inventory ordered by ``WINDOW_PRIORITY`` first (the driver
+    correctness gate reads the first 50 entries), then every remaining
+    query in registration order.
+    """
     # Imports are side-effecting registrations; keep them here so callers
     # get the complete inventory with one call.
     from syslog_kafka_spark.plans import (  # noqa: F401
@@ -80,4 +152,9 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    return QUERIES
+    missing = [n for n in WINDOW_PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(f"WINDOW_PRIORITY names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in WINDOW_PRIORITY}
+    ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
+    return ordered
