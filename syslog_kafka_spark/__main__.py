@@ -27,8 +27,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--udp.port", dest="udp_port", type=int, default=5141)
     # the Spark analog of --num.producers: sink-side partitions per query
     p.add_argument("--num.producers", dest="num_producers", type=int, default=1)
-    p.add_argument("--required.acks", dest="required_acks", type=int, default=1, choices=(-1, 0, 1))
-    p.add_argument("--acks.timeout", dest="acks_timeout", type=int, default=1000)
+    # None sentinels let a --producer.config file supply these (flags win)
+    p.add_argument("--required.acks", dest="required_acks", type=int, default=None, choices=(-1, 0, 1))
+    p.add_argument("--acks.timeout", dest="acks_timeout", type=int, default=None)
+    p.add_argument(
+        "--producer.config",
+        dest="producer_config",
+        default=None,
+        help="properties file with reference producer keys (kafka_producer.go:158-205)",
+    )
     p.add_argument("--avro", action="store_true", help="send messages as Confluent-framed Avro LogLine")
     p.add_argument("--proto", action="store_true", help="send messages as Protobuf LogLine")
     p.add_argument("--schema.registry.url", dest="schema_registry_url", default="")
@@ -40,7 +47,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 def validate(args: argparse.Namespace) -> dict:
     """Reference validate() parity (syslog.go:93-131): required flags, tag
-    parsing, encoding selection."""
+    parsing, encoding selection. A --producer.config properties file fills
+    producer knobs first (ProducerConfigFromFile parity); explicit flags
+    override file values, which override built-in defaults."""
+    producer: dict = {"linger_ms": 1000, "batch_size": 1000, "compression": None}
+    if args.producer_config:
+        from syslog_kafka_spark.encode.producer_config import producer_settings_from_file
+
+        settings = producer_settings_from_file(args.producer_config)
+        if not args.broker_list and settings.get("broker_list"):
+            args.broker_list = settings["broker_list"]
+        if args.required_acks is None and "required_acks" in settings:
+            args.required_acks = settings["required_acks"]
+        if args.acks_timeout is None and "acks_timeout" in settings:
+            args.acks_timeout = settings["acks_timeout"]
+        for k in ("linger_ms", "batch_size", "compression"):
+            if k in settings:
+                producer[k] = settings[k]
+    if args.required_acks is None:
+        args.required_acks = 1
+    if args.acks_timeout is None:
+        args.acks_timeout = 1000
     if not args.broker_list:
         print("broker.list is required.", file=sys.stderr)
         raise SystemExit(1)
@@ -58,7 +85,7 @@ def validate(args: argparse.Namespace) -> dict:
         k, v = kv.split("=", 1)
         tags[k] = v
     encoding = "avro" if args.avro else "proto" if args.proto else "string"
-    return {"tags": tags or None, "encoding": encoding}
+    return {"tags": tags or None, "encoding": encoding, "producer": producer}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -75,7 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         from syslog_kafka_spark.encode.registry import SchemaRegistryClient
         from syslog_kafka_spark.model import LOGLINE_AVSC
 
-        schema_id = SchemaRegistryClient(args.schema_registry_url).register("LogLine", LOGLINE_AVSC)
+        # Subject derives from the schema's own name ("logLine-value"),
+        # as in the reference (avro_encoder_decoder.go:56).
+        schema_id = SchemaRegistryClient(args.schema_registry_url).register(
+            LOGLINE_AVSC["name"], LOGLINE_AVSC
+        )
 
     queries = []
     for protocol, host, port in (("tcp", args.tcp_host, args.tcp_port), ("udp", args.udp_host, args.udp_port)):
@@ -92,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
                 schema_id=schema_id,
                 tags=extra["tags"],
                 logtypeid=args.log_type_id,
+                num_producers=args.num_producers,
+                acks=args.required_acks,
+                acks_timeout_ms=args.acks_timeout,
+                linger_ms=extra["producer"]["linger_ms"],
+                batch_size=extra["producer"]["batch_size"],
+                compression=extra["producer"]["compression"],
             )
         )
 

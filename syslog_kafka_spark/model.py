@@ -66,12 +66,15 @@ LOGLINE_PROTO_SCHEMA = StructType(
 )
 
 # The Avro schema JSON exactly as the reference embeds it
-# (avro/logline.go:41-106 / avro/logline.avsc) — used for registry
+# (avro/logline.go:41-106 / avro/logline.avsc): namespace "avro",
+# name "logLine" — the registry subject becomes "logLine-value"
+# (avro_encoder_decoder.go:56, subject = schema.GetName() + "-value"),
+# matching what reference-ecosystem consumers look up. Used for registry
 # registration and for our pure-Python Avro encoder's field ordering.
 LOGLINE_AVSC = {
     "type": "record",
-    "name": "LogLine",
-    "namespace": "net.elodina",
+    "name": "logLine",
+    "namespace": "avro",
     "fields": [
         {"name": "line", "type": ["null", "string"], "default": None},
         {"name": "source", "type": ["null", "string"], "default": None},

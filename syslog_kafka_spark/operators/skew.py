@@ -34,7 +34,16 @@ def salted_join(
     (defaults to the join key itself combined with every row via
     monotonically_increasing_id — still deterministic per execution plan,
     but prefer passing a real unique column for replayable results).
+
+    Only ``inner`` and left-flavored joins are allowed: the build side is
+    exploded ``buckets`` times, so a right/full outer join would emit each
+    unmatched build row once per bucket — silently wrong output.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: the "
+            f"exploded build side would duplicate unmatched right rows {buckets}x"
+        )
     src = F.col(salt_source) if salt_source else F.monotonically_increasing_id()
     left = skewed.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(buckets)).cast("int"))
     right = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))

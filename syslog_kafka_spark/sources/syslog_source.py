@@ -36,10 +36,16 @@ from syslog_kafka_spark.model import SYSLOG_MESSAGE_SCHEMA
 
 
 class _LineBuffer:
-    """Thread-safe append-only line buffer shared with the listener."""
+    """Thread-safe line buffer shared with the listener.
+
+    Offsets handed to Spark are ABSOLUTE (monotone since listener start);
+    committed prefixes are dropped and the remaining lines rebased via
+    ``_base``, so a long-running collector holds only uncommitted lines in
+    memory rather than growing without bound."""
 
     def __init__(self) -> None:
         self._lines: list[tuple[str, datetime]] = []
+        self._base = 0  # absolute offset of _lines[0]
         self._lock = threading.Lock()
 
     def append(self, line: str) -> None:
@@ -47,12 +53,25 @@ class _LineBuffer:
             self._lines.append((line, datetime.now(timezone.utc)))
 
     def snapshot_len(self) -> int:
+        """Absolute offset one past the newest buffered line."""
         with self._lock:
-            return len(self._lines)
+            return self._base + len(self._lines)
 
     def range(self, start: int, end: int) -> list[tuple[str, datetime]]:
         with self._lock:
-            return self._lines[start:end]
+            lo = max(start - self._base, 0)
+            hi = max(end - self._base, 0)
+            return self._lines[lo:hi]
+
+    def truncate_to(self, offset: int) -> None:
+        """Drop lines below the committed low-water mark ``offset``.
+        Only ever called with offsets Spark has durably committed, so the
+        dropped prefix can never be replayed."""
+        with self._lock:
+            drop = min(max(offset - self._base, 0), len(self._lines))
+            if drop:
+                del self._lines[:drop]
+                self._base += drop
 
 
 class _TCPHandler(socketserver.StreamRequestHandler):
@@ -175,10 +194,11 @@ class SyslogStreamReader(DataSourceStreamReader):
             yield (line, partition.source, received.replace(tzinfo=None))
 
     def commit(self, end: dict) -> None:
-        # at-least-once: committed lines stay in the buffer (truncation
-        # would break replay of in-flight batches); long-running collectors
-        # should restart the query periodically or extend this to trim.
-        pass
+        # Batches at or below `end` are durably committed by the engine and
+        # will never be replanned, so their lines are dropped — bounded
+        # memory for long-running collectors. In-flight (uncommitted)
+        # batches stay replayable: only the committed prefix is trimmed.
+        self._listener().truncate_to(end["index"])
 
     def stop(self) -> None:
         key = (self._protocol, self._host, self._port)

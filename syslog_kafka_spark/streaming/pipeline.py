@@ -102,9 +102,21 @@ def run_syslog_ingest(
     tags: dict[str, str] | None = None,
     logtypeid: int | None = None,
     output_path: str | None = None,
+    num_producers: int = 1,
+    acks: int = 1,
+    acks_timeout_ms: int | None = None,
+    linger_ms: int = 1000,
+    batch_size: int = 1000,
+    compression: str | None = None,
 ):
     """The reference's whole dataflow as one streaming query (R1-R16):
     listen → frame → transform → produce.
+
+    ``num_producers`` is R20 parity (reference --num.producers spawns that
+    many producer goroutines, syslog/syslog_producer.go:185-207): here it
+    becomes the sink-side partition count, so ``n`` tasks each hold one
+    Kafka producer connection. ``acks``/``acks_timeout_ms`` mirror
+    --required.acks / --acks.timeout (syslog.go:84-85).
 
     ``brokers`` None routes to a parquet sink at ``output_path`` instead of
     Kafka (same projection) — useful for air-gapped runs and tests.
@@ -137,8 +149,22 @@ def run_syslog_ingest(
     else:
         raise ValueError(f"unknown encoding {encoding!r}")
 
+    if num_producers > 1:
+        # R20: n sink partitions ≈ n reference producer goroutines — each
+        # task owns one producer connection writing concurrently.
+        records = records.repartition(num_producers)
+
     if brokers:
-        return write_kafka_stream(records, brokers=brokers, checkpoint=checkpoint)
+        return write_kafka_stream(
+            records,
+            brokers=brokers,
+            checkpoint=checkpoint,
+            acks=acks,
+            acks_timeout_ms=acks_timeout_ms,
+            linger_ms=linger_ms,
+            batch_size=batch_size,
+            compression=compression,
+        )
     return (
         records.writeStream.format("parquet")
         .option("path", output_path)

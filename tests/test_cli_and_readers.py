@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 
 import pytest
+import pyspark.sql.functions as F
 
 from syslog_kafka_spark.__main__ import parse_args, validate
 from syslog_kafka_spark.sources.readers import read_csv, read_json, read_text
@@ -42,6 +43,113 @@ def test_cli_encoding_selection():
         validate(parse_args([*base, "--avro", "--schema.registry.url", "http://r"]))["encoding"]
         == "avro"
     )
+
+
+def test_cli_producer_knob_defaults_and_flags():
+    base = ["--broker.list", "b:9092", "--topic", "t"]
+    args = parse_args(base)
+    validate(args)
+    assert (args.required_acks, args.acks_timeout, args.num_producers) == (1, 1000, 1)
+
+    args = parse_args([*base, "--required.acks", "0", "--acks.timeout", "250", "--num.producers", "4"])
+    validate(args)
+    assert (args.required_acks, args.acks_timeout, args.num_producers) == (0, 250, 4)
+
+
+def test_cli_producer_config_file_merges_with_flag_precedence(tmp_path):
+    # reference ProducerConfigFromFile key names (kafka_producer.go:158-205)
+    cfg = tmp_path / "producer.properties"
+    cfg.write_text(
+        "# producer settings\n"
+        "bootstrap.servers=file-broker:9092\n"
+        "acks=0\n"
+        "timeout.ms=750\n"
+        "linger=2s\n"
+        "batch.size=5000\n"
+        "compression.type=gzip\n"
+    )
+    args = parse_args(["--topic", "t", "--producer.config", str(cfg)])
+    out = validate(args)
+    assert args.broker_list == "file-broker:9092"
+    assert (args.required_acks, args.acks_timeout) == (0, 750)
+    assert out["producer"] == {"linger_ms": 2000, "batch_size": 5000, "compression": "gzip"}
+
+    # explicit flags beat file values
+    args = parse_args(
+        ["--topic", "t", "--producer.config", str(cfg),
+         "--broker.list", "flag-broker:9092", "--required.acks", "1"]
+    )
+    validate(args)
+    assert args.broker_list == "flag-broker:9092"
+    assert args.required_acks == 1
+    assert args.acks_timeout == 750  # still from the file
+
+
+def test_producer_properties_parsing(tmp_path):
+    from syslog_kafka_spark.encode.producer_config import (
+        parse_duration_ms,
+        producer_settings_from_file,
+    )
+
+    assert parse_duration_ms("100ms") == 100
+    assert parse_duration_ms("1s") == 1000
+    assert parse_duration_ms("2m") == 120000
+    assert parse_duration_ms("500") == 500  # bare number = ms
+    with pytest.raises(ValueError):
+        parse_duration_ms("abc")
+
+    cfg = tmp_path / "p.properties"
+    cfg.write_text(
+        "metadata.broker.list=old:9092\n"
+        "bootstrap.servers=new:9092\n"
+        "client.id=syslog\n"
+        "send.routines=8\n"
+    )
+    s = producer_settings_from_file(str(cfg))
+    # bootstrap.servers wins over metadata.broker.list (reference fallback order)
+    assert s["broker_list"] == "new:9092"
+    assert s["client_id"] == "syslog"
+    assert s["extra"] == {"send.routines": "8"}
+
+
+def test_kafka_writer_options_contract():
+    """R14-R16 knob parity without a broker: the option map the sink is
+    started with carries acks / linger / batch.size / timeout / codec
+    (reference kafka_producer.go:57-67 knob set)."""
+    from syslog_kafka_spark.encode.transformers import kafka_writer_options
+
+    opts = kafka_writer_options(
+        brokers="b:9092", acks=0, linger_ms=500, batch_size=2000,
+        acks_timeout_ms=750, compression="snappy",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "kafka.acks": "0",
+        "kafka.linger.ms": "500",
+        "kafka.batch.size": "2000",
+        "kafka.request.timeout.ms": "750",
+        "kafka.compression.type": "snappy",
+    }
+    # defaults omit the optional knobs
+    opts = kafka_writer_options(brokers="b:9092")
+    assert "kafka.request.timeout.ms" not in opts
+    assert "kafka.compression.type" not in opts
+
+
+def test_random_partitioner_range_and_distribution(spark):
+    """R12 parity (partitioner.go:46-55): uniform over [0, n)."""
+    from syslog_kafka_spark.encode.transformers import with_random_partition
+
+    n = 8
+    df = spark.range(8000).select(F.col("id").cast("string").alias("value"))
+    parts = with_random_partition(df, n, seed=7).groupBy("partition").count().collect()
+    got = {r["partition"]: r["count"] for r in parts}
+    assert set(got) == set(range(n))  # every partition hit, none out of range
+    for c in got.values():
+        assert abs(c - 1000) < 300  # roughly uniform
+
+    with pytest.raises(ValueError):
+        with_random_partition(df, 0)
 
 
 def test_read_text_csv_json(spark, tmp_path):

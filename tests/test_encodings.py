@@ -114,11 +114,19 @@ def test_registry_client_caches_and_uses_value_subject():
         return {"schema": "{}"}
 
     client = SchemaRegistryClient("http://registry:8081/", http=fake_http)
-    sid = client.register("LogLine", LOGLINE_AVSC)
+    sid = client.register(LOGLINE_AVSC["name"], LOGLINE_AVSC)
     assert sid == 42
-    assert client.register("LogLine", LOGLINE_AVSC) == 42  # cached
+    assert client.register(LOGLINE_AVSC["name"], LOGLINE_AVSC) == 42  # cached
     assert len([c for c in calls if c[0] == "POST"]) == 1
-    assert calls[0][1] == "http://registry:8081/subjects/LogLine-value/versions"
+    # Reference parity: subject = schema name + "-value" → "logLine-value"
+    # (avro_encoder_decoder.go:56, avro/logline.go:43-44).
+    assert calls[0][1] == "http://registry:8081/subjects/logLine-value/versions"
+
+
+def test_logline_avsc_matches_reference_naming():
+    # avro/logline.go:41-45 embeds namespace "avro", name "logLine".
+    assert LOGLINE_AVSC["namespace"] == "avro"
+    assert LOGLINE_AVSC["name"] == "logLine"
 
 
 def test_transformers_end_to_end(spark):

@@ -28,6 +28,21 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain and len(plain) > 0
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    # the exploded build side would emit unmatched right rows buckets× —
+    # the operator must refuse rather than return silently wrong output
+    import pytest
+
+    skewed = spark.createDataFrame([(1, 1)], ["row_id", "k"])
+    dim = spark.createDataFrame([(2, "v")], ["k", "v"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(skewed, dim, "k", how=how)
+    # left join stays allowed: unmatched PROBE rows are not duplicated
+    rows = salted_join(skewed, dim, "k", how="left", salt_source="row_id").collect()
+    assert len(rows) == 1 and rows[0]["v"] is None
+
+
 def test_salted_join_spreads_hot_key(spark):
     skewed = spark.createDataFrame([(i, 1) for i in range(100)], ["row_id", "k"])
     dim = spark.createDataFrame([(1, "hot")], ["k", "v"])

@@ -113,6 +113,33 @@ def test_foreach_batch_collects(spark, tmp_path):
     assert sum(seen) == 5
 
 
+def test_line_buffer_commit_trims_with_absolute_offsets():
+    """commit() low-water-mark trimming: committed prefixes are freed but
+    absolute offsets keep working (no index shift for in-flight batches)."""
+    from syslog_kafka_spark.sources.syslog_source import _LineBuffer
+
+    buf = _LineBuffer()
+    for i in range(10):
+        buf.append(f"line{i}")
+    assert buf.snapshot_len() == 10
+    assert [l for l, _ in buf.range(3, 6)] == ["line3", "line4", "line5"]
+
+    buf.truncate_to(6)  # batches [0,6) committed
+    assert buf.snapshot_len() == 10  # absolute offsets unchanged
+    assert [l for l, _ in buf.range(6, 10)] == [f"line{i}" for i in range(6, 10)]
+    assert buf.range(0, 6) == []  # committed prefix is gone
+    assert len(buf._lines) == 4  # memory actually freed
+
+    buf.append("line10")
+    assert buf.snapshot_len() == 11
+    assert [l for l, _ in buf.range(10, 11)] == ["line10"]
+    # idempotent / stale commits are safe
+    buf.truncate_to(3)
+    assert buf.snapshot_len() == 11
+    buf.truncate_to(11)
+    assert buf.snapshot_len() == 11 and buf.range(0, 11) == []
+
+
 @pytest.mark.parametrize("protocol", ["tcp", "udp"])
 def test_syslog_socket_source_live(spark, tmp_path, protocol):
     """Live round-trip: register the custom source, send real packets,
