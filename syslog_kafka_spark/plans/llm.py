@@ -274,12 +274,32 @@ def llm_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Candidate blocking for the exact-Jaccard / MinHash-estimate queries:
+# (32-char normalized prefix, length-div-32 bucket). The length bucket
+# bounds bucket sizes on boilerplate-heavy corpora where thousands of docs
+# share a prefix ("GET /index.html ..."): docs of very different lengths
+# can't be 0.6-Jaccard near-dups anyway, so splitting them costs little
+# recall while capping the worst bucket's pair count. Banded MinHash-LSH
+# (operators/dedup.py) remains the principled scale path.
 _BLOCKED_PAIRS_SQL = f"""
     WITH d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.norm AS norm_a, b.norm AS norm_b
     FROM d a JOIN d b
-      ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32) AND a.doc_id < b.doc_id
+      ON substr(a.norm, 1, 32) = substr(b.norm, 1, 32)
+     AND CAST(floor(len(a.norm) / 32) AS BIGINT) = CAST(floor(len(b.norm) / 32) AS BIGINT)
+     AND a.doc_id < b.doc_id
 """
+
+
+def with_pair_block_key(df, norm_col: str = "norm"):
+    """Attach the (prefix, length-bucket) blocking columns used by the
+    blocked pair queries — split out so skew behavior is unit-testable."""
+    return df.withColumn("blk_prefix", F.substring(norm_col, 1, 32)).withColumn(
+        "blk_len", F.floor(F.length(norm_col) / 32)
+    )
+
+
+_BLOCK_COLS = ["blk_prefix", "blk_len"]
 
 
 @query(
@@ -301,17 +321,16 @@ _BLOCKED_PAIRS_SQL = f"""
     """,
 )
 def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs, prefix-blocked (the blocking key
-    bounds the self-join; 5-char shingles, threshold 0.6)."""
+    """n-gram Jaccard near-dup pairs, blocked on (prefix, length bucket) —
+    the compound key bounds the self-join even on boilerplate-prefix
+    corpora; 5-char shingles, threshold 0.6."""
     d = load_tables(spark, sf_dir).documents
-    base = d.select("doc_id", normalized("text").alias("norm")).withColumn(
-        "blk", F.substring("norm", 1, 32)
-    )
-    a = base.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"), "blk")
-    b = base.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"), "blk")
+    base = with_pair_block_key(d.select("doc_id", normalized("text").alias("norm")))
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"), *_BLOCK_COLS)
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"), *_BLOCK_COLS)
     jac = jaccard_expr(char_shingles(F.col("norm_a"), 5), char_shingles(F.col("norm_b"), 5))
     return (
-        a.join(b, "blk")
+        a.join(b, _BLOCK_COLS)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= 0.6)
@@ -347,18 +366,17 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures cached: both join sides reference them (avoids computing
     # the expensive column twice)
     base = (
-        d.select("doc_id", normalized("text").alias("norm"))
-        .withColumn("blk", F.substring("norm", 1, 32))
+        with_pair_block_key(d.select("doc_id", normalized("text").alias("norm")))
         .withColumn("sig", minhash_signature(char_shingles(F.col("norm"), 5), 16))
         .cache()
     )
-    a = base.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "blk")
-    b = base.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "blk")
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), *_BLOCK_COLS)
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), *_BLOCK_COLS)
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
     )
     return (
-        a.join(b, "blk")
+        a.join(b, _BLOCK_COLS)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_m", matches)
         .filter(F.col("_m") >= 8)

@@ -116,15 +116,19 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_above_nation_average",
     "tpch_nation_volume_flow",
     "tpch_scalar_subquery_filter",
+    "tpch_min_cost_supplier",
+    "tpch_profit_by_nation",
+    "tpch_order_count_distribution",
+    "tpch_top_supplier_revenue",
+    "tpch_waiting_suppliers",
+    # re-blocked this round — keep them gated
+    "llm_jaccard_neardup",
+    "llm_minhash_estimate",
     # representatives of families already driver-green in r01
     "join_broadcast_brand_volume",
     "join_asof_last_error",
     "join_range_error_burst",
-    "agg_grouping_sets",
     "llm_dedup_exact_stats",
-    "llm_minhash_estimate",
-    "llm_similarity_topk",
-    "llm_tfidf_rank",
     "stream_replay_throughput",
 )
 

@@ -183,3 +183,166 @@ def tpch_scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of one value after a separate aggregation job)."""
     _views(spark, sf_dir)
     return spark.sql(_SCALAR_SUBQ_SQL % {"li": "v_lineitem"})
+
+
+# Q2-style (adapted: this schema has no partsupp, so lineitem is the
+# part↔supplier bridge and l_extendedprice plays ps_supplycost).
+_MIN_COST_SQL = """
+    SELECT DISTINCT p_partkey, p_name, s_name,
+           CAST(l_extendedprice AS DOUBLE) AS best_price
+    FROM %(li)s l1
+    JOIN %(part)s ON p_partkey = l1.l_partkey
+    JOIN %(sup)s ON s_suppkey = l1.l_suppkey
+    WHERE p_size <= 10
+      AND l1.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM %(li)s l2
+        WHERE l2.l_partkey = l1.l_partkey
+      )
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+"""
+
+
+@query(
+    "tpch_min_cost_supplier",
+    family="joins",
+    oracle=_MIN_COST_SQL % {"li": "lineitem", "part": "part", "sup": "supplier"},
+)
+def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style: correlated scalar MIN subquery against the outer join key —
+    Catalyst decorrelates it into an aggregate + join (no per-row re-scan).
+    Equality on raw stored doubles (no arithmetic), so both engines agree
+    bit-for-bit."""
+    _views(spark, sf_dir)
+    return spark.sql(_MIN_COST_SQL % {"li": "v_lineitem", "part": "v_part", "sup": "v_supplier"})
+
+
+# Q9-style (adapted: cost proxy = 85% of retail price per unit in place of
+# the missing ps_supplycost).
+_PROFIT_SQL = """
+    SELECT
+      n_name AS nation,
+      CAST(year(o_orderdate) AS INT) AS o_year,
+      CAST(round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.85 * p_retailprice * l_quantity), 2) AS DOUBLE) AS profit
+    FROM %(li)s
+    JOIN %(part)s ON p_partkey = l_partkey
+    JOIN %(sup)s ON s_suppkey = l_suppkey
+    JOIN %(nat)s ON n_nationkey = s_nationkey
+    JOIN %(ord)s ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%%widget%%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY 1, 2 DESC
+"""
+
+
+@query(
+    "tpch_profit_by_nation",
+    family="joins",
+    oracle=_PROFIT_SQL
+    % {"li": "lineitem", "part": "part", "sup": "supplier", "nat": "nation", "ord": "orders"},
+)
+def tpch_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style: five-way star join (two broadcast dims, two fact-fact
+    hash joins) + LIKE pushdown on part, aggregated by nation x year."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        _PROFIT_SQL
+        % {"li": "v_lineitem", "part": "v_part", "sup": "v_supplier", "nat": "v_nation", "ord": "v_orders"}
+    )
+
+
+# Q13-style (adapted: the join-condition filter uses o_orderpriority in
+# place of the missing o_comment anti-pattern).
+_ORDER_COUNT_SQL = """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM %(cust)s
+      LEFT JOIN %(ord)s ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+@query(
+    "tpch_order_count_distribution",
+    family="joins",
+    oracle=_ORDER_COUNT_SQL % {"cust": "customer", "ord": "orders"},
+)
+def tpch_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style: left outer join with an extra non-equi condition INSIDE
+    the join clause (not a post-filter — unmatched customers must still
+    count 0), then a count-of-counts histogram."""
+    _views(spark, sf_dir)
+    return spark.sql(_ORDER_COUNT_SQL % {"cust": "v_customer", "ord": "v_orders"})
+
+
+# Q15-style. Revenue compared in integer cents: max()/equality on a
+# round(sum(double)) could flip at a half-cent boundary between engines
+# (see the note above _ABOVE_AVG_SQL).
+_TOP_SUPPLIER_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS cents
+      FROM %(li)s
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 100 AS total_revenue
+    FROM %(sup)s JOIN revenue ON s_suppkey = supplier_no
+    WHERE cents = (SELECT max(cents) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query(
+    "tpch_top_supplier_revenue",
+    family="joins",
+    oracle=_TOP_SUPPLIER_SQL % {"li": "lineitem", "sup": "supplier"},
+)
+def tpch_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style: CTE aggregate reused twice (join target + scalar MAX
+    subquery) — Catalyst plans the max as a one-row broadcast, not a
+    rescan of lineitem."""
+    _views(spark, sf_dir)
+    return spark.sql(_TOP_SUPPLIER_SQL % {"li": "v_lineitem", "sup": "v_supplier"})
+
+
+# Q21-style (adapted: "late" = shipped strictly after every co-supplier on
+# the same order, since this schema has no commit/receipt dates).
+_WAITING_SUPPLIER_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM %(sup)s
+    JOIN %(li)s l1 ON s_suppkey = l1.l_suppkey
+    JOIN %(ord)s ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM %(li)s l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM %(li)s l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query(
+    "tpch_waiting_suppliers",
+    family="joins",
+    oracle=_WAITING_SUPPLIER_SQL % {"sup": "supplier", "li": "lineitem", "ord": "orders"},
+)
+def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style: EXISTS + NOT EXISTS correlated self-joins on the fact
+    table — planned as one semi- and one anti-join on l_orderkey, the
+    heaviest decorrelation shape in the inventory."""
+    _views(spark, sf_dir)
+    return spark.sql(_WAITING_SUPPLIER_SQL % {"sup": "v_supplier", "li": "v_lineitem", "ord": "v_orders"})

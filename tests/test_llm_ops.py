@@ -117,3 +117,29 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in approx_scores:
             assert abs(approx_scores[key] - r.score) < 1e-9
+
+
+def test_pair_block_key_bounds_boilerplate_buckets(spark):
+    """De-skew regression: on a corpus where EVERY doc shares the same
+    32-char prefix (web boilerplate), pure prefix blocking puts all n docs
+    in one bucket (n^2/2 pairs); the compound (prefix, length-bucket) key
+    splits them so the worst bucket stays bounded."""
+    from syslog_kafka_spark.plans.llm import with_pair_block_key
+
+    boiler = "get /index.html http/1.1 host: example.com agent "  # > 32 chars
+    rows = [(i, boiler + "x" * (i * 7)) for i in range(120)]  # varied lengths
+    df = spark.createDataFrame(rows, ["doc_id", "norm"])
+
+    blocked = with_pair_block_key(df, "norm")
+    sizes = blocked.groupBy("blk_prefix", "blk_len").count().collect()
+    assert sum(r["count"] for r in sizes) == 120
+    # pure prefix would be one bucket of 120; the length bucket splits it
+    assert len(sizes) > 10
+    assert max(r["count"] for r in sizes) <= 10
+
+    # docs with near-identical length (true near-dup shape) stay together
+    pair = spark.createDataFrame(
+        [(0, boiler + "tail one"), (1, boiler + "tail two")], ["doc_id", "norm"]
+    )
+    keys = with_pair_block_key(pair, "norm").select("blk_prefix", "blk_len").distinct()
+    assert keys.count() == 1

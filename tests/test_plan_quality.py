@@ -52,6 +52,30 @@ def test_window_topk_filter_pushed_to_scan(spark, sf_dir):
     assert "LessThanOrEqual(o_custkey,200)" in plan
 
 
+def test_tpch_composites_plan_quality(spark, sf_dir):
+    """The round-2 composites must keep their intended physical shapes."""
+    # Q9: LIKE filter reaches the part scan; dims broadcast
+    plan = _plan(spark, sf_dir, "tpch_profit_by_nation")
+    assert "StringContains(p_name,widget)" in plan, "p_name LIKE not pushed to scan"
+    assert "BroadcastHashJoin" in plan
+    # Q2: correlated MIN decorrelated to an aggregate, not a per-row rescan
+    plan = _plan(spark, sf_dir, "tpch_min_cost_supplier")
+    assert "min(" in plan  # decorrelated aggregate present
+    assert "CartesianProduct" not in plan
+    # Q13: outer join must stay an outer hash/broadcast join with the
+    # priority predicate inside the join (not filtering customers away)
+    plan = _plan(spark, sf_dir, "tpch_order_count_distribution")
+    assert "LeftOuter" in plan
+    assert "Filter" in plan
+    # Q21: EXISTS/NOT EXISTS become semi/anti joins — never a rescan loop
+    plan = _plan(spark, sf_dir, "tpch_waiting_suppliers")
+    assert "LeftSemi" in plan, "EXISTS not planned as semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS not planned as anti join"
+    # Q15: status filter pushed; scalar max is a subquery reuse, no rescan
+    plan = _plan(spark, sf_dir, "tpch_top_supplier_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "date range not pushed to scan"
+
+
 def test_no_cartesian_products_outside_cross(spark, sf_dir):
     # every join query except the explicit cross join must avoid
     # CartesianProduct (BroadcastNestedLoop for the tiny cross is fine)
