@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from syslog_kafka_spark.functions.hashes import (
     char_shingles,
     char_shingles_sql,
+    hash64_sql,
     minhash_signature,
     minhash_signature_sql,
 )
@@ -452,22 +453,103 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-@query("llm_minhash_lsh_pairs", family="llm", oracle=None)
+def _lsh_pairs_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of the full MinHash-LSH pipeline (operators/dedup.py:
+    minhash_lsh_pairs). Possible only because every hash in the path is
+    md5-portable: shingle hash, signature affine family, and the band
+    bucket (hash64 of the comma-joined signature slice)."""
+    rpb = n_hashes // bands
+    band_cases = " ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=hash64_sql(
+                "concat_ws(',', "
+                + ", ".join(f"sig[{b * rpb + i + 1}]" for i in range(rpb))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS id, {char_shingles_sql(_NORM_SQL)} AS shingles
+          FROM documents
+        ), sig AS (
+          SELECT id, shingles, {minhash_signature_sql('shingles', n_hashes)} AS sig
+          FROM sh
+        ), banded AS (
+          SELECT id, shingles, t.b AS band,
+                 CASE t.b {band_cases} END AS bucket
+          FROM sig, (SELECT unnest([{", ".join(str(b) for b in range(bands))}]) AS b) t
+        ), pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ), j AS (
+          SELECT p.id_a, p.id_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+          FROM pairs p
+          JOIN sh sa ON sa.id = p.id_a
+          JOIN sh sb ON sb.id = p.id_b
+        )
+        SELECT id_a, id_b,
+               CAST(CASE WHEN uni = 0 THEN 1.0
+                         ELSE CAST(inter AS DOUBLE) / uni END AS DOUBLE) AS jaccard
+        FROM j
+        WHERE CASE WHEN uni = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / uni END >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+@query("llm_minhash_lsh_pairs", family="llm", oracle=_lsh_pairs_oracle())
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline (banding, bucket join, exact
-    Jaccard verify ≥ 0.5). Rows-only gate: banding layout is
-    engine-specific SQL would be unwieldy; Jaccard correctness is covered
-    by llm_jaccard_neardup and unit tests."""
+    Jaccard verify ≥ 0.5) — hash-gated end-to-end: the portable md5 hash
+    family lets DuckDB reproduce signatures, band buckets, and the verify
+    stage exactly."""
     d = load_tables(spark, sf_dir).documents
     return minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5).orderBy(
         "id_a", "id_b"
     )
 
 
-@query("llm_simhash_neardup", family="llm", oracle=None)
+def _simhash_oracle(max_hamming: int = 12, prefix_bits: int = 12, bits: int = 60) -> str:
+    """DuckDB twin of simhash64 + prefix-blocked pair join
+    (operators/dedup.py:138-195): per-bit majority vote over md5-derived
+    token hashes, then bit_count(xor) hamming under a shared prefix."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum((h >> {i}) & 1) * 2 > count(*) "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id AS id, {hash64_sql('t.tok')} AS h
+          FROM (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+          ) t
+        ), sims AS (
+          SELECT id, {bit_terms} AS simhash
+          FROM tok GROUP BY id
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sims a JOIN sims b
+          ON (a.simhash >> {bits - prefix_bits}) = (b.simhash >> {bits - prefix_bits})
+         AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+@query("llm_simhash_neardup", family="llm", oracle=_simhash_oracle())
 def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 12 on 60-bit hashes, 12-bit
-    prefix blocking). Rows-only gate; determinism unit-tested."""
+    prefix blocking) — hash-gated: md5-derived token hashes make the
+    per-bit majority vote engine-portable."""
     d = load_tables(spark, sf_dir).documents
     return simhash_neardup_pairs(d, max_hamming=12, prefix_bits=12).orderBy("id_a", "id_b")
 

@@ -121,13 +121,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "tpch_order_count_distribution",
     "tpch_top_supplier_revenue",
     "tpch_waiting_suppliers",
-    # re-blocked this round — keep them gated
+    # re-blocked / newly hash-gated this round — keep them in the window
     "llm_jaccard_neardup",
     "llm_minhash_estimate",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_neardup",
     # representatives of families already driver-green in r01
-    "join_broadcast_brand_volume",
     "join_asof_last_error",
-    "join_range_error_burst",
     "llm_dedup_exact_stats",
     "stream_replay_throughput",
 )
