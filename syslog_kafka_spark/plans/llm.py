@@ -681,3 +681,145 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=3
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Curation tier (operators/curation.py): the raw-corpus → training-shards
+# steps. All engine-portable expressions, all hash-gated.
+
+
+def _pii_synth_sql() -> str:
+    """The deterministic PII-bearing text both engines synthesize from
+    customer keys (the synthetic corpus itself contains no PII)."""
+    return (
+        "'reach user' || CAST(c_custkey AS VARCHAR)"
+        " || ' at u' || CAST(c_custkey AS VARCHAR)"
+        " || '@mail' || CAST(c_custkey % 7 AS VARCHAR)"
+        " || '.example.com or +1 555 '"
+        " || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+        " || ' 99 from 10.' || CAST(c_custkey % 256 AS VARCHAR)"
+        " || '.0.' || CAST(c_custkey % 100 AS VARCHAR)"
+    )
+
+
+def _pii_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import pii_counts_sql, redact_pii_sql
+
+    counts = ", ".join(f"{sql} AS {name}" for name, sql in pii_counts_sql("t").items())
+    return f"""
+        WITH s AS (
+          SELECT c_custkey, {_pii_synth_sql()} AS t
+          FROM customer WHERE c_custkey <= 200
+        )
+        SELECT c_custkey, {counts}, {redact_pii_sql('t')} AS redacted
+        FROM s ORDER BY c_custkey
+    """
+
+
+@query("llm_pii_redaction", family="llm", oracle=_pii_oracle())
+def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, IPv4s, phone numbers) over a
+    deterministic synthesized corpus — counts verify detection, the
+    redacted text verifies the scrub, and the RE2-safe patterns make both
+    hash-comparable across engines."""
+    from syslog_kafka_spark.operators.curation import pii_counts, redact_pii
+
+    c = load_tables(spark, sf_dir).customer.filter(F.col("c_custkey") <= 200)
+    key = F.col("c_custkey")
+    synth = F.concat(
+        F.lit("reach user"), key.cast("string"),
+        F.lit(" at u"), key.cast("string"),
+        F.lit("@mail"), (key % 7).cast("string"),
+        F.lit(".example.com or +1 555 "),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" 99 from 10."), (key % 256).cast("string"),
+        F.lit(".0."), (key % 100).cast("string"),
+    )
+    base = c.select("c_custkey", synth.alias("_t"))
+    counts = [expr.alias(name) for name, expr in pii_counts("_t").items()]
+    return base.select(
+        "c_custkey", *counts, redact_pii("_t").alias("redacted")
+    ).orderBy("c_custkey")
+
+
+def _hash_split_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import hash_split_sql
+
+    return f"""
+        SELECT {hash_split_sql('doc_id')} AS split,
+               count(*) AS n_docs,
+               CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS sum_tokens
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("llm_hash_split", family="llm", oracle=_hash_split_oracle())
+def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (salted hash64 mod 100):
+    stable across runs, executors, and partitionings — rand()-based
+    splits can never guarantee that. Gated on the per-split doc and token
+    totals."""
+    from syslog_kafka_spark.operators.curation import hash_split
+
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select(hash_split("doc_id").alias("split"), token_count("text").alias("_n"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("sum_tokens"))
+        .orderBy("split")
+    )
+
+
+_CHUNK_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id <= 30
+    ), st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), 48)) AS s
+      FROM d
+    )
+    SELECT doc_id, s AS chunk_start,
+           array_to_string(list_slice(toks, s, s + 63), ' ') AS chunk_text,
+           len(list_slice(toks, s, s + 63)) AS n_chunk_tokens
+    FROM st ORDER BY doc_id, chunk_start
+"""
+
+
+@query("llm_doc_chunks", family="llm", oracle=_CHUNK_ORACLE)
+def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (64-token windows, stride 48)
+    via sequence+slice — the explode is per chunk, not per token, so the
+    row blowup is bounded by the overlap factor."""
+    from syslog_kafka_spark.operators.curation import chunk_tokens
+
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") <= 30)
+    return chunk_tokens(d, chunk_size=64, stride=48).orderBy("doc_id", "chunk_start")
+
+
+def _length_buckets_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import length_bucket_sql
+
+    return f"""
+        WITH d AS (SELECT len({_TOKENS_SQL}) AS n_tokens FROM documents)
+        SELECT {length_bucket_sql('n_tokens')} AS bucket_lo,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM d GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("llm_length_buckets", family="llm", oracle=_length_buckets_oracle())
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length buckets for packing: bucket floor,
+    document count, and token mass per bucket."""
+    from syslog_kafka_spark.operators.curation import length_bucket
+
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select(length_bucket(token_count("text")).alias("bucket_lo"),
+                 token_count("text").alias("_n"))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("sum_tokens"))
+        .orderBy("bucket_lo")
+    )
