@@ -324,16 +324,28 @@ _BLOCK_COLS = ["blk_prefix", "blk_len"]
 def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs, blocked on (prefix, length bucket) —
     the compound key bounds the self-join even on boilerplate-prefix
-    corpora; 5-char shingles, threshold 0.6."""
+    corpora; 5-char shingles, threshold 0.6.
+
+    Shingles are materialized in one projection per surviving PAIR (after
+    the block join): inlining them into jaccard_expr costs 4 lambda
+    evaluations per pair (no CSE across higher-order functions), while
+    shingling every doc before the join wastes work when blocking leaves
+    most docs pairless (measured slower at sf0.1). Strings move through
+    the join; arrays are built only for pairs that survive it."""
     d = load_tables(spark, sf_dir).documents
     base = with_pair_block_key(d.select("doc_id", normalized("text").alias("norm")))
     a = base.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"), *_BLOCK_COLS)
     b = base.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"), *_BLOCK_COLS)
-    jac = jaccard_expr(char_shingles(F.col("norm_a"), 5), char_shingles(F.col("norm_b"), 5))
     return (
         a.join(b, _BLOCK_COLS)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jac, 4))
+        .select(
+            "id_a",
+            "id_b",
+            char_shingles(F.col("norm_a"), 5).alias("sh_a"),
+            char_shingles(F.col("norm_b"), 5).alias("sh_b"),
+        )
+        .withColumn("jaccard", F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -652,15 +664,22 @@ def llm_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word n-grams (bigrams) via index-transform over the token array —
-    no explode until the final count, 1-based element_at on both engines."""
+    no explode until the final count, 1-based element_at on both engines.
+
+    Tokens are materialized in a separate projection first: Catalyst does
+    not CSE expressions referenced inside higher-order-function lambdas,
+    so inlining tokens() here re-splits the text once per element_at call
+    (measured 6.5s → 0.5s at sf0.1 for this query)."""
     d = load_tables(spark, sf_dir).documents
-    t = tokens("text")
+    base = d.select(tokens("text").alias("_toks"))
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda i: F.concat(
+            F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
+        ),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), "bigram")
