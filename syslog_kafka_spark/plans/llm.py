@@ -842,3 +842,40 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("sum_tokens"))
         .orderBy("bucket_lo")
     )
+
+
+def _strat_sample_oracle() -> str:
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="sample-v1")
+    return f"""
+        WITH ranked AS (
+          SELECT lang, doc_id, {h} AS hk,
+                 row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+          FROM documents
+        )
+        SELECT lang, doc_id, hk
+        FROM ranked WHERE rn <= 10
+        ORDER BY lang, doc_id
+    """
+
+
+@query("llm_stratified_sample", family="llm", oracle=_strat_sample_oracle())
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: 10 docs per language stratum,
+    chosen by smallest salted hash — a reproducible 'random' sample that
+    never moves under re-runs or repartitioning (unlike sampleBy), so
+    eval sets stay frozen. One window per stratum; at scale this is a
+    single shuffle on the stratum key."""
+    from pyspark.sql import Window
+
+    from syslog_kafka_spark.functions.hashes import hash64
+
+    d = load_tables(spark, sf_dir).documents
+    hk = hash64(F.col("doc_id").cast("string"), salt="sample-v1")
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        d.select("lang", "doc_id", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "hk")
+        .orderBy("lang", "doc_id")
+    )

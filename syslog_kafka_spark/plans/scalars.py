@@ -366,3 +366,42 @@ def scalar_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          o_orderkey,
+          (o_orderkey & 255) AS and_mask,
+          (o_orderkey | 4096) AS or_bits,
+          xor(o_orderkey, 21845) AS xor_bits,
+          CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+          CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+          CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INT) AS popcount,
+          CAST(~o_orderkey AS BIGINT) AS flipped
+        FROM orders
+        WHERE o_orderkey <= 100
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND/OR/XOR masks, shifts, popcount, NOT —
+    identical two's-complement semantics on BIGINT in both engines."""
+    o = load_tables(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return (
+        o.filter(k <= 100)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("and_mask"),
+            k.bitwiseOR(F.lit(4096)).alias("or_bits"),
+            k.bitwiseXOR(F.lit(21845)).alias("xor_bits"),
+            F.shiftleft(k, 3).cast("bigint").alias("shl3"),
+            F.shiftright(k, 2).cast("bigint").alias("shr2"),
+            F.bit_count(k).alias("popcount"),
+            F.bitwise_not(k).cast("bigint").alias("flipped"),
+        )
+        .orderBy("o_orderkey")
+    )
