@@ -879,3 +879,149 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "hk")
         .orderBy("lang", "doc_id")
     )
+
+
+def _repetition_oracle() -> str:
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        uni AS (
+          SELECT doc_id, term, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+          GROUP BY doc_id, term
+        ),
+        unistats AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_cnt
+          FROM uni GROUP BY doc_id
+        ),
+        big AS (
+          SELECT doc_id, bigram, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks)
+          GROUP BY doc_id, bigram
+        ),
+        bigstats AS (
+          SELECT doc_id,
+                 CAST(round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                      / greatest(sum(c), 1), 4) AS DOUBLE) AS dup_bigram_frac
+          FROM big GROUP BY doc_id
+        )
+        SELECT u.doc_id, n_tokens,
+               CAST(round(top_cnt / greatest(n_tokens, 1), 4) AS DOUBLE) AS top_token_frac,
+               coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+               (CAST(round(top_cnt / greatest(n_tokens, 1), 4) AS DOUBLE) <= 0.18
+                AND coalesce(b.dup_bigram_frac, 0.0) <= 0.1) AS keep
+        FROM unistats u LEFT JOIN bigstats b USING (doc_id)
+        ORDER BY u.doc_id
+    """
+
+
+@query("llm_quality_repetition", family="llm", oracle=_repetition_oracle())
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-token fraction
+    and duplicated-bigram fraction (fraction of bigram instances whose
+    bigram repeats within the doc), plus the keep/drop verdict at
+    top<=0.18, dup<=0.10. Repetition is the canonical signal for
+    low-quality machine-generated text in pretraining curation.
+
+    Distributed shape: explode tokens/bigrams, then two hash-aggregates
+    keyed by (doc_id, term) — partial map-side combine shrinks the
+    shuffle to distinct terms per doc; everything after is keyed by
+    doc_id, so the join is co-partitioned at scale."""
+    d = load_tables(spark, sf_dir).documents
+    base = d.select("doc_id", tokens("text").alias("_toks"))
+    uni = (
+        base.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    unistats = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_cnt")
+    )
+    bigram_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda i: F.concat(
+            F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
+        ),
+    )
+    big = (
+        base.select("doc_id", F.explode(bigram_expr).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    bigstats = big.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.greatest(F.sum("c"), F.lit(1)),
+            4,
+        ).alias("dup_bigram_frac")
+    )
+    top_frac = F.round(F.col("top_cnt") / F.greatest(F.col("n_tokens"), F.lit(1)), 4)
+    dup_frac = F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))
+    return (
+        unistats.join(bigstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_bigram_frac"),
+            ((top_frac <= 0.18) & (dup_frac <= 0.1)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _chunk_dedup_oracle() -> str:
+    chunk_hash = hash64_sql("array_to_string(list_slice(toks, s, s + 7), ' ')", salt="chunk-v1")
+    return f"""
+        WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        st AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks), 1), 8)) AS s
+          FROM d
+        ),
+        ch AS (
+          SELECT doc_id, {chunk_hash} AS chunk_hash
+          FROM st WHERE len(list_slice(toks, s, s + 7)) = 8
+        )
+        SELECT chunk_hash,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occ,
+               min(doc_id) AS first_doc
+        FROM ch
+        GROUP BY chunk_hash
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY chunk_hash
+    """
+
+
+@query("llm_chunk_dedup", family="llm", oracle=_chunk_dedup_oracle())
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): split
+    every doc into disjoint 8-token chunks, hash each chunk, and report
+    chunks that recur in >= 2 distinct documents — the substrings an
+    exact-substring dedup pass would cut.
+
+    Distributed shape: the aggregate groups on the 8-byte chunk hash,
+    never the chunk text, so the shuffle carries (hash, doc_id) pairs —
+    at 100 TB this is the difference between shuffling the corpus and
+    shuffling ~2% of it. The full-width chunk filter drops ragged tails
+    before the shuffle."""
+    from syslog_kafka_spark.functions.hashes import hash64
+    from syslog_kafka_spark.operators.curation import chunk_tokens
+
+    d = load_tables(spark, sf_dir).documents
+    ch = chunk_tokens(d, chunk_size=8, stride=8).filter(F.col("n_chunk_tokens") == 8)
+    return (
+        ch.select("doc_id", hash64(F.col("chunk_text"), salt="chunk-v1").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )
