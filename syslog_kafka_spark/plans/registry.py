@@ -149,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         reshape,
         scalars,
+        scans,
         setops,
         sorts,
         syslog_queries,
