@@ -346,3 +346,154 @@ def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaviest decorrelation shape in the inventory."""
     _views(spark, sf_dir)
     return spark.sql(_WAITING_SUPPLIER_SQL % {"sup": "v_supplier", "li": "v_lineitem", "ord": "v_orders"})
+
+
+# Q4-style (adapted: no commit/receipt dates in this schema, so "late" =
+# a lineitem shipped after the order date).
+_PRIORITY_WAIT_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM %(ord)s
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM %(li)s
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "tpch_priority_wait_counts",
+    family="joins",
+    oracle=_PRIORITY_WAIT_SQL % {"ord": "orders", "li": "lineitem"},
+)
+def tpch_priority_wait_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style: correlated EXISTS with a non-equi correlated predicate
+    (l_shipdate > o_orderdate) under a quarter-window scan — decorrelates
+    to a left-semi join on o_orderkey with the inequality as a join-side
+    filter; the date window prunes the orders scan first."""
+    _views(spark, sf_dir)
+    return spark.sql(_PRIORITY_WAIT_SQL % {"ord": "v_orders", "li": "v_lineitem"})
+
+
+# Q10-style: returned-item revenue, top 20 accounts.
+_RETURNED_ITEMS_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+    FROM %(cust)s
+    JOIN %(ord)s ON c_custkey = o_custkey
+    JOIN %(li)s ON l_orderkey = o_orderkey
+    JOIN %(nat)s ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query(
+    "tpch_returned_item_accounts",
+    family="joins",
+    oracle=_RETURNED_ITEMS_SQL
+    % {"cust": "customer", "ord": "orders", "li": "lineitem", "nat": "nation"},
+)
+def tpch_returned_item_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style: fact-fact join (orders x lineitem) flanked by two
+    broadcast dims, grouped on a wide composite key, then a top-20 — the
+    classic 'who returned the most' account triage. Catalyst plans
+    TakeOrderedAndProject over the aggregate, so only 20 rows leave the
+    final stage."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        _RETURNED_ITEMS_SQL
+        % {"cust": "v_customer", "ord": "v_orders", "li": "v_lineitem", "nat": "v_nation"}
+    )
+
+
+# Q17-style: small-quantity outlier revenue against a per-part average.
+_SMALL_QTY_SQL = """
+    SELECT CAST(round(sum(l_extendedprice) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM %(li)s l1 JOIN %(part)s ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l1.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM %(li)s l2
+        WHERE l2.l_partkey = l1.l_partkey
+      )
+"""
+
+
+@query(
+    "tpch_small_qty_revenue",
+    family="joins",
+    oracle=_SMALL_QTY_SQL % {"li": "lineitem", "part": "part"},
+)
+def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style: correlated scalar AVG subquery against the fact table
+    itself — decorrelates into a per-partkey aggregate joined back to
+    lineitem, i.e. one extra hash-agg pass instead of a rescan per row."""
+    _views(spark, sf_dir)
+    return spark.sql(_SMALL_QTY_SQL % {"li": "v_lineitem", "part": "v_part"})
+
+
+# Q8-style: one nation's share of a region's imported volume per year.
+_MARKET_SHARE_SQL = """
+    WITH volume AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS vol,
+             n2.n_name AS supp_nation
+      FROM %(li)s
+      JOIN %(part)s ON p_partkey = l_partkey
+      JOIN %(sup)s ON s_suppkey = l_suppkey
+      JOIN %(ord)s ON o_orderkey = l_orderkey
+      JOIN %(cust)s ON c_custkey = o_custkey
+      JOIN %(nat)s n1 ON c_nationkey = n1.n_nationkey
+      JOIN %(reg)s ON n1.n_regionkey = r_regionkey
+      JOIN %(nat)s n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0.0 END)
+                / sum(vol), 4) AS DOUBLE) AS mkt_share
+    FROM volume
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query(
+    "tpch_market_share",
+    family="joins",
+    oracle=_MARKET_SHARE_SQL
+    % {
+        "li": "lineitem",
+        "part": "part",
+        "sup": "supplier",
+        "ord": "orders",
+        "cust": "customer",
+        "nat": "nation",
+        "reg": "region",
+    },
+)
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style: eight-way join with nation aliased on both the customer
+    and supplier sides, CASE-inside-aggregate share computation per year.
+    The widest join tree in the inventory — exercises Catalyst's join
+    reordering with four broadcastable dims around the orders-lineitem
+    fact spine."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        _MARKET_SHARE_SQL
+        % {
+            "li": "v_lineitem",
+            "part": "v_part",
+            "sup": "v_supplier",
+            "ord": "v_orders",
+            "cust": "v_customer",
+            "nat": "v_nation",
+            "reg": "v_region",
+        }
+    )

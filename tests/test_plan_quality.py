@@ -74,6 +74,23 @@ def test_tpch_composites_plan_quality(spark, sf_dir):
     # Q15: status filter pushed; scalar max is a subquery reuse, no rescan
     plan = _plan(spark, sf_dir, "tpch_top_supplier_revenue")
     assert "GreaterThanOrEqual(l_shipdate" in plan, "date range not pushed to scan"
+    # Q4: correlated EXISTS with non-equi predicate becomes a semi join,
+    # and the quarter window prunes the orders scan
+    plan = _plan(spark, sf_dir, "tpch_priority_wait_counts")
+    assert "LeftSemi" in plan, "EXISTS not planned as semi join"
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date window not pushed to orders scan"
+    # Q10: aggregate feeds TakeOrderedAndProject — only 20 rows leave
+    plan = _plan(spark, sf_dir, "tpch_returned_item_accounts")
+    assert "TakeOrderedAndProject" in plan, "top-20 not planned as top-k"
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag not pushed to lineitem scan"
+    # Q17: correlated AVG decorrelated to an aggregate + join, no rescan
+    plan = _plan(spark, sf_dir, "tpch_small_qty_revenue")
+    assert "avg(" in plan, "correlated AVG not decorrelated to an aggregate"
+    assert "CartesianProduct" not in plan
+    # Q8: the eight-way tree keeps every dim broadcast (no sort-merge)
+    plan = _plan(spark, sf_dir, "tpch_market_share")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan, "p_type filter not pushed to part scan"
 
 
 def test_no_cartesian_products_outside_cross(spark, sf_dir):
