@@ -88,6 +88,43 @@ def stream_static_enrich(parsed: DataFrame, dim: DataFrame, on: str, how: str = 
     return parsed.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_time: str,
+    right_time: str,
+    watermark: str = "10 minutes",
+    interval: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by a time interval: right rows
+    match a left row when their event times are within ``interval`` of
+    each other. Both sides are watermarked and the join condition bounds
+    event-time distance, so Spark can expire buffered rows once the
+    watermark passes them — state stays proportional to the interval, not
+    the stream history. Outer flavors additionally need both watermarks
+    to know when an unmatched row can be emitted; that requirement is
+    satisfied here by construction.
+
+    ``left_time`` / ``right_time`` must differ so both survive into the
+    joined schema (rename upstream if needed); the right key column is
+    dropped after the join."""
+    if left_time == right_time:
+        raise ValueError("left_time and right_time must be distinct column names")
+    rkey = f"_r_{key}"
+    lw = left.withWatermark(left_time, watermark)
+    rw = right.withWatermark(right_time, watermark).withColumnRenamed(key, rkey)
+    iv = F.expr(f"INTERVAL {interval}")
+    cond = (
+        (F.col(key) == F.col(rkey))
+        & (F.col(right_time) >= F.col(left_time) - iv)
+        & (F.col(right_time) <= F.col(left_time) + iv)
+    )
+    return lw.join(rw, cond, how).drop(rkey)
+
+
 def run_syslog_ingest(
     spark: SparkSession,
     *,

@@ -17,6 +17,7 @@ from syslog_kafka_spark.streaming.pipeline import (
     parsed_messages,
     sessionized_host_activity,
     stream_static_enrich,
+    stream_stream_interval_join,
     windowed_severity_counts,
 )
 
@@ -99,6 +100,47 @@ def test_stream_static_join(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {name} WHERE tier IS NOT NULL").collect()
     hosts = {r.host for r in rows}
     assert hosts == {"web01", "db01"}
+
+
+def _replay_keyed_stream(spark, tmp_path, subdir, ts_col, lines):
+    """CSV-ish replay with explicit event times: 'key,2024-01-01 00:00:00'."""
+    d = tmp_path / subdir
+    d.mkdir()
+    (d / "part-0.txt").write_text("\n".join(lines) + "\n")
+    raw = spark.readStream.text(str(d))
+    return raw.select(
+        F.split("value", ",")[0].alias("k"),
+        F.to_timestamp(F.split("value", ",")[1]).alias(ts_col),
+    )
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    alerts = _replay_keyed_stream(
+        spark, tmp_path, "alerts", "alert_ts",
+        ["web01,2024-01-01 00:00:00", "db01,2024-01-01 01:00:00"],
+    )
+    deploys = _replay_keyed_stream(
+        spark, tmp_path, "deploys", "deploy_ts",
+        [
+            "web01,2024-01-01 00:02:00",  # within 5 min of the web01 alert
+            "web01,2024-01-01 00:20:00",  # outside the interval -> no match
+            "db01,2024-01-01 01:04:00",   # within 5 min of the db01 alert
+            "app01,2024-01-01 00:01:00",  # key never alerts -> no match
+        ],
+    )
+    joined = stream_stream_interval_join(
+        alerts, deploys, "k",
+        left_time="alert_ts", right_time="deploy_ts", interval="5 minutes",
+    )
+    name = _run_to_memory(joined, f"t{uuid.uuid4().hex[:8]}")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert {(r.k, r.deploy_ts.minute) for r in rows} == {("web01", 2), ("db01", 4)}
+
+
+def test_stream_stream_join_requires_distinct_time_cols(spark, tmp_path):
+    df = _replay_keyed_stream(spark, tmp_path, "x", "ts", ["a,2024-01-01 00:00:00"])
+    with pytest.raises(ValueError, match="distinct"):
+        stream_stream_interval_join(df, df, "k", left_time="ts", right_time="ts")
 
 
 def test_foreach_batch_collects(spark, tmp_path):
