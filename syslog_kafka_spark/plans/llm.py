@@ -972,6 +972,59 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_logprob_oracle() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, term, count(*) AS dc
+          FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+          GROUP BY doc_id, term
+        ),
+        vocab AS (SELECT term, CAST(sum(dc) AS BIGINT) AS c FROM tok GROUP BY term),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab)
+        SELECT t.doc_id,
+               CAST(sum(t.dc) AS BIGINT) AS n_tokens,
+               CAST(round(sum(t.dc * -log2(v.c / (SELECT n FROM tot)))
+                    / sum(t.dc), 4) AS DOUBLE) AS avg_nll_bits
+        FROM tok t JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """
+
+
+@query("llm_unigram_logprob", family="llm", oracle=_unigram_logprob_oracle())
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (CCNet-style): per-document
+    mean negative log2-likelihood of each token under the corpus unigram
+    distribution — fluent/common text scores low, gibberish and rare-token
+    soup scores high. The classic cheap LM filter before a real model.
+
+    Distributed shape: tokens pre-aggregate to (doc_id, term, count)
+    before anything else, so the vocab join input is distinct terms per
+    doc, not token instances; the frequency table (Zipf-small after the
+    count) broadcasts back, making the scoring pass shuffle-free. The
+    weighted-average formula is written identically on both engines so
+    the float math agrees bit-for-bit pre-rounding."""
+    d = load_tables(spark, sf_dir).documents
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("dc"))
+    )
+    vocab = tok.groupBy("term").agg(F.sum("dc").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    priced = F.broadcast(vocab.crossJoin(F.broadcast(total)))
+    nll = -F.log2(F.col("c") / F.col("n"))
+    return (
+        tok.join(priced, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dc").alias("n_tokens"),
+            F.round(F.sum(F.col("dc") * nll) / F.sum("dc"), 4).alias("avg_nll_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _chunk_dedup_oracle() -> str:
     chunk_hash = hash64_sql("array_to_string(list_slice(toks, s, s + 7), ' ')", salt="chunk-v1")
     return f"""
