@@ -125,6 +125,39 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, how).drop(rkey)
 
 
+def incremental_dedup_stream(
+    docs: DataFrame,
+    seen_digests: DataFrame,
+    *,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    time_col: str = "received_ts",
+) -> DataFrame:
+    """Incremental corpus ingestion dedup: drop streaming documents whose
+    normalized-text digest already exists in the static corpus digest
+    table (stream-static left-anti join, digest side broadcast), then
+    drop within-stream repeats inside the watermark horizon.
+
+    This is the streaming half of the exact-dedup tier
+    (operators/dedup.py): the batch job builds/refreshes ``seen_digests``
+    (one md5 per surviving doc), and every new micro-batch lands only
+    novel documents. State: the anti join keeps none (static side is a
+    broadcast lookup); dropDuplicates state is purged by the watermark."""
+    from syslog_kafka_spark.operators.dedup import normalized
+
+    digested = docs.withColumn("_digest", F.md5(normalized(text_col)))
+    novel = digested.join(
+        F.broadcast(seen_digests.select(F.col("digest").alias("_digest"))),
+        "_digest",
+        "left_anti",
+    )
+    return (
+        novel.withWatermark(time_col, watermark)
+        .dropDuplicates(["_digest"])
+        .drop("_digest")
+    )
+
+
 def run_syslog_ingest(
     spark: SparkSession,
     *,

@@ -14,6 +14,7 @@ import pytest
 from syslog_kafka_spark.sources.syslog_fixtures import SYSLOG_CORPUS
 from syslog_kafka_spark.streaming.pipeline import (
     deduped_stream,
+    incremental_dedup_stream,
     parsed_messages,
     sessionized_host_activity,
     stream_static_enrich,
@@ -100,6 +101,35 @@ def test_stream_static_join(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {name} WHERE tier IS NOT NULL").collect()
     hosts = {r.host for r in rows}
     assert hosts == {"web01", "db01"}
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    import hashlib
+
+    # corpus already contains doc "alpha beta"; stream brings one known
+    # doc, one novel doc repeated 3x (with whitespace variance), one more
+    # novel doc
+    known = "alpha beta"
+    seen = spark.createDataFrame(
+        [(hashlib.md5(known.encode()).hexdigest(),)], ["digest"]
+    )
+    lines = [known, "gamma  delta", "gamma delta", " Gamma Delta ", "epsilon"]
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "part-0.txt").write_text("\n".join(lines) + "\n")
+    docs = (
+        spark.readStream.text(str(d))
+        .select(
+            F.col("value").alias("text"),
+            F.current_timestamp().alias("received_ts"),
+        )
+    )
+    out = incremental_dedup_stream(docs, seen)
+    name = _run_to_memory(out, f"t{uuid.uuid4().hex[:8]}")
+    rows = spark.sql(f"SELECT text FROM {name}").collect()
+    # known doc dropped; the three "gamma delta" variants collapse to one
+    texts = sorted(r.text.strip().lower().replace("  ", " ") for r in rows)
+    assert texts == ["epsilon", "gamma delta"]
 
 
 def _replay_keyed_stream(spark, tmp_path, subdir, ts_col, lines):
