@@ -143,3 +143,87 @@ def test_pair_block_key_bounds_boilerplate_buckets(spark):
     )
     keys = with_pair_block_key(pair, "norm").select("blk_prefix", "blk_len").distinct()
     assert keys.count() == 1
+
+
+def test_repetition_filter_flags_degenerate_docs(spark, sf_dir):
+    """A maximally repetitive doc must fail both Gopher-style gates; a
+    diverse doc must pass. Exercises the gated query end-to-end via a
+    temp-view override of the documents table."""
+    from syslog_kafka_spark.plans.registry import load_all
+
+    rows = spark.sql(
+        "SELECT * FROM (VALUES "
+        "(0, 'spam spam spam spam spam spam spam spam', 'en', 'synth', 39), "
+        "(1, 'one two three four five six seven eight', 'en', 'synth', 39)"
+        ") AS t(doc_id, text, lang, source, n_chars)"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        for name in ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+        out = {
+            r.doc_id: r
+            for r in load_all()["llm_quality_repetition"].build(spark, d).collect()
+        }
+    assert out[0].top_token_frac == 1.0 and out[0].dup_bigram_frac == 1.0
+    assert out[0].keep is False
+    assert out[1].top_token_frac < 0.18 and out[1].dup_bigram_frac == 0.0
+    assert out[1].keep is True
+
+
+def test_chunk_dedup_finds_planted_duplicate(spark):
+    """Two docs sharing an 8-token run must surface exactly that chunk;
+    unshared text must not pair."""
+    from syslog_kafka_spark.functions.hashes import hash64
+    from syslog_kafka_spark.operators.curation import chunk_tokens
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three four five six"),
+            (2, shared + " other seven eight nine ten eleven twelve"),
+            (3, "totally different words without any overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    ch = chunk_tokens(df, chunk_size=8, stride=8).filter(F.col("n_chunk_tokens") == 8)
+    dups = (
+        ch.select("doc_id", hash64(F.col("chunk_text"), salt="chunk-v1").alias("h"))
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert len(dups) == 1 and dups[0].n_docs == 2
+
+
+def test_unigram_logprob_orders_rare_docs_higher(spark, sf_dir):
+    """Docs made of corpus-rare tokens must score a higher mean NLL than
+    docs of corpus-common tokens (the filter's entire point)."""
+    import os
+    import tempfile
+
+    from syslog_kafka_spark.plans.registry import load_all
+
+    # 10 docs of common words dominate the unigram distribution; doc 99
+    # is pure rare-token soup (each rare token appears exactly once)
+    docs = [(i, "the quick brown fox jumps", "en", "synth", 25) for i in range(10)]
+    docs.append((99, "xylem quasar obelisk fjord glyph", "en", "synth", 32))
+    rows = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        rows.coalesce(1).write.parquet(f"{d}/documents.parquet")
+        for name in ("region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+        out = {
+            r.doc_id: r.avg_nll_bits
+            for r in load_all()["llm_unigram_logprob"].build(spark, d).collect()
+        }
+    assert out[99] > out[0] + 3  # rare doc is decisively less likely
+    assert all(v > 0 for v in out.values())
