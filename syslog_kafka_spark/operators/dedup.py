@@ -179,8 +179,8 @@ def simhash_neardup_pairs(
 
     Blocking on the top ``prefix_bits`` bits keeps the self-join keyed
     (candidates must agree on the prefix — sound only for docs whose
-    difference doesn't touch the prefix; standard SimHash rotation tricks
-    trade recall for cost and are exposed via multiple calls).
+    difference doesn't touch the prefix; `simhash_neardup_multiprobe`
+    adds the standard rotation trick to recover prefix-divergent pairs).
     """
     sims = simhash64(df, text_col, id_col)
     block = F.shiftright(F.col("simhash"), 60 - prefix_bits)
@@ -189,6 +189,69 @@ def simhash_neardup_pairs(
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _rotl60(c: Column, r: int) -> Column:
+    """Rotate a 60-bit value left by ``r`` bits (values stay < 2^60).
+
+    Masks the low ``60 - r`` bits BEFORE shifting so the intermediate
+    never exceeds 2^60 — required for DuckDB's overflow-checked BIGINT
+    arithmetic to accept the identical oracle formula."""
+    low_mask = (1 << (60 - r)) - 1
+    return F.shiftleft(c.bitwiseAND(F.lit(low_mask)), r) + F.shiftright(c, 60 - r)
+
+
+def simhash_neardup_multiprobe(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    tables: int = 4,
+) -> DataFrame:
+    """Multi-table SimHash near-dup: table t blocks on the top
+    ``prefix_bits`` bits of the hash rotated by t*(60/tables), so a pair
+    is found when ANY rotation puts their differing bits outside the
+    prefix. With max_hamming ≪ 60/tables, a pair's few differing bits
+    can't cover every rotation's prefix window — recall approaches 1
+    while each join stays bucketed (the single-table plan misses every
+    pair whose difference touches the fixed prefix).
+
+    One signature pass feeds all tables: the explode emits (table, block)
+    keys, so cost is ``tables`` bucketed joins' worth of candidates, not
+    ``tables`` signature computations. Duplicate candidate pairs across
+    tables collapse via dropDuplicates before the final distance filter.
+    """
+    step = 60 // tables
+    sims = simhash64(df, text_col, id_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(_rotl60(F.col("simhash"), t * step), 60 - prefix_bits).alias("blk"),
+            )
+            for t in range(tables)
+        ]
+    )
+    probed = sims.select(id_col, "simhash", F.explode(blocks).alias("_p")).select(
+        id_col, "simhash", F.col("_p.t").alias("_t"), F.col("_p.blk").alias("_blk")
+    )
+    a = probed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "_t", "_blk"
+    )
+    b = probed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "_t", "_blk"
+    )
+    return (
+        a.join(b, ["_t", "_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -566,6 +566,66 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(d, max_hamming=12, prefix_bits=12).orderBy("id_a", "id_b")
 
 
+def _simhash_multiprobe_oracle(
+    max_hamming: int = 12, prefix_bits: int = 12, tables: int = 4, bits: int = 60
+) -> str:
+    """DuckDB twin of simhash_neardup_multiprobe: same sims CTE, then one
+    rotated block key per table UNION'd into the probe relation."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum((h >> {i}) & 1) * 2 > count(*) "
+        f"THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    step = bits // tables
+    # mask the low bits BEFORE shifting: DuckDB BIGINT arithmetic is
+    # overflow-checked, so (h << r) with h < 2^60 would error for r > 3
+    probes = "\n          UNION ALL ".join(
+        f"SELECT id, simhash, {t} AS tbl, "
+        f"((((simhash & {(1 << (bits - t * step)) - 1}) << {t * step})"
+        f" + (simhash >> {bits - t * step})) "
+        f">> {bits - prefix_bits}) AS blk FROM sims"
+        for t in range(tables)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id AS id, {hash64_sql('t.tok')} AS h
+          FROM (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+          ) t
+        ), sims AS (
+          SELECT id, {bit_terms} AS simhash
+          FROM tok GROUP BY id
+        ), probed AS (
+          {probes}
+        ), pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM probed a JOIN probed b
+            ON a.tbl = b.tbl AND a.blk = b.blk AND a.id < b.id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
+
+
+@query("llm_simhash_multiprobe", family="llm", oracle=_simhash_multiprobe_oracle())
+def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SimHash near-dup (4 rotation tables): recovers pairs
+    whose differing bits fall inside the single-table prefix window —
+    recall → 1 for hamming ≪ 60/tables while every join stays bucketed.
+    Hash-gated end-to-end: the rotations are plain shift/mask arithmetic,
+    identical in both engines."""
+    from syslog_kafka_spark.operators.dedup import simhash_neardup_multiprobe
+
+    d = load_tables(spark, sf_dir).documents
+    return simhash_neardup_multiprobe(
+        d, max_hamming=12, prefix_bits=12, tables=4
+    ).orderBy("id_a", "id_b")
+
+
 @query("llm_ann_srp_topk", family="llm", oracle=None)
 def llm_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via signed-random-projection LSH buckets (pandas

@@ -227,3 +227,55 @@ def test_unigram_logprob_orders_rare_docs_higher(spark, sf_dir):
         }
     assert out[99] > out[0] + 3  # rare doc is decisively less likely
     assert all(v > 0 for v in out.values())
+
+
+def test_simhash_multiprobe_recall_beats_single_table(spark):
+    """Multi-table rotation blocking must recover (a superset of) the
+    single-table pairs and approach exhaustive recall on a near-dup
+    corpus; every reported pair must satisfy the hamming bound."""
+    import random
+
+    from syslog_kafka_spark.operators.dedup import (
+        hamming64,
+        simhash64,
+        simhash_neardup_multiprobe,
+        simhash_neardup_pairs,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(30)]
+        variant = list(base)
+        variant[rng.randrange(30)] = rng.choice(vocab)  # 1-token edit
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(variant)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # exhaustive ground truth (fine at n=80 in a test; never at scale)
+    sims = simhash64(df).cache()
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("sa"), F.col("sb")) <= 8)
+        .collect()
+    }
+    assert len(truth) >= 40  # every (base, variant) pair is a near-dup
+
+    single = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(df, max_hamming=8, prefix_bits=12).collect()
+    }
+    multi_rows = simhash_neardup_multiprobe(
+        df, max_hamming=8, prefix_bits=12, tables=4
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+
+    assert single <= multi <= truth
+    assert len(multi) / len(truth) >= 0.9
+    assert len(multi) >= len(single)
+    assert all(r.hamming <= 8 for r in multi_rows)
