@@ -1085,6 +1085,67 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_ORACLE = """
+    WITH b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text)),
+                    i -> ord(substr(text, i, 1)) % 16)) AS bucket
+      FROM documents WHERE doc_id < 100
+    ),
+    h AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+    top AS (
+      SELECT doc_id, bucket,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bucket) AS rn
+      FROM h
+    )
+    SELECT t.doc_id AS media_id,
+           strlen(d.text) AS n_bytes,
+           CAST(t.bucket AS BIGINT) AS top_bucket
+    FROM top t JOIN documents d ON t.doc_id = d.doc_id
+    WHERE t.rn = 1
+    ORDER BY media_id
+"""
+
+
+@query("llm_media_features", family="llm", oracle=_MEDIA_ORACLE)
+def llm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: documents become binary
+    media rows (payload = utf-8 bytes), flow through the Arrow-batched
+    mapInPandas decode→feature pipeline (operators/multimodal.py, fake
+    decoder = byte histogram), and emit integer outputs — payload size
+    and the dominant histogram bucket — that DuckDB reproduces from the
+    same bytes. Proves schema, batching, and UDF signature end-to-end,
+    not just in smoke tests; a real image/audio decoder swaps in at the
+    documented seam with no Spark-side change.
+
+    Integer-only outputs keep the gate float-free: the normalized float32
+    feature vector is exercised (argmax runs over it) but never hashed."""
+    from syslog_kafka_spark.operators.multimodal import extract_features, fake_decoder
+
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("uri"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("raw").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=16, decoder=fake_decoder)
+    return (
+        feats.select(
+            "media_id",
+            "n_bytes",
+            (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+            .cast("bigint")
+            .alias("top_bucket"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _chunk_dedup_oracle() -> str:
     chunk_hash = hash64_sql("array_to_string(list_slice(toks, s, s + 7), ' ')", salt="chunk-v1")
     return f"""
