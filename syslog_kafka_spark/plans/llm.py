@@ -1085,6 +1085,115 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_SYNTH_SQL = (
+    "'see https://shop' || CAST(p_partkey % 13 AS VARCHAR)"
+    " || '.example' || CAST(p_partkey % 3 AS VARCHAR)"
+    " || '.com/p/' || CAST(p_partkey AS VARCHAR)"
+    " || ' and http://cdn' || CAST(p_partkey % 5 AS VARCHAR)"
+    " || '.assets.net/img mirror ftp://old.example.org'"
+)
+
+_URL_ORACLE = f"""
+    WITH s AS (
+      SELECT p_partkey, {_URL_SYNTH_SQL} AS t
+      FROM part WHERE p_partkey <= 500
+    ),
+    hosts AS (
+      SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS host
+      FROM s
+    )
+    SELECT host,
+           count(*) AS n_links,
+           split_part(host, '.', -1) AS tld
+    FROM hosts
+    GROUP BY host
+    ORDER BY host
+"""
+
+
+@query("llm_url_extraction", family="llm", oracle=_URL_ORACLE)
+def llm_url_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain analytics for corpus provenance: extract every http(s)
+    host from a deterministic synthesized link corpus, count links per
+    host, derive the TLD — the domain-frequency pass that feeds
+    source-level filtering/dedup decisions (ftp URIs deliberately
+    excluded by the scheme pattern). RE2-safe regex, portable split."""
+    p = load_tables(spark, sf_dir).part.filter(F.col("p_partkey") <= 500)
+    k = F.col("p_partkey")
+    text = F.concat(
+        F.lit("see https://shop"), (k % 13).cast("string"),
+        F.lit(".example"), (k % 3).cast("string"),
+        F.lit(".com/p/"), k.cast("string"),
+        F.lit(" and http://cdn"), (k % 5).cast("string"),
+        F.lit(".assets.net/img mirror ftp://old.example.org"),
+    )
+    hosts = p.select(
+        F.explode(
+            F.regexp_extract_all(text, F.lit(r"https?://([A-Za-z0-9.-]+)"), 1)
+        ).alias("host")
+    )
+    return (
+        hosts.groupBy("host")
+        .agg(F.count("*").alias("n_links"))
+        .withColumn("tld", F.element_at(F.split("host", r"\."), -1))
+        .orderBy("host")
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+    WITH tf AS (
+      SELECT term, count(*) AS freq
+      FROM (SELECT unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rnk,
+             CAST(sum(freq) OVER (ORDER BY freq DESC, term
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+             CAST(sum(freq) OVER () AS BIGINT) AS total
+      FROM tf
+    )
+    SELECT rnk AS vocab_rank, term, freq,
+           CAST(round(cum_freq / total, 4) AS DOUBLE) AS cum_coverage
+    FROM ranked WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+@query("llm_vocab_coverage", family="llm", oracle=_VOCAB_COVERAGE_ORACLE)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for the top-20 corpus terms, the
+    cumulative fraction of all token instances a vocabulary truncated at
+    that rank would cover — the sizing curve for tokenizer vocab /
+    stopword decisions. Window-over-aggregate: term frequencies reduce
+    first (one shuffle), then running sums run over the tiny ranked
+    frame — never over token instances."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir).documents
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    order = Window.orderBy(F.col("freq").desc(), "term")
+    everything = Window.partitionBy()
+    return (
+        tf.select(
+            F.row_number().over(order).alias("vocab_rank"),
+            "term",
+            "freq",
+            F.round(
+                F.sum("freq").over(order.rowsBetween(Window.unboundedPreceding, 0))
+                / F.sum("freq").over(everything),
+                4,
+            ).alias("cum_coverage"),
+        )
+        .filter(F.col("vocab_rank") <= 20)
+        .orderBy("vocab_rank")
+    )
+
+
 _MEDIA_ORACLE = """
     WITH b AS (
       SELECT doc_id,
