@@ -278,3 +278,66 @@ def window_sessionize_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_funnel_conversion",
+    family="windows",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS v_ts
+          FROM events
+        ), c AS (
+          SELECT user_id, ts, event_type, v_ts,
+                 min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                   OVER (PARTITION BY user_id) AS c_ts
+          FROM v
+        ), p AS (
+          SELECT user_id, v_ts, c_ts,
+                 min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                   OVER (PARTITION BY user_id) AS p_ts
+          FROM c
+        )
+        SELECT
+          count(DISTINCT CASE WHEN v_ts IS NOT NULL THEN user_id END) AS n_viewed,
+          count(DISTINCT CASE WHEN c_ts IS NOT NULL THEN user_id END) AS n_clicked_after_view,
+          count(DISTINCT CASE WHEN p_ts IS NOT NULL THEN user_id END) AS n_purchased_after_click
+        FROM p
+    """,
+)
+def window_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing timestamps per user): each stage's earliest qualifying
+    event comes from a window min over the previous stage's anchor.
+    Three window layers share one partitioning on user_id, so Catalyst
+    plans a single exchange and three in-partition sorts — the funnel
+    never joins events against events."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id")
+    v = e.select(
+        "user_id", "ts", "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("v_ts"),
+    )
+    c = v.select(
+        "user_id", "ts", "event_type", "v_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+        ).over(w).alias("c_ts"),
+    )
+    p = c.select(
+        "user_id", "v_ts", "c_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                F.col("ts"),
+            )
+        ).over(w).alias("p_ts"),
+    )
+    cd = F.countDistinct
+    return p.agg(
+        cd(F.when(F.col("v_ts").isNotNull(), F.col("user_id"))).alias("n_viewed"),
+        cd(F.when(F.col("c_ts").isNotNull(), F.col("user_id"))).alias("n_clicked_after_view"),
+        cd(F.when(F.col("p_ts").isNotNull(), F.col("user_id"))).alias("n_purchased_after_click"),
+    )
