@@ -228,7 +228,10 @@ def simhash_neardup_multiprobe(
     tables collapse via dropDuplicates before the final distance filter.
     """
     step = 60 // tables
-    sims = simhash64(df, text_col, id_col)
+    # both sides of the self-join derive from this frame; without the
+    # barrier the 60-aggregate simhash pass runs twice (checkpoint /
+    # intermediate table at warehouse scale, same as minhash_lsh_pairs)
+    sims = simhash64(df, text_col, id_col).cache()
     blocks = F.array(
         *[
             F.struct(
