@@ -990,7 +990,10 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle to distinct terms per doc; everything after is keyed by
     doc_id, so the join is co-partitioned at scale."""
     d = load_tables(spark, sf_dir).documents
-    base = d.select("doc_id", tokens("text").alias("_toks"))
+    # unigram and bigram branches both consume this projection; the
+    # barrier keeps the corpus scan + tokenize single-pass (checkpoint at
+    # warehouse scale)
+    base = d.select("doc_id", tokens("text").alias("_toks")).cache()
     uni = (
         base.select("doc_id", F.explode("_toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -1065,10 +1068,13 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-average formula is written identically on both engines so
     the float math agrees bit-for-bit pre-rounding."""
     d = load_tables(spark, sf_dir).documents
+    # referenced by both the vocab build and the scoring join — barrier
+    # makes the explode+count single-pass over the corpus
     tok = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("dc"))
+        .cache()
     )
     vocab = tok.groupBy("term").agg(F.sum("dc").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))

@@ -109,18 +109,21 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "approx_percentiles",
     # joins not yet driver-checked
     "join_not_in_subquery",
-    # TPC-H composites (join reordering / decorrelation shapes)
-    "tpch_promo_revenue",
-    "tpch_large_volume_customers",
-    "tpch_disjunctive_predicates",
+    # TPC-H composites (join reordering / decorrelation shapes) — the
+    # distinctive plan shapes stay gated here; the simpler revenue/agg
+    # composites rotate out in favor of the curation-tier flagships below
     "tpch_above_nation_average",
     "tpch_nation_volume_flow",
     "tpch_scalar_subquery_filter",
     "tpch_min_cost_supplier",
     "tpch_profit_by_nation",
     "tpch_order_count_distribution",
-    "tpch_top_supplier_revenue",
     "tpch_waiting_suppliers",
+    # curation-tier flagships (round-2 additions)
+    "llm_quality_repetition",
+    "llm_chunk_dedup",
+    "llm_unigram_logprob",
+    "llm_media_features",
     # re-blocked / newly hash-gated this round — keep them in the window
     "llm_jaccard_neardup",
     "llm_minhash_estimate",
