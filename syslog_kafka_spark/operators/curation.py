@@ -164,3 +164,24 @@ def length_bucket_sql(expr: str) -> str:
         f"WHEN {expr} < 256 THEN 128 WHEN {expr} < 512 THEN 256 "
         f"ELSE 512 END"
     )
+
+
+def pad_ceiling(n_tokens: Column | str) -> Column:
+    """Pad target for a sequence: the smallest power-of-two ≥ n_tokens
+    (minimum 16, capped at 1024) — the batch shape a bucketed loader pads
+    to. Waste = pad_ceiling - n_tokens."""
+    n = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    out = F.lit(1024)
+    for p in (512, 256, 128, 64, 32, 16):
+        out = F.when(n <= p, F.lit(p)).otherwise(out)
+    return out
+
+
+def pad_ceiling_sql(expr: str) -> str:
+    """DuckDB twin of :func:`pad_ceiling`."""
+    return (
+        f"CASE WHEN {expr} <= 16 THEN 16 WHEN {expr} <= 32 THEN 32 "
+        f"WHEN {expr} <= 64 THEN 64 WHEN {expr} <= 128 THEN 128 "
+        f"WHEN {expr} <= 256 THEN 256 WHEN {expr} <= 512 THEN 512 "
+        f"ELSE 1024 END"
+    )

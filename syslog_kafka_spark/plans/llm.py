@@ -904,6 +904,50 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _packing_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import length_bucket_sql, pad_ceiling_sql
+
+    return f"""
+        WITH d AS (SELECT len({_TOKENS_SQL}) AS n FROM documents)
+        SELECT {length_bucket_sql('n')} AS bucket_lo,
+               count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS real_tokens,
+               CAST(sum({pad_ceiling_sql('n')}) AS BIGINT) AS padded_tokens,
+               CAST(sum({pad_ceiling_sql('n')} - n) AS BIGINT) AS wasted_tokens,
+               CAST(round(sum(n) / sum({pad_ceiling_sql('n')}), 4) AS DOUBLE)
+                 AS packing_efficiency
+        FROM d GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("llm_packing_efficiency", family="llm", oracle=_packing_oracle())
+def llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for bucketed batch packing: per length bucket,
+    real vs padded token mass when every sequence pads to its power-of-two
+    ceiling — the number that decides whether a packing job (concat +
+    re-chunk) is worth running before training."""
+    from syslog_kafka_spark.operators.curation import length_bucket, pad_ceiling
+
+    d = load_tables(spark, sf_dir).documents
+    n = token_count("text")
+    return (
+        d.select(
+            length_bucket(n).alias("bucket_lo"),
+            n.alias("_n"),
+            pad_ceiling(n).alias("_pad"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("real_tokens"),
+            F.sum("_pad").alias("padded_tokens"),
+            F.sum(F.col("_pad") - F.col("_n")).alias("wasted_tokens"),
+            F.round(F.sum("_n") / F.sum("_pad"), 4).alias("packing_efficiency"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
 def _strat_sample_oracle() -> str:
     h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="sample-v1")
     return f"""

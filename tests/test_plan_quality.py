@@ -93,6 +93,16 @@ def test_tpch_composites_plan_quality(spark, sf_dir):
     assert "EqualTo(p_type,ECONOMY)" in plan, "p_type filter not pushed to part scan"
 
 
+def test_funnel_windows_share_one_exchange(spark, sf_dir):
+    """The three funnel stages partition identically on user_id, so the
+    plan must reuse ONE exchange below all three Window nodes (the only
+    other exchanges belong to the final multi-distinct aggregate)."""
+    plan = _plan(spark, sf_dir, "window_funnel_conversion")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 3
+    assert tree.count("Exchange") <= 3, "window layers stopped sharing the exchange"
+
+
 def test_no_cartesian_products_outside_cross(spark, sf_dir):
     # every join query except the explicit cross join must avoid
     # CartesianProduct (BroadcastNestedLoop for the tiny cross is fine)
