@@ -368,6 +368,58 @@ def scalar_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_URL_EXPR_SQL = (
+    "'https://shop' || CAST(o_orderkey % 7 AS VARCHAR)"
+    " || '.example.com:8443/o/' || CAST(o_orderkey AS VARCHAR)"
+    " || '?ref=r' || CAST(o_orderkey % 5 AS VARCHAR)"
+    " || '&page=' || CAST(o_orderkey % 3 AS VARCHAR) || '#top'"
+)
+
+
+@query(
+    "scalar_url_funcs",
+    family="scalars",
+    oracle=f"""
+        WITH u AS (
+          SELECT o_orderkey, {_URL_EXPR_SQL} AS url
+          FROM orders WHERE o_orderkey <= 200
+        )
+        SELECT o_orderkey,
+               regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+               regexp_extract(url, '://([^/:?#]+)', 1) AS host,
+               regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query,
+               regexp_extract(url, 'ref=([^&#]*)', 1) AS ref_param
+        FROM u ORDER BY o_orderkey
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition: Spark's parse_url (Hive-compatible, JVM-side)
+    against a regexp oracle over deterministically synthesized URLs —
+    protocol/host/path/query plus single-parameter extraction. parse_url
+    drops the port from HOST, matching the oracle's character class."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 200)
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.lit("https://shop"), (k % 7).cast("string"),
+        F.lit(".example.com:8443/o/"), k.cast("string"),
+        F.lit("?ref=r"), (k % 5).cast("string"),
+        F.lit("&page="), (k % 3).cast("string"), F.lit("#top"),
+    )
+    return (
+        o.select("o_orderkey", url.alias("_url"))
+        .select(
+            "o_orderkey",
+            F.lower(F.parse_url("_url", F.lit("PROTOCOL"))).alias("protocol"),
+            F.parse_url("_url", F.lit("HOST")).alias("host"),
+            F.parse_url("_url", F.lit("PATH")).alias("path"),
+            F.parse_url("_url", F.lit("QUERY")).alias("query"),
+            F.parse_url("_url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 @query(
     "scalar_bitwise_funcs",
     family="scalars",
