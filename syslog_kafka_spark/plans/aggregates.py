@@ -343,3 +343,76 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_rollup_cascade",
+    family="aggregation",
+    oracle="""
+        WITH minute AS (
+          SELECT date_trunc('minute', ts) AS bucket,
+                 count(*) AS n, sum(value) AS sv
+          FROM events GROUP BY 1
+        ),
+        hour AS (
+          SELECT CAST(date_trunc('hour', bucket) AS TIMESTAMP) AS bucket,
+                 CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+          FROM minute GROUP BY 1
+        ),
+        day AS (
+          SELECT CAST(date_trunc('day', bucket) AS TIMESTAMP) AS bucket,
+                 CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv
+          FROM hour GROUP BY 1
+        )
+        SELECT * FROM (
+          SELECT 'minute' AS resolution, bucket, n AS n_events,
+                 CAST(round(sv, 2) AS DOUBLE) AS sum_value
+          FROM minute
+          WHERE bucket >= TIMESTAMP '2024-01-05 00:00:00'
+            AND bucket < TIMESTAMP '2024-01-06 00:00:00'
+          UNION ALL
+          SELECT 'hour', bucket, n, CAST(round(sv, 2) AS DOUBLE) FROM hour
+          UNION ALL
+          SELECT 'day', bucket, n, CAST(round(sv, 2) AS DOUBLE) FROM day
+        )
+        ORDER BY resolution, bucket
+    """,
+)
+def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (hypertable-style continuous
+    aggregate): minute buckets aggregate raw events ONCE; hour re-
+    aggregates minute partials; day re-aggregates hour — coarser levels
+    never rescan the fact table, which at 100 TB is the difference
+    between one pass and three. Rounding happens only at the output so
+    the cascade sums full-precision partials. Minute rows are emitted
+    for one day's slice; hour/day cover the whole range."""
+    e = load_tables(spark, sf_dir).events
+    minute = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+
+    def level(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            F.col("bucket"),
+            F.col("n").alias("n_events"),
+            F.round("sv", 2).alias("sum_value"),
+        )
+
+    minute_slice = level(minute, "minute").filter(
+        (F.col("bucket") >= "2024-01-05 00:00:00") & (F.col("bucket") < "2024-01-06 00:00:00")
+    )
+    return (
+        minute_slice.unionAll(level(hour, "hour"))
+        .unionAll(level(day, "day"))
+        .orderBy("resolution", "bucket")
+    )
