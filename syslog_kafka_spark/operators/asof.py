@@ -68,3 +68,49 @@ def asof_join_last(
         value_alias, F.last("_v", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("_side") == 1).select("_row.*", value_alias)
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    value_alias: str = "asof_value",
+) -> DataFrame:
+    """Forward as-of: ``value_alias`` = earliest ``right_value`` whose
+    ``right_ts`` >= the row's ``left_ts`` within the same key (null when
+    no right row follows). Same merge formulation as
+    :func:`asof_join_last`, traversed in descending time: right rows sort
+    before left at equal ts (at-or-after includes exact matches), and
+    equal-ts right rows sort descending by value so the carried "last
+    seen" is the smallest — mirroring ORDER BY ts ASC, value ASC rn=1."""
+    left_cols = [c for c in left.columns]
+
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("_v"),
+        F.struct(*left_cols).alias("_row"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_value).alias("_v"),
+        F.lit(None).cast(tagged_left.schema["_row"].dataType).alias("_row"),
+    )
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc(), F.col("_v").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    merged = tagged_right.unionByName(tagged_left).withColumn(
+        value_alias, F.last("_v", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_side") == 1).select("_row.*", value_alias)

@@ -322,6 +322,52 @@ def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_next_signup",
+    family="joins",
+    oracle="""
+        WITH pairs AS (
+          SELECT er.event_id AS error_id, s.event_id AS signup_id,
+                 row_number() OVER (
+                   PARTITION BY er.event_id
+                   ORDER BY s.ts ASC, s.event_id ASC
+                 ) AS rn
+          FROM events er
+          JOIN events s
+            ON s.user_id = er.user_id AND s.ts >= er.ts AND s.event_type = 'signup'
+          WHERE er.event_type = 'error'
+        )
+        SELECT error_id, signup_id FROM pairs WHERE rn = 1
+        ORDER BY error_id
+    """,
+)
+def join_asof_next_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each error, the first signup at-or-after it
+    by the same user (recovery tracking). Same merge formulation as the
+    backward variant, traversed in descending time — one shuffle, no pair
+    blowup; the oracle is the join+rank form with ties toward the smaller
+    signup event_id."""
+    from syslog_kafka_spark.operators.asof import asof_join_next
+
+    e = load_tables(spark, sf_dir).events
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    signups = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    joined = asof_join_next(
+        errors,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="event_id",
+        value_alias="signup_id",
+    )
+    return (
+        joined.filter(F.col("signup_id").isNotNull())
+        .select(F.col("event_id").alias("error_id"), "signup_id")
+        .orderBy("error_id")
+    )
+
+
+@query(
     "join_in_subquery_vip_orders",
     family="joins",
     oracle="""

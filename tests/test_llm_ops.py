@@ -98,6 +98,39 @@ def test_asof_join_matches_rank_semantics(spark):
     assert out[3] is None  # right row is after the left ts
 
 
+def test_asof_join_next_matches_rank_semantics(spark):
+    from syslog_kafka_spark.operators.asof import asof_join_next
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 160), (3, 20, 150)], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(101, 10, 100), (102, 10, 150), (103, 20, 120)], ["rid", "k", "ts"]
+    )
+    out = {
+        r.id: r.val
+        for r in asof_join_next(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_value="rid", value_alias="val"
+        ).collect()
+    }
+    assert out[1] == 101  # exact-ts match included (at-or-after)
+    assert out[2] is None  # no right row at-or-after ts=160
+    assert out[3] is None  # right row precedes the left ts
+
+
+def test_asof_join_next_tie_takes_smallest_value(spark):
+    from syslog_kafka_spark.operators.asof import asof_join_next
+
+    left = spark.createDataFrame([(1, 10, 100)], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(105, 10, 100), (103, 10, 100), (104, 10, 100)], ["rid", "k", "ts"]
+    )
+    out = asof_join_next(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_value="rid", value_alias="val"
+    ).collect()
+    assert out[0].val == 103  # ties at equal ts resolve to the smallest value
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from syslog_kafka_spark.operators.similarity import ivf_topk
 
