@@ -195,6 +195,64 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step that
+    turns near-dup PAIRS into duplicate GROUPS (keep one doc per
+    component). Returns (node, component) with component = smallest node
+    id reachable from the node.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum of its own and its neighbors' labels; convergence takes
+    O(graph diameter) rounds, and near-dup components are small dense
+    clusters, so 2-3 rounds in practice. Each round is one co-partitioned
+    join + aggregate; ``localCheckpoint`` cuts the lineage so plans stay
+    flat (on a cluster, a reliable checkpoint dir serves the same
+    purpose). Driver-side work is one convergence count per round — no
+    collect of node data. Singleton documents never enter the edge list
+    and are implicitly their own components."""
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        proposed = (
+            labels.join(nb, labels["node"] == nb["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nb_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            proposed.alias("p")
+            .join(labels.alias("l"), F.col("p.node") == F.col("l.node"))
+            .filter(F.col("p.label") != F.col("l.label"))
+            .count()
+        )
+        labels = proposed
+        if changed == 0:
+            break
+    return labels
+
+
 def _rotl60(c: Column, r: int) -> Column:
     """Rotate a 60-bit value left by ``r`` bits (values stay < 2^60).
 

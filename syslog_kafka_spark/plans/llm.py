@@ -465,11 +465,12 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-def _lsh_pairs_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
-    """DuckDB twin of the full MinHash-LSH pipeline (operators/dedup.py:
-    minhash_lsh_pairs). Possible only because every hash in the path is
-    md5-portable: shingle hash, signature affine family, and the band
-    bucket (hash64 of the comma-joined signature slice)."""
+def _lsh_pairs_cte(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """The full MinHash-LSH pipeline as a DuckDB CTE list ending in
+    ``verified(id_a, id_b, jaccard)`` — shared by the pair query and the
+    connected-components clustering oracle. Possible only because every
+    hash in the path is md5-portable: shingle hash, signature affine
+    family, and the band bucket (hash64 of the comma-joined slice)."""
     rpb = n_hashes // bands
     band_cases = " ".join(
         "WHEN {b} THEN {h}".format(
@@ -483,7 +484,7 @@ def _lsh_pairs_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         for b in range(bands)
     )
     return f"""
-        WITH sh AS (
+        sh AS (
           SELECT doc_id AS id, {char_shingles_sql(_NORM_SQL)} AS shingles
           FROM documents
         ), sig AS (
@@ -505,12 +506,20 @@ def _lsh_pairs_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5
           FROM pairs p
           JOIN sh sa ON sa.id = p.id_a
           JOIN sh sb ON sb.id = p.id_b
-        )
-        SELECT id_a, id_b,
-               CAST(CASE WHEN uni = 0 THEN 1.0
-                         ELSE CAST(inter AS DOUBLE) / uni END AS DOUBLE) AS jaccard
-        FROM j
-        WHERE CASE WHEN uni = 0 THEN 1.0 ELSE CAST(inter AS DOUBLE) / uni END >= {threshold}
+        ), verified AS (
+          SELECT id_a, id_b,
+                 CAST(CASE WHEN uni = 0 THEN 1.0
+                           ELSE CAST(inter AS DOUBLE) / uni END AS DOUBLE) AS jaccard
+          FROM j
+          WHERE CASE WHEN uni = 0 THEN 1.0
+                     ELSE CAST(inter AS DOUBLE) / uni END >= {threshold}
+        )"""
+
+
+def _lsh_pairs_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_lsh_pairs_cte(n_hashes, bands, threshold)}
+        SELECT id_a, id_b, jaccard FROM verified
         ORDER BY id_a, id_b
     """
 
@@ -524,6 +533,53 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     return minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5).orderBy(
         "id_a", "id_b"
+    )
+
+
+def _dedup_components_oracle() -> str:
+    """Recursive-CTE transitive closure over the verified LSH pairs: the
+    declarative twin of iterative min-label propagation."""
+    return f"""
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+        ),
+        lbl AS (
+          SELECT src AS node, least(src, min(dst)) AS component
+          FROM reach GROUP BY src
+        )
+        SELECT component AS component_id,
+               count(*) AS n_members,
+               max(node) AS max_member
+        FROM lbl GROUP BY component ORDER BY component_id
+    """
+
+
+@query("llm_dedup_components", family="llm", oracle=_dedup_components_oracle())
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: LSH pairs → connected components →
+    duplicate groups (keep min-id per component, drop the rest) — the
+    final step of a production fuzzy-dedup pass (Lee et al.). Spark side
+    is iterative min-label propagation (O(diameter) co-partitioned
+    join+agg rounds, no driver-side node data); the oracle is a DuckDB
+    recursive-CTE transitive closure over the identical md5-portable LSH
+    pipeline — declarative vs iterative, hash-identical results."""
+    from syslog_kafka_spark.operators.dedup import connected_components
+
+    d = load_tables(spark, sf_dir).documents
+    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    labels = connected_components(edges)
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
+        .orderBy("component_id")
     )
 
 

@@ -312,3 +312,24 @@ def test_simhash_multiprobe_recall_beats_single_table(spark):
     assert len(multi) / len(truth) >= 0.9
     assert len(multi) >= len(single)
     assert all(r.hamming <= 8 for r in multi_rows)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (diameter 4, worst case for label propagation), a
+    separate triangle, and an isolated pair must resolve to min-id
+    components; convergence must not stop early on the chain."""
+    from syslog_kafka_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),        # chain
+            (10, 11), (11, 12), (10, 12),           # triangle
+            (20, 21),                               # pair
+        ],
+        ["id_a", "id_b"],
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert {n: labels[n] for n in (1, 2, 3, 4, 5)} == {n: 1 for n in (1, 2, 3, 4, 5)}
+    assert {labels[10], labels[11], labels[12]} == {10}
+    assert labels[20] == labels[21] == 20
+    assert set(labels) == {1, 2, 3, 4, 5, 10, 11, 12, 20, 21}
