@@ -216,6 +216,12 @@ def connected_components(
     purpose). Driver-side work is one convergence count per round — no
     collect of node data. Singleton documents never enter the edge list
     and are implicitly their own components."""
+    # the union references `edges` twice and every propagation round
+    # re-reads `sym`; the barriers keep an expensive upstream (e.g. the
+    # whole LSH pipeline) from re-running per reference. Profiled at
+    # sf0.1: the LSH edge build dominates (~7s warm); the propagation
+    # rounds are job-overhead-bound (~4s for 3 rounds on a 477-node graph)
+    edges = edges.cache()
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

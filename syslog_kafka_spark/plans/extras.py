@@ -8,7 +8,7 @@ from __future__ import annotations
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 from syslog_kafka_spark.plans.registry import query
@@ -261,4 +261,58 @@ def scalar_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(packed, "$.et").alias("roundtrip_type"),
         )
         .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_key_skew_audit",
+    family="aggregation",
+    oracle="""
+        WITH per_key AS (
+          SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        stats AS (
+          SELECT CAST(max(n) AS BIGINT) AS max_n,
+                 CAST(sum(n) AS BIGINT) AS total,
+                 count(*) AS n_keys
+          FROM per_key
+        ),
+        top AS (
+          SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+          FROM per_key
+        )
+        SELECT t.rnk, t.user_id, t.n,
+               CAST(round(t.n * s.n_keys / s.total, 4) AS DOUBLE) AS skew_vs_mean,
+               CAST(round(t.n / s.total, 6) AS DOUBLE) AS share
+        FROM top t CROSS JOIN stats s
+        WHERE t.rnk <= 10
+        ORDER BY t.rnk
+    """,
+)
+def agg_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew audit: the 10 heaviest join/shuffle keys with
+    their multiple-of-mean and share of total rows — the profiling pass
+    that decides between a plain join, AQE skew splitting, and the salted
+    join (operators/skew.py). Per-key counts reduce map-side; the stats
+    row broadcasts back over the tiny top-k frame."""
+    e = load_tables(spark, sf_dir).events
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    top = per_key.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            "rnk",
+            "user_id",
+            "n",
+            F.round(F.col("n") * F.col("n_keys") / F.col("total"), 4).alias("skew_vs_mean"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("rnk")
     )
