@@ -1041,9 +1041,12 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _repetition_oracle() -> str:
+def _repetition_cte(src: str = "documents") -> str:
+    """CTE list ending in ``repstats(doc_id, n_tokens, top_token_frac,
+    dup_bigram_frac)`` over ``src`` — shared by the metrics query and the
+    end-to-end curation pipeline."""
     return f"""
-        WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+        toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM {src}),
         uni AS (
           SELECT doc_id, term, count(*) AS c
           FROM (SELECT doc_id, unnest(t) AS term FROM toks)
@@ -1066,34 +1069,39 @@ def _repetition_oracle() -> str:
                  CAST(round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
                       / greatest(sum(c), 1), 4) AS DOUBLE) AS dup_bigram_frac
           FROM big GROUP BY doc_id
-        )
-        SELECT u.doc_id, n_tokens,
-               CAST(round(top_cnt / greatest(n_tokens, 1), 4) AS DOUBLE) AS top_token_frac,
-               coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac,
-               (CAST(round(top_cnt / greatest(n_tokens, 1), 4) AS DOUBLE) <= 0.18
-                AND coalesce(b.dup_bigram_frac, 0.0) <= 0.1) AS keep
-        FROM unistats u LEFT JOIN bigstats b USING (doc_id)
-        ORDER BY u.doc_id
+        ),
+        repstats AS (
+          SELECT u.doc_id, n_tokens,
+                 CAST(round(top_cnt / greatest(n_tokens, 1), 4) AS DOUBLE)
+                   AS top_token_frac,
+                 coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
+          FROM unistats u LEFT JOIN bigstats b USING (doc_id)
+        )"""
+
+
+def _repetition_oracle() -> str:
+    return f"""
+        WITH {_repetition_cte()}
+        SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac,
+               (top_token_frac <= 0.18 AND dup_bigram_frac <= 0.1) AS keep
+        FROM repstats
+        ORDER BY doc_id
     """
 
 
-@query("llm_quality_repetition", family="llm", oracle=_repetition_oracle())
-def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition filters: per-document top-token fraction
-    and duplicated-bigram fraction (fraction of bigram instances whose
-    bigram repeats within the doc), plus the keep/drop verdict at
-    top<=0.18, dup<=0.10. Repetition is the canonical signal for
-    low-quality machine-generated text in pretraining curation.
+def _repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics over a (doc_id, text, ...) frame:
+    (doc_id, n_tokens, top_token_frac, dup_bigram_frac). Shared by the
+    metrics query and the end-to-end curation pipeline.
 
     Distributed shape: explode tokens/bigrams, then two hash-aggregates
     keyed by (doc_id, term) — partial map-side combine shrinks the
     shuffle to distinct terms per doc; everything after is keyed by
     doc_id, so the join is co-partitioned at scale."""
-    d = load_tables(spark, sf_dir).documents
     # unigram and bigram branches both consume this projection; the
     # barrier keeps the corpus scan + tokenize single-pass (checkpoint at
     # warehouse scale)
-    base = d.select("doc_id", tokens("text").alias("_toks")).cache()
+    base = docs.select("doc_id", tokens("text").alias("_toks")).cache()
     uni = (
         base.select("doc_id", F.explode("_toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -1122,16 +1130,84 @@ def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top_frac = F.round(F.col("top_cnt") / F.greatest(F.col("n_tokens"), F.lit(1)), 4)
     dup_frac = F.coalesce(F.col("dup_bigram_frac"), F.lit(0.0))
-    return (
-        unistats.join(bigstats, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            top_frac.alias("top_token_frac"),
-            dup_frac.alias("dup_bigram_frac"),
-            ((top_frac <= 0.18) & (dup_frac <= 0.1)).alias("keep"),
+    return unistats.join(bigstats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+
+
+@query("llm_quality_repetition", family="llm", oracle=_repetition_oracle())
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-token fraction
+    and duplicated-bigram fraction (fraction of bigram instances whose
+    bigram repeats within the doc), plus the keep/drop verdict at
+    top<=0.18, dup<=0.10. Repetition is the canonical signal for
+    low-quality machine-generated text in pretraining curation."""
+    d = load_tables(spark, sf_dir).documents
+    rep = _repetition_metrics(d)
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "dup_bigram_frac",
+        (
+            (F.col("top_token_frac") <= 0.18) & (F.col("dup_bigram_frac") <= 0.1)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _curation_pipeline_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import hash_split_sql
+
+    return f"""
+        WITH surv AS (
+          SELECT d.* FROM documents d
+          JOIN (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5({_NORM_SQL}) AS dg FROM documents)
+            GROUP BY dg
+          ) s USING (doc_id)
+        ),
+        {_repetition_cte('surv')},
+        kept AS (
+          SELECT r.doc_id, r.n_tokens, s.lang
+          FROM repstats r JOIN surv s USING (doc_id)
+          WHERE r.top_token_frac <= 0.18 AND r.dup_bigram_frac <= 0.1
         )
-        .orderBy("doc_id")
+        SELECT {hash_split_sql('doc_id')} AS split, lang,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("llm_curation_pipeline", family="llm", oracle=_curation_pipeline_oracle())
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation tier end-to-end in ONE lazy DAG: exact dedup (keep
+    min-id per normalized digest) → Gopher repetition gate → deterministic
+    train/val/test split → per-(split, lang) shard manifest. This is the
+    query a training-data job actually submits; every stage reuses the
+    operators gated individually above, and Catalyst fuses the whole
+    chain — dedup's semi-join, the metric aggregates, and the final
+    rollup — into one plan with no intermediate materialization beyond
+    the documented barriers."""
+    from syslog_kafka_spark.operators.curation import hash_split
+    from syslog_kafka_spark.operators.dedup import exact_dedup
+
+    d = load_tables(spark, sf_dir).documents
+    surv = exact_dedup(d)
+    rep = _repetition_metrics(surv)
+    kept = rep.filter(
+        (F.col("top_token_frac") <= 0.18) & (F.col("dup_bigram_frac") <= 0.1)
+    )
+    return (
+        kept.join(surv.select("doc_id", "lang"), "doc_id")
+        .select(hash_split("doc_id").alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("split", "lang")
     )
 
 
