@@ -368,6 +368,36 @@ def scalar_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scalar_edit_distance",
+    family="scalars",
+    oracle="""
+        SELECT p_partkey,
+               CAST(levenshtein(p_name, p_brand) AS INT) AS name_brand_dist,
+               CAST(levenshtein(lower(p_type), 'standard') AS INT) AS type_dist,
+               CAST(levenshtein(p_brand, reverse(p_brand)) AS INT) AS brand_palindrome_dist
+        FROM part WHERE p_partkey <= 150
+        ORDER BY p_partkey
+    """,
+)
+def scalar_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalars (fuzzy matching / record-linkage building
+    block): Levenshtein between real columns, against a fixed target, and
+    against a derived string — identical DP semantics in both engines."""
+    p = load_tables(spark, sf_dir).part.filter(F.col("p_partkey") <= 150)
+    return (
+        p.select(
+            "p_partkey",
+            F.levenshtein("p_name", "p_brand").alias("name_brand_dist"),
+            F.levenshtein(F.lower("p_type"), F.lit("standard")).alias("type_dist"),
+            F.levenshtein(F.col("p_brand"), F.reverse("p_brand")).alias(
+                "brand_palindrome_dist"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 _URL_EXPR_SQL = (
     "'https://shop' || CAST(o_orderkey % 7 AS VARCHAR)"
     " || '.example.com:8443/o/' || CAST(o_orderkey AS VARCHAR)"
