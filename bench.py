@@ -4,7 +4,8 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Env knobs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-$SPARK_GRAFT_CPUS (default all cores).
+$SPARK_GRAFT_CPUS (default all cores), $SPARK_GRAFT_BENCH_ONLY
+(comma-separated query names for a smoke subset; full run when unset).
 """
 
 from __future__ import annotations
@@ -36,10 +37,13 @@ def main() -> None:
         print(f"bench: cannot read {sf_dir}: {exc}", file=sys.stderr)
         sys.exit(2)
 
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    subset = {n.strip() for n in only.split(",")} if only else None
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
-        if not spec.bench:
+        if not spec.bench or (subset is not None and name not in subset):
             continue
         t0 = time.perf_counter()
         try:
