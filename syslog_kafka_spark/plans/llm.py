@@ -960,6 +960,49 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_oracle() -> str:
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix-v1")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang, len({_TOKENS_SQL}) AS n_tokens,
+                 ({h}) % 1000000 AS u
+          FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_sampled,
+               CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens
+        FROM d
+        WHERE u < least(n_tokens, 100) * 10000
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+@query("llm_weighted_sample", family="llm", oracle=_weighted_sample_oracle())
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted Bernoulli sampling for data mixing:
+    each doc is kept with probability min(n_tokens, 100)% — longer docs
+    (more token mass) sample proportionally more often, capped. The
+    uniform draw is the salted hash of the doc id, so the sample is
+    identical across runs, executors, and partitionings; bump the salt to
+    redraw. Pure filter — no shuffle until the audit aggregate."""
+    from syslog_kafka_spark.functions.hashes import hash64
+
+    d = load_tables(spark, sf_dir).documents
+    n = token_count("text")
+    u = F.pmod(hash64(F.col("doc_id").cast("string"), salt="mix-v1"), F.lit(1000000))
+    return (
+        d.select("lang", n.alias("n_tokens"), u.alias("u"))
+        .filter(F.col("u") < F.least(F.col("n_tokens"), F.lit(100)) * 10000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _packing_oracle() -> str:
     from syslog_kafka_spark.operators.curation import length_bucket_sql, pad_ceiling_sql
 
