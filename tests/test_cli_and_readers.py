@@ -165,3 +165,21 @@ def test_read_text_csv_json(spark, tmp_path):
     (tmp_path / "f.json").write_text("\n".join(json.dumps(r) for r in rows))
     js = read_json(spark, str(tmp_path / "f.json"))
     assert sorted(js.columns) == ["k", "s"] and js.count() == 2
+
+
+def test_package_sql_entry_point(spark, sf_dir):
+    import syslog_kafka_spark as sks
+
+    out = sks.sql(
+        spark, sf_dir,
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+    ).collect()
+    assert [r.r_name for r in out] == [
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    ]
+    # cross-table: views share one registration pass
+    n = sks.sql(
+        spark, sf_dir,
+        "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey",
+    ).collect()[0].n
+    assert n == 25
