@@ -376,10 +376,18 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching components of 16-hash signatures (portable md5-salted hashes,
     so the oracle reproduces the signatures exactly)."""
     d = load_tables(spark, sf_dir).documents
-    # signatures cached: both join sides reference them (avoids computing
-    # the expensive column twice)
+    blocked = with_pair_block_key(d.select("doc_id", normalized("text").alias("norm")))
+    # signatures are the expensive column; compute them ONLY for docs whose
+    # block can produce a pair (>= 2 members — a key-only agg + semi-join
+    # prefilter). On a mostly-singleton block distribution this cuts the
+    # md5/shingle work to the candidate subset; result set is unchanged
+    # (singleton-block docs can never appear in the pair output).
+    # Cached: both join sides reference the signatures.
+    eligible = (
+        blocked.groupBy(*_BLOCK_COLS).agg(F.count("*").alias("_n")).filter(F.col("_n") >= 2)
+    )
     base = (
-        with_pair_block_key(d.select("doc_id", normalized("text").alias("norm")))
+        blocked.join(eligible.select(*_BLOCK_COLS), list(_BLOCK_COLS), "left_semi")
         .withColumn("sig", minhash_signature(char_shingles(F.col("norm"), 5), 16))
         .cache()
     )
