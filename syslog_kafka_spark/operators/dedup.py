@@ -314,12 +314,14 @@ def simhash_neardup_multiprobe(
     b = probed.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "_t", "_blk"
     )
+    # hamming filter BEFORE the distinct: it's a pure function of the
+    # pair, so the result is identical, but the dedup shuffle sees only
+    # pairs that survive the distance cut instead of every bucket collision
     return (
         a.join(b, ["_t", "_blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
