@@ -968,6 +968,45 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_ENTROPY_ORACLE = f"""
+    WITH uni AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM uni GROUP BY doc_id)
+    SELECT u.doc_id, t.n AS n_tokens,
+           CAST(round(-sum((u.c / t.n) * log2(u.c / t.n)), 4) AS DOUBLE)
+             AS token_entropy_bits
+    FROM uni u JOIN tot t USING (doc_id)
+    GROUP BY u.doc_id, t.n
+    ORDER BY u.doc_id
+"""
+
+
+@query("llm_token_entropy", family="llm", oracle=_TOKEN_ENTROPY_ORACLE)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the within-doc token distribution
+    (bits): the repetition filters' information-theoretic sibling — "spam
+    spam spam" scores 0, diverse text approaches log2(n_tokens). Two
+    co-partitioned aggregates on doc_id; the totals join never reshuffles."""
+    d = load_tables(spark, sf_dir).documents
+    uni = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        uni.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("token_entropy_bits"))
+        .select("doc_id", F.col("n").alias("n_tokens"), "token_entropy_bits")
+        .orderBy("doc_id")
+    )
+
+
 def _weighted_sample_oracle() -> str:
     h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix-v1")
     return f"""

@@ -303,3 +303,27 @@ def test_stateful_host_profiles_across_batches(spark, tmp_path):
     assert rows[-1].total_lines == 5
     assert rows[-1].max_severity == 5
     assert len(rows) == 2
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process everything present, then stop on its
+    own — the batch-draining mode a scheduled backfill job uses (vs the
+    always-on microbatch loop)."""
+    import time
+
+    messages = _replay_stream(spark, tmp_path, SYSLOG_CORPUS)
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = (
+        parsed_messages(messages)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 60
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.5)
+    assert not q.isActive, "availableNow query did not self-terminate"
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n == len(
+        SYSLOG_CORPUS
+    )
