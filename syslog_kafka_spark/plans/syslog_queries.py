@@ -55,3 +55,65 @@ def syslog_severity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.countDistinct("host").alias("n_hosts"))
         .orderBy("facility", "severity")
     )
+
+
+# RFC 5424 §6.2.1 keyword tables — frozen constants shared verbatim by
+# both engines (the gate guarantees they never drift apart).
+SEVERITY_NAMES = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+FACILITY_NAMES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "console", "cron2",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7",
+]
+
+
+def _name_case(expr: str, names: list[str]) -> str:
+    whens = " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(names))
+    return f"CASE {expr} {whens} END"
+
+
+@query(
+    "syslog_named_levels",
+    family="syslog",
+    oracle=f"""
+        WITH parsed AS ({oracle_sql_for_lines(corpus_values_sql())})
+        SELECT {_name_case('facility', FACILITY_NAMES)} AS facility_name,
+               {_name_case('severity', SEVERITY_NAMES)} AS severity_name,
+               count(*) AS n
+        FROM parsed
+        WHERE pri IS NOT NULL
+        GROUP BY facility_name, severity_name
+        ORDER BY facility_name, severity_name
+    """,
+)
+def syslog_named_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5424 keyword decode: numeric facility/severity mapped to their
+    standard names (kern/user/daemon..., emerg...debug) — what a log UI
+    displays. Pure CASE decode on already-parsed integers; the keyword
+    tables are module constants shared character-for-character with the
+    oracle."""
+    parsed = parse_syslog_lines(_corpus_df(spark))
+
+    def name_col(col: str, names: list[str]):
+        expr = None
+        for i, n in enumerate(names):
+            expr = (
+                F.when(F.col(col) == i, F.lit(n))
+                if expr is None
+                else expr.when(F.col(col) == i, F.lit(n))
+            )
+        return expr
+
+    return (
+        parsed.filter(F.col("pri").isNotNull())
+        .select(
+            name_col("facility", FACILITY_NAMES).alias("facility_name"),
+            name_col("severity", SEVERITY_NAMES).alias("severity_name"),
+        )
+        .groupBy("facility_name", "severity_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("facility_name", "severity_name")
+    )

@@ -327,3 +327,46 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     assert spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n == len(
         SYSLOG_CORPUS
     )
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a file-sink query driven by
+    availableNow drains what exists, stops, and — restarted with the SAME
+    checkpoint — processes only files that arrived since. The parquet
+    output must contain every line exactly once."""
+    import time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(SYSLOG_CORPUS[:8]) + "\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.text(str(src))
+            .select(
+                F.col("value").alias("line"),
+                F.lit("resume-test").alias("source"),
+                F.current_timestamp().alias("received_ts"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.5)
+        assert not q.isActive
+
+    run_once()
+    assert spark.read.parquet(out).count() == 8
+
+    (src / "b.txt").write_text("\n".join(SYSLOG_CORPUS[8:12]) + "\n")
+    run_once()
+
+    lines = [r.line for r in spark.read.parquet(out).collect()]
+    assert len(lines) == 12, "restart reprocessed or dropped data"
+    assert sorted(lines) == sorted(SYSLOG_CORPUS[:12])
