@@ -387,13 +387,20 @@ def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cascade sums full-precision partials. Minute rows are emitted
     for one day's slice; hour/day cover the whole range."""
     e = load_tables(spark, sf_dir).events
+    # cache barriers make the cascade physically single-scan: without
+    # them each union branch re-derives from parquet (3 scans of the
+    # fact table — plan-asserted in tests/test_plan_quality.py). At
+    # warehouse scale these are the materialized continuous-aggregate
+    # tables the next level reads.
     minute = (
         e.groupBy(F.date_trunc("minute", "ts").alias("bucket"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .cache()
     )
     hour = (
         minute.groupBy(F.date_trunc("hour", "bucket").alias("bucket"))
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .cache()
     )
     day = (
         hour.groupBy(F.date_trunc("day", "bucket").alias("bucket"))

@@ -103,6 +103,18 @@ def test_funnel_windows_share_one_exchange(spark, sf_dir):
     assert tree.count("Exchange") <= 3, "window layers stopped sharing the exchange"
 
 
+def test_rollup_cascade_reads_cached_partials(spark, sf_dir):
+    """The minute→hour→day cascade must read each finer level from its
+    cached partial, not re-derive from parquet: every union branch above
+    the minute level shows InMemoryTableScan (without the barriers the
+    plan held THREE parquet scans of the fact table)."""
+    plan = _plan(spark, sf_dir, "agg_rollup_cascade")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("InMemoryTableScan") >= 3, (
+        "cascade branches re-deriving from parquet:\n" + tree
+    )
+
+
 def test_no_cartesian_products_outside_cross(spark, sf_dir):
     # every join query except the explicit cross join must avoid
     # CartesianProduct (BroadcastNestedLoop for the tiny cross is fine)
