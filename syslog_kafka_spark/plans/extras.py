@@ -297,7 +297,9 @@ def agg_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (operators/skew.py). Per-key counts reduce map-side; the stats
     row broadcasts back over the tiny top-k frame."""
     e = load_tables(spark, sf_dir).events
-    per_key = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    # referenced by both the stats row and the top-k ranking — the
+    # barrier keeps the fact-table scan + aggregate single-pass
+    per_key = e.groupBy("user_id").agg(F.count("*").alias("n")).cache()
     stats = per_key.agg(
         F.max("n").alias("max_n"),
         F.sum("n").alias("total"),

@@ -1287,7 +1287,9 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.operators.dedup import exact_dedup
 
     d = load_tables(spark, sf_dir).documents
-    surv = exact_dedup(d)
+    # survivors feed both the metrics pass and the lang join-back; the
+    # barrier keeps the dedup (2 scans of documents) from running twice
+    surv = exact_dedup(d).cache()
     rep = _repetition_metrics(surv)
     kept = rep.filter(
         (F.col("top_token_frac") <= 0.18) & (F.col("dup_bigram_frac") <= 0.1)

@@ -305,11 +305,38 @@ _TOP_SUPPLIER_SQL = """
     oracle=_TOP_SUPPLIER_SQL % {"li": "lineitem", "sup": "supplier"},
 )
 def tpch_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15-style: CTE aggregate reused twice (join target + scalar MAX
-    subquery) — Catalyst plans the max as a one-row broadcast, not a
-    rescan of lineitem."""
+    """Q15-style: revenue aggregate reused twice (join target + scalar
+    MAX subquery). Spark inlines SQL CTEs, which would scan lineitem once
+    per reference — so the revenue view is materialized behind a cache
+    barrier first (the continuous-aggregate pattern), and both the join
+    and the scalar max read the cached partial."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.sources.readers import load_tables
+
     _views(spark, sf_dir)
-    return spark.sql(_TOP_SUPPLIER_SQL % {"li": "v_lineitem", "sup": "v_supplier"})
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .cache()
+    )
+    revenue.createOrReplaceTempView("v_revenue15")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, CAST(cents AS DOUBLE) / 100 AS total_revenue
+        FROM v_supplier JOIN v_revenue15 ON s_suppkey = supplier_no
+        WHERE cents = (SELECT max(cents) FROM v_revenue15)
+        ORDER BY s_suppkey
+        """
+    )
 
 
 # Q21-style (adapted: "late" = shipped strictly after every co-supplier on

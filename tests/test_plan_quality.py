@@ -115,6 +115,22 @@ def test_rollup_cascade_reads_cached_partials(spark, sf_dir):
     )
 
 
+def test_twice_referenced_partials_read_from_cache(spark, sf_dir):
+    """Queries whose expensive partial feeds two consumers must show the
+    cache barrier in the plan — without it the partial (and its fact-table
+    scan) recomputes once per reference."""
+    for name, min_cached in (
+        ("llm_curation_pipeline", 2),   # dedup survivors + tokenized base
+        ("agg_key_skew_audit", 2),      # per-key counts: stats row + top-k
+        ("tpch_top_supplier_revenue", 1),  # revenue view: join (+ scalar max subquery)
+    ):
+        plan = _plan(spark, sf_dir, name)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("InMemoryTableScan") >= min_cached, (
+            f"{name}: partial re-derived instead of cached:\n" + tree
+        )
+
+
 def test_no_cartesian_products_outside_cross(spark, sf_dir):
     # every join query except the explicit cross join must avoid
     # CartesianProduct (BroadcastNestedLoop for the tiny cross is fine)
