@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from syslog_kafka_spark.functions.hashes import hash64, hash64_sql
-from syslog_kafka_spark.functions.text import tokens
+from syslog_kafka_spark.functions.text import token_count, tokens
 
 # (name, pattern, replacement) — patterns restricted to the Java/RE2
 # common subset (no backrefs, no lookaround) so the DuckDB oracle matches.
@@ -138,6 +138,123 @@ def chunk_tokens(
             ),
         )
     )
+
+
+def ngram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 13,
+    salt: str = "gram-v1",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding word n-gram hashes per document: one row per (doc, gram).
+
+    The hash is computed INSIDE the array transform, so only 8-byte
+    hashes are exploded and shuffled — never the gram text. At 100 TB
+    that is the difference between moving the corpus ~n times and moving
+    ~8 bytes per token. Documents shorter than ``n`` tokens emit nothing.
+    ``carry`` names extra columns to keep on each output row."""
+    toks_df = df.select(
+        F.col(id_col), *[F.col(c) for c in carry], tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= n)
+    starts = F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1))
+    grams = F.transform(
+        starts,
+        lambda s: hash64(F.array_join(F.slice("_toks", s, n), " "), salt=salt),
+    )
+    return toks_df.select(id_col, *carry, F.explode(grams).alias("gram_hash"))
+
+
+def ngram_hashes_sql(
+    toks_expr: str, *, n: int = 13, salt: str = "gram-v1"
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`ngram_hashes`: (gram_hash expr over a start
+    offset ``s``, the FROM-clause unnest generating ``s``). Compose as
+    ``SELECT ..., {expr} AS gram_hash FROM d, {unnest} WHERE len(toks) >= n``."""
+    gram = f"array_to_string(list_slice({toks_expr}, s, s + {n - 1}), ' ')"
+    expr = hash64_sql(gram, salt=salt)
+    unnest = f"unnest(generate_series(1, len({toks_expr}) - {n - 1})) AS _t(s)"
+    return expr, unnest
+
+
+def pack_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    context_len: int = 256,
+    n_shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chop packing assignment (the GPT-style pretraining
+    layout): documents are concatenated in id order and chopped into
+    fixed ``context_len`` windows; each document's bin is the window its
+    first token lands in, and ``crosses_boundary`` marks documents split
+    across two windows.
+
+    Distributed shape: packing is per-shard (salted hash of the id), so
+    the running-offset window partitions ``n_shards`` ways instead of
+    collapsing onto one task — shards are the physical unit a real
+    packing job writes anyway. Within a shard the cumulative sum is one
+    window over one sort, no self-join."""
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col)
+    shard = F.pmod(hash64(F.col(id_col).cast("string"), salt=salt), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col), shard.cast("int").alias("shard"), n_tok.alias("n_tokens")
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.withColumn("first_token", offset)
+        .withColumn("bin", (F.col("first_token") / context_len).cast("bigint"))
+        .withColumn(
+            "crosses_boundary",
+            (
+                ((F.col("first_token") + F.col("n_tokens") - 1) / context_len).cast("bigint")
+                != F.col("bin")
+            ),
+        )
+    )
+
+
+def pack_bins_sql(
+    toks_expr: str,
+    *,
+    context_len: int = 256,
+    n_shards: int = 8,
+    salt: str = "pack-v1",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`pack_bins` over the documents table: a CTE
+    body yielding (doc_id, shard, n_tokens, first_token, bin,
+    crosses_boundary)."""
+    shard = f"(({hash64_sql(f'CAST({id_expr} AS VARCHAR)', salt=salt)}) % {n_shards})"
+    return f"""
+        WITH _pb_base AS (
+          SELECT {id_expr} AS doc_id, CAST({shard} AS INT) AS shard,
+                 len({toks_expr}) AS n_tokens
+          FROM documents
+        ), _pb_off AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS first_token
+          FROM _pb_base
+        )
+        SELECT doc_id, shard, n_tokens, first_token,
+               CAST(floor(first_token / {context_len}.0) AS BIGINT) AS bin,
+               CAST(floor((first_token + n_tokens - 1) / {context_len}.0) AS BIGINT)
+                 <> CAST(floor(first_token / {context_len}.0) AS BIGINT) AS crosses_boundary
+        FROM _pb_off
+    """
 
 
 def length_bucket(n_tokens: Column | str) -> Column:

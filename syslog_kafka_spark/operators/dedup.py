@@ -222,10 +222,14 @@ def connected_components(
     # sf0.1: the LSH edge build dominates (~7s warm); the propagation
     # rounds are job-overhead-bound (~4s for 3 rounds on a 477-node graph)
     edges = edges.cache()
+    # pre-partition the symmetric edge list by the probe key: each
+    # propagation round's join then reuses the cached partitioning and
+    # only the (much smaller) label side shuffles
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("dst")
         .cache()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
@@ -237,6 +241,9 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
+        # the changed flag rides along in the checkpointed result, so
+        # convergence detection is a scan of materialized partitions —
+        # not another join of consecutive label generations
         proposed = (
             labels.join(nb, labels["node"] == nb["src"], "left")
             .select(
@@ -244,16 +251,14 @@ def connected_components(
                 F.least(
                     labels["label"], F.coalesce(F.col("nb_label"), labels["label"])
                 ).alias("label"),
+                (F.coalesce(F.col("nb_label"), labels["label"]) < labels["label"]).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            proposed.alias("p")
-            .join(labels.alias("l"), F.col("p.node") == F.col("l.node"))
-            .filter(F.col("p.label") != F.col("l.label"))
-            .count()
-        )
-        labels = proposed
+        changed = proposed.filter(F.col("_changed")).count()
+        labels = proposed.drop("_changed")
         if changed == 0:
             break
     return labels

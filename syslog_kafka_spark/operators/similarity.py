@@ -303,3 +303,70 @@ def ivf_topk(
     if round_to is not None:
         out = out.withColumn("score", F.round(F.col("score"), round_to))
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with the IVF coarse quantizer, find within-cluster cosine
+    pairs above ``threshold``, keep the min-id representative of each
+    duplicate neighborhood.
+
+    Returns one row per input with ``(id, cluster, in_dup_group,
+    is_dropped, kept_id)`` — ``kept_id`` is the smallest id among the
+    duplicates it matched (itself if unique); a row is dropped when a
+    smaller-id duplicate exists.
+
+    Distributed shape: identical to IVF search — the k-means fit touches
+    a bounded driver-side sample, assignment is one Arrow-batched pass,
+    and the pair scan is blocked per cluster, so the quadratic term is
+    (corpus/n_clusters)^2 per task, never corpus^2. At 100 TB you raise
+    n_clusters to keep cluster populations bounded; the plan is unchanged.
+    """
+    sample_rows = df.select(vec_col).limit(sample_size).collect()
+    samples = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    samples = samples / np.clip(np.linalg.norm(samples, axis=1, keepdims=True), 1e-12, None)
+    centroids = _kmeans_centroids(samples, n_clusters, seed=seed)
+
+    @pandas_udf("int")
+    def nearest_cluster(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series((mat @ centroids.T).argmax(axis=1).astype(np.int32))
+
+    labeled = df.select(
+        F.col(id_col), F.col(vec_col), nearest_cluster(F.col(vec_col)).alias("cluster")
+    ).cache()  # one assignment pass feeds both the pair scan and the output join
+
+    pairs = embedding_neardup_pairs(
+        labeled, id_col=id_col, vec_col=vec_col, label_col="cluster", threshold=threshold
+    )
+    # Neighborhood representative: the smallest id seen across all pairs
+    # touching this id (one-step min-label; full transitive closure is
+    # operators/dedup.py's connected-components path).
+    edges = pairs.select(
+        F.col("id_a").alias("_id"), F.col("id_b").alias("_peer")
+    ).unionByName(pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("_peer")))
+    reps = edges.groupBy("_id").agg(F.min("_peer").alias("_min_peer"))
+    return (
+        labeled.join(reps, labeled[id_col] == reps["_id"], "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("_min_peer").isNotNull().alias("in_dup_group"),
+            F.coalesce(F.col("_min_peer") < F.col(id_col), F.lit(False)).alias(
+                "is_dropped"
+            ),
+            F.least(F.coalesce("_min_peer", F.col(id_col)), F.col(id_col)).alias(
+                "kept_id"
+            ),
+        )
+    )

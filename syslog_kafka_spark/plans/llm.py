@@ -1582,3 +1582,150 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("chunk_hash")
     )
+
+
+def _decontamination_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import hash_split_sql, ngram_hashes_sql
+
+    gram_expr, unnest = ngram_hashes_sql("toks", n=13, salt="decon-v1")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks,
+                 {hash_split_sql('doc_id')} AS split
+          FROM documents
+        ), g AS (
+          SELECT doc_id, split, {gram_expr} AS gram_hash
+          FROM d, {unnest}
+          WHERE len(toks) >= 13
+        ), test_g AS (
+          SELECT DISTINCT doc_id, gram_hash FROM g WHERE split = 'test'
+        ), train_g AS (
+          SELECT DISTINCT gram_hash FROM g WHERE split = 'train'
+        ), tot AS (
+          SELECT doc_id, count(*) AS n_test_grams FROM test_g GROUP BY doc_id
+        ), hits AS (
+          SELECT t.doc_id, count(*) AS n_hit_grams
+          FROM test_g t JOIN train_g USING (gram_hash) GROUP BY t.doc_id
+        )
+        SELECT tot.doc_id AS doc_id, tot.n_test_grams,
+               COALESCE(hits.n_hit_grams, 0) AS n_hit_grams,
+               ROUND(COALESCE(hits.n_hit_grams, 0) * 100.0 / tot.n_test_grams, 2)
+                 AS contaminated_pct,
+               COALESCE(hits.n_hit_grams, 0) > 0 AS contaminated
+        FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+        ORDER BY tot.doc_id
+    """
+
+
+@query("llm_decontamination", family="llm", oracle=_decontamination_oracle())
+def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination audit (the GPT-3 appendix-C recipe):
+    flag every held-out document sharing any 13-token n-gram with the
+    training split, with per-document overlap rates.
+
+    Distributed shape: grams are hashed inside the per-document array
+    transform, so the explode emits 8-byte hashes, never gram text. The
+    tokenize+hash partial is computed ONCE for both splits behind a cache
+    barrier (at cluster scale: a checkpoint), then the tiny held-out side
+    is broadcast into the train-side probe — the 100 TB train corpus is
+    never shuffled, each task probes a ~MB hash set map-side. Reference
+    scope: the engine's curation tier (SURVEY §2B.10), no reference-repo
+    analog."""
+    from syslog_kafka_spark.operators.curation import hash_split, ngram_hashes
+
+    d = load_tables(spark, sf_dir).documents
+    labeled = d.select("doc_id", "text", hash_split("doc_id").alias("split")).filter(
+        F.col("split") != "val"
+    )
+    # One tokenize+hash pass feeds both splits (cache barrier; checkpoint
+    # at cluster scale), mirroring the single `g` CTE in the oracle.
+    grams = ngram_hashes(labeled, n=13, salt="decon-v1", carry=("split",)).cache()
+    test_g = grams.filter(F.col("split") == "test").select("doc_id", "gram_hash").distinct()
+    train_g = grams.filter(F.col("split") == "train").select("gram_hash").distinct()
+    totals = test_g.groupBy("doc_id").agg(F.count("*").alias("n_test_grams"))
+    hits = (
+        F.broadcast(test_g)
+        .join(train_g, "gram_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_test_grams",
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            F.round(
+                F.coalesce("n_hit_grams", F.lit(0)) * 100.0 / F.col("n_test_grams"), 2
+            ).alias("contaminated_pct"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pack_assignment_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import pack_bins_sql
+
+    body = pack_bins_sql(_TOKENS_SQL, context_len=256, n_shards=8)
+    return f"""
+        WITH pb AS ({body})
+        SELECT shard, bin,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boundary_crossers
+        FROM pb
+        GROUP BY shard, bin
+        ORDER BY shard, bin
+    """
+
+
+@query("llm_pack_assignment", family="llm", oracle=_pack_assignment_oracle())
+def llm_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing manifest: per (shard, context-window bin)
+    document count, token mass, and boundary-crossing documents — the
+    layout a GPT-style pretraining loader materializes. Packing runs
+    per-shard (salted-hash assignment), so the running-offset window
+    parallelizes n_shards-ways instead of collapsing onto one task;
+    complements llm_packing_efficiency (padded-batch audit) with the
+    padding-free packed layout."""
+    from syslog_kafka_spark.operators.curation import pack_bins
+
+    d = load_tables(spark, sf_dir).documents
+    pb = pack_bins(d, context_len=256, n_shards=8)
+    return (
+        pb.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.when(F.col("crosses_boundary"), 1).otherwise(0)).alias(
+                "n_boundary_crossers"
+            ),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+@query("llm_semantic_dedup", family="llm", oracle=None)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup summary: IVF k-means clustering +
+    within-cluster cosine pairs + min-id survivors, reported per cluster.
+    Rows-only gate (the k-means quantizer is engine-specific); planted
+    near-identical embeddings are asserted in tests/test_llm_ops.py.
+    Threshold 0.8 sits far above this corpus's same-cluster background
+    cosine (≈0.5), so only true near-copies group."""
+    from syslog_kafka_spark.operators.similarity import semantic_dedup
+
+    emb = load_tables(spark, sf_dir).embeddings
+    sd = semantic_dedup(emb, threshold=0.8, n_clusters=8)
+    return (
+        sd.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("in_dup_group"), 1).otherwise(0)).alias("n_in_dup_groups"),
+            F.sum(F.when(F.col("is_dropped"), 1).otherwise(0)).alias("n_dropped"),
+            F.countDistinct("kept_id").alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

@@ -129,9 +129,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_minhash_estimate",
     "llm_minhash_lsh_pairs",
     "llm_simhash_neardup",
-    # representatives of families already driver-green in r01
-    "join_asof_last_error",
-    "llm_dedup_exact_stats",
+    # new hash-gated curation ops this round — rotate in over two
+    # already-proven r01 representatives (their families stay covered:
+    # joins via join_not_in_subquery and the tpch_* shapes, llm via the
+    # curation/dedup flagships above)
+    "llm_decontamination",
+    "llm_pack_assignment",
+    # representative of the streaming family (rows-only by design)
     "stream_replay_throughput",
 )
 

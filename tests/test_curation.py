@@ -83,3 +83,63 @@ def test_length_bucket_edges(spark):
     )
     got = {r["n"]: r["b"] for r in df.select("n", length_bucket("n").alias("b")).collect()}
     assert got == {0: 0, 15: 0, 16: 16, 63: 32, 64: 64, 511: 256, 512: 512, 10000: 512}
+
+
+def test_ngram_hashes_count_and_planted_overlap(spark):
+    from syslog_kafka_spark.operators.curation import ngram_hashes
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens -> one shared 5-gram
+    rows = [
+        (1, f"intro words {shared} trailing bits here"),
+        (2, f"other doc starts {shared} and then diverges"),
+        (3, "completely unrelated text with no overlap at all"),
+        (4, "tiny"),  # shorter than n -> emits nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    g = ngram_hashes(df, n=5, salt="t")
+    per_doc = {
+        r["doc_id"]: r["cnt"]
+        for r in g.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # doc 1 has 10 tokens -> 6 grams; doc 2 has 11 -> 7; doc 3 has 8 -> 4
+    assert per_doc == {1: 6, 2: 7, 3: 4}
+    overlap = (
+        g.filter(F.col("doc_id") == 1)
+        .select("gram_hash")
+        .intersect(g.filter(F.col("doc_id") == 2).select("gram_hash"))
+        .count()
+    )
+    assert overlap == 1  # exactly the planted shared 5-gram
+    assert (
+        g.filter(F.col("doc_id") == 1)
+        .select("gram_hash")
+        .intersect(g.filter(F.col("doc_id") == 3).select("gram_hash"))
+        .count()
+        == 0
+    )
+
+
+def test_pack_bins_offsets_and_boundary_crossing(spark):
+    from syslog_kafka_spark.operators.curation import pack_bins
+
+    # Single shard (n_shards=1) makes the concat order fully determined
+    # by doc_id: offsets 0,3,7 with context_len 8 -> doc 30 crosses.
+    rows = [
+        (10, "a b c"),  # 3 tokens, first_token 0, bin 0
+        (20, "d e f g"),  # 4 tokens, first_token 3, bin 0, ends at 6
+        (30, "h i j k"),  # first_token 7, bin 0, ends at 10 -> crosses
+        (40, "l m"),  # first_token 11, bin 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_bins(df, context_len=8, n_shards=1).collect()
+    }
+    assert [out[i]["first_token"] for i in (10, 20, 30, 40)] == [0, 3, 7, 11]
+    assert [out[i]["bin"] for i in (10, 20, 30, 40)] == [0, 0, 0, 1]
+    assert [out[i]["crosses_boundary"] for i in (10, 20, 30, 40)] == [
+        False,
+        False,
+        True,
+        False,
+    ]

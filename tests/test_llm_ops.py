@@ -333,3 +333,34 @@ def test_connected_components_chain_and_clique(spark):
     assert {labels[10], labels[11], labels[12]} == {10}
     assert labels[20] == labels[21] == 20
     assert set(labels) == {1, 2, 3, 4, 5, 10, 11, 12, 20, 21}
+
+
+def test_semantic_dedup_drops_planted_near_copies(spark):
+    import numpy as np
+
+    from syslog_kafka_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # plant two near-copies of vector 3 (tiny perturbation, cosine ~0.999)
+    for dup_id in (100, 101):
+        v = base[3] + rng.normal(scale=0.01, size=16)
+        rows.append((dup_id, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.95, n_clusters=4, sample_size=64
+        ).collect()
+    }
+    assert len(out) == 42
+    # the planted copies group with vec 3: min-id survivor is 3
+    assert out[3]["in_dup_group"] and not out[3]["is_dropped"]
+    for dup_id in (100, 101):
+        assert out[dup_id]["is_dropped"] and out[dup_id]["kept_id"] == 3
+    # everything else survives untouched
+    dropped = [i for i, r in out.items() if r["is_dropped"]]
+    assert sorted(dropped) == [100, 101]

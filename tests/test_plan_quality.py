@@ -139,3 +139,30 @@ def test_no_cartesian_products_outside_cross(spark, sf_dir):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_decontamination_broadcasts_heldout_probe(spark, sf_dir):
+    """The train-side probe must be a broadcast join (held-out gram set is
+    tiny vs the train corpus) and the tokenize+hash partial must come from
+    the cache barrier, not a second parquet scan of documents."""
+    plan = _plan(spark, sf_dir, "llm_decontamination")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, "held-out probe not broadcast:\n" + tree
+    # every consumer (test totals, probe build+stream side) reads the gram
+    # partial from cache; "Scan parquet" repeats under each InMemoryRelation
+    # printout but is one physical scan
+    assert tree.count("InMemoryTableScan") >= 2, (
+        "gram partial re-derived instead of cached:\n" + tree
+    )
+
+
+def test_pack_assignment_window_partitions_by_shard(spark, sf_dir):
+    """Concat-and-chop packing must not collapse onto one task: the
+    running-offset window partitions by shard (hashpartitioning), never a
+    global SinglePartition sort."""
+    plan = _plan(spark, sf_dir, "llm_pack_assignment")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    assert "SinglePartition" not in tree, (
+        "packing window degraded to a single partition:\n" + tree
+    )
