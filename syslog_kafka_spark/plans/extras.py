@@ -9,7 +9,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
@@ -318,3 +318,65 @@ def agg_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "stream_tumbling_window_agg",
+    family="streaming",
+    oracle="""
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n,
+               CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed through the REAL
+    Structured Streaming path — readStream file source over the events
+    parquet, watermark, F.window aggregation, availableNow-style full
+    drain into a memory sink — and hash-gated against the same DuckDB
+    time_bucket oracle as its batch twin (window_tumbling_batch_twin).
+    Complete output mode keeps every window in the result, so the drained
+    table equals the batch answer exactly; what this gates is the
+    streaming execution of the stateful window operator, not a batch
+    rewrite of it."""
+    import os
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if isinstance(raw.schema["ts"].dataType, LongType)
+        else F.col("ts")
+    )
+    windowed = (
+        raw.withColumn("ts", ts)
+        .filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    name = f"stream_win_{_uuid.uuid4().hex[:8]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).orderBy("window_start", "event_type")

@@ -135,8 +135,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # curation/dedup flagships above)
     "llm_decontamination",
     "llm_pack_assignment",
-    # representative of the streaming family (rows-only by design)
-    "stream_replay_throughput",
+    # streaming family representative — the REAL streaming execution path
+    # (readStream -> watermark -> windowed agg -> memory sink), hash-gated
+    # against the same oracle as its batch twin
+    "stream_tumbling_window_agg",
 )
 
 

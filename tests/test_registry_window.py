@@ -29,7 +29,7 @@ def test_window_leads_with_oracle_gated_queries():
     inventory = load_all()
     window = list(inventory.items())[:50]
     rows_only = {name for name, spec in window if spec.oracle is None}
-    # rows-only by design inside the window: the approx-sketch query
-    # (engine-specific results, tolerance-checked in pytest instead) and
-    # the streaming probe
-    assert rows_only == {"approx_percentiles", "stream_replay_throughput"}
+    # rows-only by design inside the window: only the approx-sketch query
+    # (engine-specific results, tolerance-checked in pytest instead);
+    # streaming is now hash-gated via stream_tumbling_window_agg
+    assert rows_only == {"approx_percentiles"}
