@@ -161,6 +161,7 @@ def load_all() -> dict[str, QuerySpec]:
         scans,
         setops,
         sorts,
+        stream_gated,
         syslog_queries,
         tpch_like,
         windows,

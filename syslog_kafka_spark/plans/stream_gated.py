@@ -1,0 +1,266 @@
+"""Hash-gated streaming queries: the REAL Structured Streaming execution
+path (readStream file source → stateful operator → memory sink → full
+drain) checked against DuckDB oracles.
+
+Streaming results are gateable whenever the drained table is a pure
+function of the input data — aggregations in complete mode, and
+append-mode operators whose emitted KEYS are order-independent (dedup on
+the projected key columns). Each query here gates one stateful streaming
+operator the batch twins can't: the windowed-state aggregate, session
+merging, dedup state, and the stream-static broadcast join.
+
+Reference scope: the reference is ingest-only (SURVEY §0) — these gates
+cover the §2B.9 streaming surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType
+
+from syslog_kafka_spark.plans.registry import query
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source STREAM with the same ns→µs
+    timestamp normalization the batch loader applies."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink and return
+    the drained table (batch DataFrame).
+
+    ``state_partitions`` right-sizes the state store when fixed per-
+    partition cost dominates: every state partition pays provider-init +
+    commit per microbatch, and a two-sided interval join pays it for TWO
+    stores per partition (measured on local[32]: 12.6 s at 32 partitions
+    → 2.8 s at 4 for the same tiny-state join). CPU-bound single-store
+    aggregations are the opposite — they want the session's full shuffle
+    parallelism — so the default keeps the session setting (measured:
+    the sliding-window agg degrades 2.2 s → 8.5 s if dropped to 8). The
+    same trade governs a 100 TB deployment, with the dial turned by
+    per-task state size instead of provider overhead. The session
+    default is restored after the drain so batch queries are
+    unaffected."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"gate_{uuid.uuid4().hex[:8]}"
+        q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@query(
+    "stream_sliding_window_agg",
+    family="streaming",
+    oracle="""
+        WITH hop AS (
+          SELECT unnest([
+                   time_bucket(INTERVAL 3 HOUR, ts),
+                   time_bucket(INTERVAL 3 HOUR, ts) - INTERVAL 3 HOUR
+                 ]) AS window_start,
+                 event_type, value
+          FROM events
+        )
+        SELECT window_start, event_type, count(*) AS n,
+               CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        FROM hop
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation through the streaming state
+    store: width 6 h, slide 3 h, so every event lands in exactly two
+    epoch-aligned windows — which is precisely the unnest-of-two-bucket
+    oracle. Complete mode keeps all windows; the drain equals the batch
+    answer."""
+    windowed = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return drain(windowed, mode="complete").orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_session_window_agg",
+    family="streaming",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WHERE user_id < 40
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_no
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute gap) per user vs the
+    lag/cumulative-flag sessionization oracle: Spark's session_window
+    start is the first event, end is last event + gap — byte-identical
+    to the SQL reconstruction. Gates the session-merge state logic that
+    the batch sessionize query (window_sessionize_30min) can't."""
+    sessions = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return drain(sessions, mode="complete").orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_dedup_distinct_pairs",
+    family="streaming",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def stream_dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates state: the stream projects to its key
+    columns BEFORE dedup, so the append-mode output is the exact distinct
+    (user_id, event_type) set regardless of arrival order — the one shape
+    under which streaming dedup is deterministic. The per-type user count
+    over the drained set hash-matches DISTINCT in SQL."""
+    pairs = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    drained = drain(pairs, mode="append")
+    return (
+        drained.groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_static_join_agg",
+    family="streaming",
+    oracle="""
+        SELECT n.n_name, count(*) AS n_events,
+               CAST(round(sum(e.value), 2) AS DOUBLE) AS total_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+)
+def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static equi-join (the microbatch-planned broadcast lookup):
+    each microbatch joins the event stream to the static customer→nation
+    dim path, then a complete-mode aggregate rolls up per nation. Gates
+    the streaming join operator plus the dim broadcast under streaming
+    replanning."""
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.join(
+        F.broadcast(t.nation),
+        t.customer["c_nationkey"] == t.nation["n_nationkey"],
+    ).select(F.col("c_custkey"), F.col("n_name"))
+    joined = (
+        stream_events(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return drain(joined, mode="complete").orderBy("n_name")
+
+
+@query(
+    "stream_stream_join_agg",
+    family="streaming",
+    oracle="""
+        SELECT v.user_id, count(*) AS n_matches
+        FROM (SELECT user_id, ts FROM events
+              WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-08') v
+        JOIN (SELECT user_id, ts FROM events
+              WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        GROUP BY v.user_id
+        ORDER BY v.user_id
+    """,
+)
+def stream_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within 10
+    minutes): both sides are watermarked streams of the SAME file source
+    split by event type, joined on user with an event-time interval bound
+    — the state-bounded shape from streaming/pipeline.py. Inner interval
+    joins emit on match (watermarks only bound state eviction), so the
+    drained pair set is a pure function of the data; the per-user match
+    count hash-matches the SQL self-join. Input is bounded to the first
+    week — the gate proves operator semantics; ingest throughput is
+    stream_replay_throughput's job, and per-row state-store cost on
+    local[32] would otherwise dominate the bench number."""
+    ev = stream_events(spark, sf_dir).filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_p_user"), F.col("ts").alias("purchase_ts")
+    )
+    joined = (
+        views.withWatermark("view_ts", "30 minutes")
+        .join(
+            purchases.withWatermark("purchase_ts", "30 minutes"),
+            (F.col("user_id") == F.col("_p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select("user_id")
+    )
+    drained = drain(joined, mode="append", state_partitions=4)
+    return drained.groupBy("user_id").agg(F.count("*").alias("n_matches")).orderBy("user_id")
