@@ -29,6 +29,12 @@ def _utc(build: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSess
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Spark 4.1 reads tz-naive parquet timestamps as TIMESTAMP_NTZ, which
+        # unix_micros()/withWatermark() reject; read as TIMESTAMP instead
+        # (values unchanged under the pinned-UTC session tz). The loaders also
+        # cast any NTZ column defensively — this conf covers the driver's own
+        # scans too.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         return build(spark, sf_dir)
 
     return wrapped

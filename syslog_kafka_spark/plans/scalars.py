@@ -198,14 +198,14 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           p_partkey,
-          string_split(p_name, ' ') AS words,
+          array_to_string(string_split(p_name, ' '), '|') AS words,
           len(string_split(p_name, ' ')) AS n_words,
           CASE WHEN list_contains(string_split(p_name, ' '), 'red') THEN 1 ELSE 0 END AS has_red,
-          list_sort(string_split(p_name, ' ')) AS words_sorted,
-          list_sort(list_distinct(string_split(p_name, ' '))) AS words_uniq,
+          array_to_string(list_sort(string_split(p_name, ' ')), '|') AS words_sorted,
+          array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS words_uniq,
           string_split(p_name, ' ')[1] AS first_word,
-          list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first_two_sorted,
-          generate_series(1, p_size % 4 + 1) AS size_seq,
+          array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 2), '|') AS first_two_sorted,
+          array_to_string(generate_series(1, p_size % 4 + 1), ',') AS size_seq,
           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
         FROM part
         WHERE p_partkey <= 60
@@ -214,21 +214,25 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array construction (split/sequence), size, contains, sort, distinct,
-    element_at, slice, join — exercised over part names."""
+    element_at, slice, join — exercised over part names. Array outputs are
+    string-joined so the driver canonicalizer (pandas hash) can sort them —
+    raw list cells are unhashable on the comparator side."""
     p = load_tables(spark, sf_dir).part
     words = F.split(F.col("p_name"), " ")
     return (
         p.filter(F.col("p_partkey") <= 60)
         .select(
             "p_partkey",
-            words.alias("words"),
+            F.array_join(words, "|").alias("words"),
             F.size(words).alias("n_words"),
             F.when(F.array_contains(words, "red"), 1).otherwise(0).alias("has_red"),
-            F.array_sort(words).alias("words_sorted"),
-            F.array_sort(F.array_distinct(words)).alias("words_uniq"),
+            F.array_join(F.array_sort(words), "|").alias("words_sorted"),
+            F.array_join(F.array_sort(F.array_distinct(words)), "|").alias("words_uniq"),
             F.element_at(words, 1).alias("first_word"),
-            F.slice(F.array_sort(words), 1, 2).alias("first_two_sorted"),
-            F.sequence(F.lit(1), F.col("p_size") % 4 + 1).alias("size_seq"),
+            F.array_join(F.slice(F.array_sort(words), 1, 2), "|").alias("first_two_sorted"),
+            F.array_join(
+                F.sequence(F.lit(1), F.col("p_size") % 4 + 1).cast("array<string>"), ","
+            ).alias("size_seq"),
             F.array_join(F.array_sort(words), "-").alias("joined"),
         )
         .orderBy("p_partkey")
@@ -292,8 +296,8 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
           n_nationkey,
-          ['name', 'region'] AS tag_keys,
-          [n_name, CAST(n_regionkey AS VARCHAR)] AS tag_values,
+          'name|region' AS tag_keys,
+          n_name || '|' || CAST(n_regionkey AS VARCHAR) AS tag_values,
           2 AS n_tags,
           n_name AS name_tag
         FROM nation
@@ -302,8 +306,9 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + map_keys/map_values/element_at/size — the LogLine
-    ``tag`` analytics path. Output projected to arrays/strings so both
-    engines hash identically (map cell ordering is engine-defined)."""
+    ``tag`` analytics path. Key/value arrays are string-joined so the driver
+    canonicalizer (pandas hash) can sort them — raw list cells are
+    unhashable on the comparator side."""
     n = load_tables(spark, sf_dir).nation
     tag = F.create_map(
         F.lit("name"), F.col("n_name"),
@@ -312,8 +317,8 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.select(
             "n_nationkey",
-            F.map_keys(tag).alias("tag_keys"),
-            F.map_values(tag).alias("tag_values"),
+            F.array_join(F.map_keys(tag), "|").alias("tag_keys"),
+            F.array_join(F.map_values(tag), "|").alias("tag_values"),
             F.size(tag).alias("n_tags"),
             F.element_at(tag, "name").alias("name_tag"),
         )

@@ -20,7 +20,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
@@ -36,8 +36,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(raw.schema["ts"].dataType, LongType):
+    dtype = raw.schema["ts"].dataType
+    if isinstance(dtype, LongType):
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dtype, TimestampNTZType):
+        # Spark 4.1 NTZ inference: withWatermark() requires TIMESTAMP; the
+        # session tz is UTC so the cast is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -34,6 +34,10 @@ _DEFAULTS = {
     # them anyway so a misconfigured environment can't silently disable.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Spark 4.1 infers tz-naive parquet timestamps as TIMESTAMP_NTZ, which
+    # unix_micros()/withWatermark() reject. Read them as TIMESTAMP (session
+    # tz is pinned UTC, so values are unchanged).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -12,7 +12,7 @@ from dataclasses import dataclass, fields
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from syslog_kafka_spark.model import TABLE_NAMES
 
@@ -54,8 +54,14 @@ class Tables:
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _TIMESTAMP_COLUMNS.get(name, []):
-        if isinstance(df.schema[col].dataType, LongType):
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dtype, TimestampNTZType):
+            # Spark 4.1 infers tz-naive parquet timestamps as TIMESTAMP_NTZ,
+            # which unix_micros()/withWatermark() reject. Session tz is pinned
+            # UTC, so the cast changes only the type, never the value.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
