@@ -423,3 +423,38 @@ def agg_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(level(day, "day"))
         .orderBy("resolution", "bucket")
     )
+
+
+@query(
+    "agg_bool_bitwise",
+    family="aggregation",
+    oracle="""
+        SELECT l_returnflag,
+          bool_and(l_shipdate < TIMESTAMP '1999-01-01') AS all_pre1999,
+          bool_or(l_quantity >= 50) AS any_max_qty,
+          CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+          CAST(bit_or(l_linenumber) AS BIGINT) AS line_or,
+          CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (AND/OR/XOR) aggregates — all
+    commutative-associative, so partial map-side combine applies and the
+    shuffle carries one value per group per expression."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")).alias(
+                "all_pre1999"
+            ),
+            F.bool_or(F.col("l_quantity") >= 50).alias("any_max_qty"),
+            F.bit_and("l_orderkey").cast("bigint").alias("key_and"),
+            F.bit_or("l_linenumber").cast("bigint").alias("line_or"),
+            F.bit_xor("l_orderkey").cast("bigint").alias("key_xor"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -63,82 +63,78 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. This explicit ordering guarantees every SURVEY §2B family
-# gets oracle-gated rows inside that window: all previously-unchecked
-# families (windows, sorts, setops, syslog, scalars, TPC-H composites) lead,
-# followed by one representative per already-proven family. Queries past the
-# window remain covered by the pytest oracle suite (tests/test_inventory_oracle.py).
+# iteration order. Round-3 window: every query that has NEVER carried a
+# driver stamp (37 from rounds 1-2 + 7 new this round), plus the 6 queries
+# that ERRed in round 2 and were fixed (TIMESTAMP_NTZ seam + array/map
+# stringification) so the fixes get driver-stamped green. Everything
+# rotated out is already green in CORRECTNESS_r01/r02 and stays covered by
+# the pytest oracle suite (tests/test_inventory_oracle.py).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # flagship
-    "agg_pricing_summary",
-    # windows (2B.5) — none driver-checked in r01
-    "window_tumbling_batch_twin",
-    "window_top3_orders_per_cust",
-    "window_running_spend",
-    "window_rank_family",
+    # --- fixed this round (ERR in r02) ---
     "window_lag_lead_gaps",
     "window_range_frame_hourly",
-    "window_first_last_value",
     "window_sessionize_30min",
-    # sorts (2B.6)
-    "sort_top_orders",
-    "sort_nulls_ordering",
-    "sort_mixed_direction",
-    # set operations (2B.7)
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    # syslog batch parse (2B.1)
-    "syslog_parse_corpus",
-    "syslog_severity_histogram",
-    # scalar/function coverage (2B.2, 2B.8)
-    "scalar_value_bucketing",
-    "scalar_string_funcs",
-    "scalar_regex_like",
-    "scalar_datetime_funcs",
-    "scalar_math_funcs",
     "scalar_array_funcs",
-    "scalar_explode_tokens",
-    "scalar_json_funcs",
     "scalar_map_funcs",
-    "scalar_casts_conditionals",
-    "scalar_array_advanced",
-    # canonicalizer-fixed aggregates
-    "agg_collect_sorted",
-    "approx_percentiles",
-    # joins not yet driver-checked
-    "join_not_in_subquery",
-    # TPC-H composites (join reordering / decorrelation shapes) — the
-    # distinctive plan shapes stay gated here; the simpler revenue/agg
-    # composites rotate out in favor of the curation-tier flagships below
-    "tpch_above_nation_average",
-    "tpch_nation_volume_flow",
-    "tpch_scalar_subquery_filter",
-    "tpch_min_cost_supplier",
-    "tpch_profit_by_nation",
-    "tpch_order_count_distribution",
-    "tpch_waiting_suppliers",
-    # curation-tier flagships (round-2 additions)
-    "llm_quality_repetition",
-    "llm_chunk_dedup",
-    "llm_unigram_logprob",
-    "llm_media_features",
-    # re-blocked / newly hash-gated this round — keep them in the window
-    "llm_jaccard_neardup",
-    "llm_minhash_estimate",
-    "llm_minhash_lsh_pairs",
-    "llm_simhash_neardup",
-    # new hash-gated curation ops this round — rotate in over two
-    # already-proven r01 representatives (their families stay covered:
-    # joins via join_not_in_subquery and the tpch_* shapes, llm via the
-    # curation/dedup flagships above)
-    "llm_decontamination",
-    "llm_pack_assignment",
-    # streaming family representative — the REAL streaming execution path
-    # (readStream -> watermark -> windowed agg -> memory sink), hash-gated
-    # against the same oracle as its batch twin
     "stream_tumbling_window_agg",
+    # --- never driver-stamped: aggregation ---
+    "agg_rollup_cascade",
+    "agg_key_skew_audit",
+    "agg_bool_bitwise",  # new r3
+    # --- never driver-stamped: joins ---
+    "join_asof_next_signup",
+    # --- never driver-stamped: windows ---
+    "window_funnel_conversion",
+    "window_moving_avg_7d",  # new r3
+    "window_gapfill_daily",  # new r3
+    "window_share_of_total",  # new r3
+    # --- never driver-stamped: setops ---
+    "setop_multiset_all",  # new r3
+    # sorts representative (family invariant: every family in the window;
+    # all sort_* queries are already r2-green, this keeps one gated)
+    "sort_top_orders",
+    # (scans stay OUT of the window: their oracles read fixture files via
+    #  DuckDB read_csv/read_json, which the external gate's DuckDB may not
+    #  permit — pytest + driver_sim gate them instead)
+    # --- never driver-stamped: syslog ---
+    "syslog_named_levels",
+    # --- never driver-stamped: scalars ---
+    "scalar_edit_distance",
+    "scalar_url_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_struct_funcs",  # new r3
+    "scalar_posexplode_tokens",  # new r3
+    "scalar_trig_funcs",  # new r3
+    # --- never driver-stamped: TPC-H composites ---
+    "tpch_promo_revenue",
+    "tpch_large_volume_customers",
+    "tpch_disjunctive_predicates",
+    "tpch_top_supplier_revenue",
+    "tpch_priority_wait_counts",
+    "tpch_returned_item_accounts",
+    "tpch_small_qty_revenue",
+    "tpch_market_share",
+    # --- never driver-stamped: LLM curation tier ---
+    "llm_dedup_components",
+    "llm_simhash_multiprobe",
+    "llm_pii_redaction",
+    "llm_hash_split",
+    "llm_doc_chunks",
+    "llm_token_entropy",
+    "llm_weighted_sample",
+    "llm_packing_efficiency",
+    "llm_stratified_sample",
+    "llm_curation_pipeline",
+    "llm_url_extraction",
+    "llm_vocab_coverage",
+    "llm_semantic_dedup",  # no oracle by design (rows-only check)
+    # --- never driver-stamped: streaming gates ---
+    "stream_sliding_window_agg",
+    "stream_session_window_agg",
+    "stream_dedup_distinct_pairs",
+    "stream_static_join_agg",
+    "stream_stream_join_agg",
+    "stream_custom_state_profile",  # new r3
 )
 
 

@@ -492,3 +492,115 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_struct_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          o_orderkey,
+          to_json(struct_pack(k := o_orderkey, st := o_orderstatus, pri := o_orderpriority))
+            AS as_json,
+          (struct_pack(k := o_orderkey, st := o_orderstatus)).st AS st_field,
+          CAST((struct_pack(k := o_orderkey)).k * 2 AS BIGINT) AS k_doubled,
+          json_extract_string(
+            to_json(struct_pack(k := o_orderkey, pri := o_orderpriority)), '$.pri'
+          ) AS pri_roundtrip
+        FROM orders
+        WHERE o_orderkey <= 100
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, arithmetic on a field, and a
+    to_json→json-path round trip. Struct columns are projected to JSON /
+    scalar fields so both engines hash identically (int+string members
+    only — double JSON formatting is engine-defined)."""
+    o = load_tables(spark, sf_dir).orders
+    s3 = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    s2 = F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st"))
+    sp = F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("pri"))
+    return (
+        o.filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.to_json(s3).alias("as_json"),
+            s2.getField("st").alias("st_field"),
+            (s2.getField("k") * 2).cast("bigint").alias("k_doubled"),
+            F.get_json_object(F.to_json(sp), "$.pri").alias("pri_roundtrip"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_posexplode_tokens",
+    family="scalars",
+    oracle="""
+        SELECT p_partkey,
+               unnest(generate_series(1, len(string_split(p_name, ' ')))) AS pos,
+               unnest(string_split(p_name, ' ')) AS word
+        FROM part
+        WHERE p_partkey <= 40
+        ORDER BY p_partkey, pos
+    """,
+)
+def scalar_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral unnest WITH ORDINALITY): token position
+    matters for n-gram/order-sensitive text work. Spark's posexplode is
+    0-based; +1 aligns it with the 1-based oracle series."""
+    p = load_tables(spark, sf_dir).part
+    return (
+        p.filter(F.col("p_partkey") <= 40)
+        .select("p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"))
+        .withColumn("pos", (F.col("pos") + 1).cast("bigint"))
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@query(
+    "scalar_trig_funcs",
+    family="scalars",
+    oracle="""
+        SELECT
+          o_orderkey,
+          CAST(round(sin(o_orderkey % 360 * pi() / 180), 4) + 0.0 AS DOUBLE) AS sin_v,
+          CAST(round(cos(o_orderkey % 360 * pi() / 180), 4) + 0.0 AS DOUBLE) AS cos_v,
+          CAST(round(atan2(o_orderkey % 7, o_orderkey % 5 + 1), 4) AS DOUBLE) AS atan2_v,
+          CAST(round(degrees(atan(o_orderkey % 10)), 4) AS DOUBLE) AS deg_v,
+          CAST(round(radians(o_orderkey % 180), 4) AS DOUBLE) AS rad_v,
+          CAST(round(exp(o_orderkey % 5), 4) AS DOUBLE) AS exp_v,
+          CAST(round(cbrt(o_orderkey), 4) AS DOUBLE) AS cbrt_v
+        FROM orders
+        WHERE o_orderkey <= 300
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/transcendental surface: sin/cos/atan2/atan, degree-
+    radian conversion, exp, cbrt — rounded to 4 dp (libm vs JDK Math agree
+    to well under a last-place unit at these magnitudes)."""
+    o = load_tables(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    ang = k % 360 * F.lit(3.141592653589793) / 180
+    return (
+        o.filter(k <= 300)
+        .select(
+            "o_orderkey",
+            # + 0.0 normalizes IEEE negative zero: Spark's BigDecimal round
+            # drops the sign, DuckDB's binary round keeps it.
+            (F.round(F.sin(ang), 4) + 0.0).alias("sin_v"),
+            (F.round(F.cos(ang), 4) + 0.0).alias("cos_v"),
+            F.round(F.atan2((k % 7).cast("double"), (k % 5 + 1).cast("double")), 4).alias("atan2_v"),
+            F.round(F.degrees(F.atan(k % 10)), 4).alias("deg_v"),
+            F.round(F.radians(k % 180), 4).alias("rad_v"),
+            F.round(F.exp(k % 5), 4).alias("exp_v"),
+            F.round(F.cbrt(k), 4).alias("cbrt_v"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -104,3 +104,44 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: BUILDING-segment customers who are not big spenders."""
     t = load_tables(spark, sf_dir)
     return _building_custs(t).exceptAll(_big_spenders(t)).distinct().orderBy("custkey")
+
+
+@query(
+    "setop_multiset_all",
+    family="setops",
+    oracle="""
+        WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+             ia AS (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b),
+             ea AS (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+        SELECT 'intersect_all' AS op, custkey, count(*) AS n FROM ia GROUP BY custkey
+        UNION ALL
+        SELECT 'except_all' AS op, custkey, count(*) AS n FROM ea GROUP BY custkey
+        ORDER BY op, custkey
+    """,
+)
+def setop_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL keep duplicate
+    multiplicity (min / difference of per-key counts), unlike the distinct
+    variants. Spark plans both as a single hash aggregation of per-side
+    counts, so each leg is one shuffle on custkey."""
+    o = load_tables(spark, sf_dir).orders
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    return ia.unionAll(ea).orderBy("op", "custkey")

@@ -269,3 +269,98 @@ def stream_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = drain(joined, mode="append", state_partitions=4)
     return drained.groupBy("user_id").agg(F.count("*").alias("n_matches")).orderBy("user_id")
+
+
+@query(
+    "stream_custom_state_profile",
+    family="streaming",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               CAST(round(max(value), 2) AS DOUBLE) AS max_value,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events
+        WHERE user_id < 30
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def stream_custom_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming operator (applyInPandasWithState): a
+    per-user running profile (event count, max gauge, first/last event
+    time) maintained across microbatches with explicit state — the custom
+    path Structured Streaming's built-in aggregates can't express
+    (streaming/stateful.py holds the syslog twin). Update mode emits one
+    row per key per microbatch; every tracked stat is monotone (count and
+    last_ts only grow, first_ts only shrinks, max only grows), so
+    aggregating the drained updates with max/min equals the final state
+    regardless of how the file source splits microbatches — which is what
+    makes this custom operator hash-gateable at all."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mx", DoubleType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+
+    def update(key, batches, state: GroupState):
+        n, mx, first_ts, last_ts = state.get if state.exists else (0, None, None, None)
+        for pdf in batches:
+            n += len(pdf)
+            vals = pdf["value"].dropna()
+            if len(vals):
+                bmx = float(vals.max())
+                mx = bmx if mx is None else max(mx, bmx)
+            ts = pdf["ts"].dropna()
+            if len(ts):
+                first_ts = ts.min() if first_ts is None else min(first_ts, ts.min())
+                last_ts = ts.max() if last_ts is None else max(last_ts, ts.max())
+        state.update((int(n), mx, first_ts, last_ts))
+        yield pd.DataFrame(
+            [(key[0], n, mx, first_ts, last_ts)],
+            columns=["user_id", "n_events", "max_value", "first_ts", "last_ts"],
+        )
+
+    profiles = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = drain(profiles, mode="update", state_partitions=8)
+    return (
+        drained.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("max_value"), 2).alias("max_value"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -341,3 +341,167 @@ def window_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd(F.when(F.col("c_ts").isNotNull(), F.col("user_id"))).alias("n_clicked_after_view"),
         cd(F.when(F.col("p_ts").isNotNull(), F.col("user_id"))).alias("n_purchased_after_click"),
     )
+
+
+@query(
+    "window_moving_avg_7d",
+    family="windows",
+    oracle="""
+        WITH daily AS (
+          SELECT year(o_orderdate) AS yr,
+                 CAST(o_orderdate AS DATE) AS d,
+                 CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT) AS rev_cents
+          FROM orders
+          GROUP BY yr, d
+        )
+        SELECT yr, d, rev_cents,
+               CAST(round(sum(rev_cents) OVER w / (1.0 * count(*) OVER w)) AS BIGINT)
+                 AS avg_7d_cents
+        FROM daily
+        WINDOW w AS (
+          PARTITION BY yr
+          ORDER BY date_diff('day', DATE '1992-01-01', d)
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY d
+    """,
+)
+def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily revenue via a RANGE frame
+    over day numbers. Daily revenue is held as exact integer cents so the
+    sliding sum is associativity-proof (both engines' frame evaluation
+    orders agree bit-for-bit), and the average is emitted as whole cents:
+    scale-0 rounding is the one rounding mode where Spark (decimal-string
+    HALF_UP) and DuckDB (binary half-away-from-zero) provably agree.
+    Partitioned by year — the window input is one row per day, so even at
+    100 TB the windowed relation is calendar-sized, and the year partition
+    keeps any one task's frame bounded."""
+    o = load_tables(spark, sf_dir).orders
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100).cast("bigint").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("yr")
+        .orderBy(F.datediff(F.col("d"), F.lit("1992-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "yr",
+        "d",
+        "rev_cents",
+        F.round(F.sum("rev_cents").over(w) / (1.0 * F.count("*").over(w)))
+        .cast("bigint")
+        .alias("avg_7d_cents"),
+    ).orderBy("d")
+
+
+@query(
+    "window_gapfill_daily",
+    family="windows",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n,
+                 CAST(round(max(value), 2) AS DOUBLE) AS mx
+          FROM events WHERE user_id <= 5
+          GROUP BY user_id, d
+        ), span AS (
+          SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+        ), cal AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM span
+        )
+        SELECT c.user_id, c.d,
+               coalesce(n, 0) AS n_events,
+               last_value(mx IGNORE NULLS) OVER (
+                 PARTITION BY c.user_id ORDER BY c.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS mx_filled
+        FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d
+        ORDER BY c.user_id, c.d
+    """,
+)
+def window_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (hypertable-style): per-user daily rollup,
+    a generated calendar spanning each user's first→last day, zero-fill
+    for counts and forward-fill (last_value IGNORE NULLS) for the max
+    gauge. The calendar explode is per-user days — bounded by span, not
+    by event volume — and the fill window shares the user partitioning,
+    so the whole plan is one shuffle on user_id."""
+    e = load_tables(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("user_id") <= 5)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"), F.round(F.max("value"), 2).alias("mx"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("mx", ignorenulls=True).over(w).alias("mx_filled"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+@query(
+    "window_share_of_total",
+    family="windows",
+    oracle="""
+        WITH nat AS (
+          SELECT n.n_name,
+                 CAST(round(round(sum(o.o_totalprice), 2) * 100) AS BIGINT) AS rev_cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT n_name, rev_cents,
+               CAST(round(10000.0 * rev_cents / sum(rev_cents) OVER ()) AS BIGINT)
+                 AS share_bps,
+               CAST(rank() OVER (ORDER BY rev_cents DESC, n_name) AS BIGINT) AS rev_rank
+        FROM nat
+        ORDER BY rev_rank
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global revenue in basis
+    points, plus its revenue rank. The unpartitioned window is safe here
+    because its input is the POST-aggregation relation — one row per
+    nation, bounded by dimension cardinality, not by fact volume. Revenue
+    is exact integer cents and the share is scale-0-rounded basis points,
+    the rounding mode both engines agree on bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    nat = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.round(F.sum("o_totalprice"), 2) * 100).cast("bigint").alias("rev_cents"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("rev_cents").desc(), F.col("n_name"))
+    return nat.select(
+        "n_name",
+        "rev_cents",
+        F.round(10000.0 * F.col("rev_cents") / F.sum("rev_cents").over(w_all))
+        .cast("bigint")
+        .alias("share_bps"),
+        F.rank().over(w_rank).cast("bigint").alias("rev_rank"),
+    ).orderBy("rev_rank")

@@ -29,7 +29,7 @@ def test_window_leads_with_oracle_gated_queries():
     inventory = load_all()
     window = list(inventory.items())[:50]
     rows_only = {name for name, spec in window if spec.oracle is None}
-    # rows-only by design inside the window: only the approx-sketch query
-    # (engine-specific results, tolerance-checked in pytest instead);
-    # streaming is now hash-gated via stream_tumbling_window_agg
-    assert rows_only == {"approx_percentiles"}
+    # rows-only by design inside the window: only SemDeDup (approximate
+    # clustering — semantic tests in pytest instead); every other window
+    # entry, including all 7 streaming gates, is hash-oracled
+    assert rows_only == {"llm_semantic_dedup"}
