@@ -54,17 +54,40 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "inventory_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": sf,
+    }
+
+    # The full per-query map always lands next to this script — the stdout
+    # line is capped because the harness that records it keeps only a ~2000
+    # char tail, and a truncated JSON line parses as nothing at all.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: cannot write {full_path}: {exc}", file=sys.stderr)
+
+    # Cap the stdout line: drop the fastest queries first (slow ones and
+    # failures carry the signal), note how many were elided and where the
+    # complete map lives.
+    line_budget = 1900
+    shown = dict(timings)
+    line = json.dumps(payload)
+    if len(line) > line_budget:
+        payload["queries_full"] = "BENCH_FULL.json"
+        for name in sorted(shown, key=lambda n: (shown[n] < 0, shown[n])):
+            if len(line) <= line_budget:
+                break
+            del shown[name]
+            payload["queries"] = shown
+            payload["queries_omitted"] = len(timings) - len(shown)
+            line = json.dumps(payload)
+    print(line)
 
 
 if __name__ == "__main__":
