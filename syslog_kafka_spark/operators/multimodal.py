@@ -101,24 +101,47 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"]
+            n_rows = len(pdf)
+            payloads = pdf["payload"].to_numpy()
+            fmts = pdf["format"].to_numpy()
+            n_bytes: list[int | None] = [None] * n_rows
+            feature: list[list[float] | None] = [None] * n_rows
+            # Decode stays per-payload (the decoder seam is inherently
+            # row-wise: one blob in, one signal out), but the histogram is
+            # ONE vectorized pass over the whole Arrow batch: concatenate
+            # the signals and bincount on (row_index * dim + bucket).
+            sigs: list[np.ndarray] = []
+            rows: list[np.ndarray] = []
+            for i, payload in enumerate(payloads):
                 if payload is None:
-                    out.append((r["media_id"], r["kind"], None, None))
                     continue
-                sig = decoder(bytes(payload), r["format"])
-                hist, _ = np.histogram(sig % dim if sig.dtype != np.float32 else sig % dim, bins=dim, range=(0, dim))
-                total = hist.sum() or 1
-                out.append(
-                    (
-                        int(r["media_id"]),
-                        r["kind"],
-                        len(payload),
-                        (hist / total).astype(np.float32).tolist(),
-                    )
-                )
-            yield pd.DataFrame(out, columns=["media_id", "kind", "n_bytes", "feature"])
+                sig = np.asarray(decoder(bytes(payload), fmts[i]), dtype=np.float64) % dim
+                sigs.append(sig)
+                rows.append(np.full(sig.size, i, dtype=np.int64))
+                n_bytes[i] = len(payload)
+            if sigs:
+                allsig = np.concatenate(sigs)
+                row_idx = np.concatenate(rows)
+                # floor-bucket == np.histogram(bins=dim, range=(0, dim)) for
+                # values in [0, dim); the clip folds a float-rounded exact
+                # `dim` into the closed last bin, as histogram does.
+                buckets = np.clip(np.floor(allsig), 0, dim - 1).astype(np.int64)
+                hists = np.bincount(
+                    row_idx * dim + buckets, minlength=n_rows * dim
+                ).reshape(n_rows, dim)
+                totals = np.clip(hists.sum(axis=1, keepdims=True), 1, None)
+                normed = (hists / totals).astype(np.float32)
+                for i in range(n_rows):
+                    if n_bytes[i] is not None:
+                        feature[i] = normed[i].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": n_bytes,
+                    "feature": feature,
+                }
+            )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 

@@ -260,7 +260,14 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    # Seeded uniform sample, not limit(): limit() takes the first partitions,
+    # which at scale are one file's worth of (possibly clustered) vectors.
+    # orderBy(rand)+limit compiles to TakeOrderedAndProject — each task keeps
+    # its own top-N, so there is no global sort and the driver only ever
+    # materializes sample_size rows.
+    sample_rows = (
+        corpus.select(vec_col).orderBy(F.rand(seed)).limit(sample_size).collect()
+    )
     samples = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     samples = samples / np.clip(np.linalg.norm(samples, axis=1, keepdims=True), 1e-12, None)
     centroids = _kmeans_centroids(samples, n_lists, seed=seed)
@@ -331,7 +338,9 @@ def semantic_dedup(
     (corpus/n_clusters)^2 per task, never corpus^2. At 100 TB you raise
     n_clusters to keep cluster populations bounded; the plan is unchanged.
     """
-    sample_rows = df.select(vec_col).limit(sample_size).collect()
+    # Seeded uniform sample (see ivf_topk): unbiased at scale, bounded on
+    # the driver, deterministic under the seed.
+    sample_rows = df.select(vec_col).orderBy(F.rand(seed)).limit(sample_size).collect()
     samples = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
     samples = samples / np.clip(np.linalg.norm(samples, axis=1, keepdims=True), 1e-12, None)
     centroids = _kmeans_centroids(samples, n_clusters, seed=seed)
