@@ -10,16 +10,26 @@ hash-gated; the SQL is written in the common Spark/DuckDB dialect subset
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
+# Re-registering ten temp views per query build added ~1 s of driver time
+# to every composite query (and re-planned AQE from scratch); the views
+# only need to change when the scale-factor directory does.
+_REGISTERED: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
+    if _REGISTERED.get(spark) == sf_dir:
+        return
     t = load_tables(spark, sf_dir)
     for name in t.names:
         t[name].createOrReplaceTempView(f"v_{name}")
+    _REGISTERED[spark] = sf_dir
 
 
 # Q14-ish: promo revenue share. Shared dialect except round/casts kept common.

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, fields
+from weakref import WeakKeyDictionary
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -65,14 +66,29 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+# Lazy DataFrames are immutable plans, so the ten-table namespace can be
+# reused across queries in the same session: rebuilding it costs ten
+# spark.read.parquet schema round-trips (~1 s of driver time) that
+# otherwise taxes EVERY query build. Keyed weakly by session so a stopped
+# session's plans are never resurrected.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *, refresh: bool = False) -> Tables:
     """Load every standard table from ``sf_dir`` as a lazy DataFrame.
 
-    DataFrames are lazy plans — loading all ten costs only a footer read
-    for schema inference, so this is cheap even when a query touches one.
+    Memoized per (session, sf_dir): DataFrames are lazy immutable plans,
+    so reuse is safe and saves the per-table schema-inference round trips.
+    ``refresh=True`` forces a rebuild (e.g. after overwriting fixtures).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return Tables(**{name: _read_table(spark, sf_dir, name) for name in TABLE_NAMES})
+    key = os.path.abspath(sf_dir)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    if refresh or key not in per_session:
+        per_session[key] = Tables(
+            **{name: _read_table(spark, sf_dir, name) for name in TABLE_NAMES}
+        )
+    return per_session[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> Tables:
