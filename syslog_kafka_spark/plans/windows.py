@@ -1,10 +1,12 @@
 """Window-function surface (SURVEY §2B.5): ranking, offsets, running
 frames (ROWS and RANGE), sessionization via lag.
 
-Window shuffles hash on partitionBy keys; all these partition on
+Window shuffles hash on partitionBy keys; these partition on
 high-cardinality keys (custkey/user_id) so the shuffle is balanced and the
-per-partition sort is small. No global (unpartitioned) windows anywhere —
-those serialize onto one task and are forbidden at 100 TB.
+per-partition sort is small. Unpartitioned windows serialize onto one task
+and are forbidden over fact-sized input at 100 TB; the one exception here
+(window_share_of_total) runs on a POST-aggregation relation bounded by
+dimension cardinality, which is the only shape where they're safe.
 """
 
 from __future__ import annotations
