@@ -166,3 +166,42 @@ def test_pack_assignment_window_partitions_by_shard(spark, sf_dir):
     assert "SinglePartition" not in tree, (
         "packing window degraded to a single partition:\n" + tree
     )
+
+
+def test_gapfill_filter_pushed_and_dims_broadcast(spark, sf_dir):
+    """Gap filling prunes the fact scan to the user subset (both scans of
+    the daily partial carry the pushed filter) and the calendar↔daily
+    join stays hash/broadcast — never a nested-loop over generated days."""
+    plan = _plan(spark, sf_dir, "window_gapfill_daily")
+    assert "LessThanOrEqual(user_id,5)" in plan, "user filter not pushed to events scan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moving_avg_windows_after_daily_rollup(spark, sf_dir):
+    """The 7-day moving average must window the POST-aggregation daily
+    relation (calendar-sized), not the raw orders scan: exactly one
+    parquet scan, and the range-frame window sits above the hash
+    aggregate."""
+    plan = _plan(spark, sf_dir, "window_moving_avg_7d")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Window" in tree
+
+
+def test_share_of_total_broadcasts_dims(spark, sf_dir):
+    """Ratio-to-report: both dimension joins broadcast (customer keys and
+    nation), no sort-merge join anywhere; the single-partition window is
+    over the 25-row post-aggregate only."""
+    plan = _plan(spark, sf_dir, "window_share_of_total")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiset_setops_stay_hash_aggregates(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL plan as count-replicating hash
+    aggregates (Spark's Generate+Aggregate lowering) — no join fallback,
+    no cartesian."""
+    plan = _plan(spark, sf_dir, "setop_multiset_all")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
