@@ -17,6 +17,30 @@ import sys
 import time
 
 
+def cap_line(payload: dict, line_budget: int = 1900) -> str:
+    """Serialize ``payload`` to one JSON line at most ``line_budget`` chars.
+
+    The recording harness keeps only a ~2000-char tail of stdout, and a
+    truncated JSON line parses as nothing — so when the full map doesn't
+    fit, drop the fastest queries first (slow ones and failures carry the
+    signal), count the elisions, and point at the full map on disk.
+    """
+    timings = payload["queries"]
+    shown = dict(timings)
+    line = json.dumps(payload)
+    if len(line) > line_budget:
+        payload = dict(payload)
+        payload["queries_full"] = "BENCH_FULL.json"
+        for name in sorted(shown, key=lambda n: (shown[n] < 0, shown[n])):
+            if len(line) <= line_budget:
+                break
+            del shown[name]
+            payload["queries"] = shown
+            payload["queries_omitted"] = len(timings) - len(shown)
+            line = json.dumps(payload)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -72,22 +96,7 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: cannot write {full_path}: {exc}", file=sys.stderr)
 
-    # Cap the stdout line: drop the fastest queries first (slow ones and
-    # failures carry the signal), note how many were elided and where the
-    # complete map lives.
-    line_budget = 1900
-    shown = dict(timings)
-    line = json.dumps(payload)
-    if len(line) > line_budget:
-        payload["queries_full"] = "BENCH_FULL.json"
-        for name in sorted(shown, key=lambda n: (shown[n] < 0, shown[n])):
-            if len(line) <= line_budget:
-                break
-            del shown[name]
-            payload["queries"] = shown
-            payload["queries_omitted"] = len(timings) - len(shown)
-            line = json.dumps(payload)
-    print(line)
+    print(cap_line(payload))
 
 
 if __name__ == "__main__":

@@ -40,3 +40,40 @@ def test_bench_emits_one_wellformed_json_line(sf_dir):
     assert all(t >= 0 for t in d["queries"].values()), "a smoke query failed"
     assert abs(d["value"] - sum(d["queries"].values())) < 0.01
     assert d["sf"] is not None
+
+
+def test_cap_line_fits_and_keeps_signal():
+    """The stdout bench line must survive the harness's ~2000-char tail:
+    full-inventory-sized maps get capped under budget with failures and
+    the slowest queries retained, and the result stays parseable JSON."""
+    import json
+
+    import bench
+
+    timings = {f"query_name_number_{i:03d}": round(0.5 + i * 0.01, 3) for i in range(150)}
+    timings["slowest_query"] = 99.9
+    timings["failed_query"] = -1.0
+    payload = {
+        "metric": "inventory_wall_clock",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": dict(timings),
+        "sf": 0.1,
+    }
+    line = bench.cap_line(payload, line_budget=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert "failed_query" in parsed["queries"], "failures must survive the cap"
+    assert "slowest_query" in parsed["queries"], "slowest queries must survive the cap"
+    assert parsed["queries_omitted"] == len(timings) - len(parsed["queries"])
+    assert parsed["queries_full"] == "BENCH_FULL.json"
+
+    small = {
+        "metric": "inventory_wall_clock",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q1": 0.5},
+        "sf": 0.1,
+    }
+    line = bench.cap_line(dict(small))
+    assert json.loads(line) == small, "small payloads pass through uncapped"
