@@ -364,3 +364,57 @@ def stream_custom_state_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_foreach_batch_sink",
+    family="streaming",
+    oracle="""
+        SELECT event_type, count(*) AS n_pairs, count(DISTINCT user_id) AS n_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events WHERE user_id < 200)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → parquet file sink, end to end: the deduplicated pair
+    stream is written batch-by-batch through a foreachBatch writer (the
+    escape hatch for sinks Structured Streaming lacks natively), then the
+    files are read BACK and aggregated — so the gate hashes what actually
+    landed on disk, covering the writer path, append atomicity, and the
+    read-back schema. Dedup-before-sink makes the landed row set a pure
+    function of the data (arrival order only permutes file layout).
+    Output lands under the gitignored warehouse dir and is cleaned after
+    the read-back is materialized by a count()."""
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(
+        prefix="gate_fes_", dir=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    pairs = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = pairs.writeStream.foreachBatch(write_batch).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    try:
+        landed = spark.read.parquet(out_dir)
+        out = (
+            landed.groupBy("event_type")
+            .agg(F.count("*").alias("n_pairs"), F.countDistinct("user_id").alias("n_users"))
+            .orderBy("event_type")
+        )
+        # Materialize before deleting the files the plan reads.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("event_type")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
