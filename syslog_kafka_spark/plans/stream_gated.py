@@ -389,10 +389,12 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    out_dir = tempfile.mkdtemp(
-        prefix="gate_fes_", dir=os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse")
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
     )
+    os.makedirs(warehouse, exist_ok=True)
+    out_dir = tempfile.mkdtemp(prefix="gate_fes_", dir=warehouse)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out_dir)
