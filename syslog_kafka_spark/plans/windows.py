@@ -507,3 +507,117 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_bps"),
         F.rank().over(w_rank).cast("bigint").alias("rev_rank"),
     ).orderBy("rev_rank")
+
+
+@query(
+    "window_gapfill_interpolate",
+    family="windows",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 1.0 / count(value))
+                      AS BIGINT) AS v_cents
+          FROM events WHERE user_id <= 5
+          GROUP BY user_id, CAST(ts AS DATE)
+        ), span AS (
+          SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+        ), cal AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM span
+        ), joined AS (
+          SELECT c.user_id, c.d, v_cents
+          FROM cal c LEFT JOIN daily dd ON c.user_id = dd.user_id AND c.d = dd.d
+        ), anchored AS (
+          SELECT user_id, d, v_cents,
+                 last_value(v_cents IGNORE NULLS) OVER wp AS prev_v,
+                 last_value(CASE WHEN v_cents IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wp AS prev_d,
+                 first_value(v_cents IGNORE NULLS) OVER wn AS next_v,
+                 first_value(CASE WHEN v_cents IS NOT NULL THEN d END IGNORE NULLS)
+                   OVER wn AS next_d
+          FROM joined
+          WINDOW wp AS (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, d, v_cents,
+               CASE
+                 WHEN v_cents IS NOT NULL THEN v_cents
+                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                   CAST(round(prev_v + (next_v - prev_v) * 1.0
+                        * date_diff('day', prev_d, d)
+                        / date_diff('day', prev_d, next_d)) AS BIGINT)
+                 ELSE NULL
+               END AS v_interp_cents
+        FROM anchored
+        ORDER BY user_id, d
+    """,
+)
+def window_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap filling (the `interpolate()` counterpart
+    to window_gapfill_daily's forward fill): missing days get the
+    time-weighted line between the nearest observed values on either
+    side; no extrapolation past the ends. The gauge rides as exact
+    integer cents with one scale-0-rounded division, so both engines
+    agree bit-for-bit. Both anchor windows share the one user_id
+    shuffle (two in-partition sorts, opposite directions)."""
+    e = load_tables(spark, sf_dir).events
+    daily = (
+        e.filter(F.col("user_id") <= 5)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            # Per-event integer cents first: the exact BIGINT sum makes the
+            # daily mean a single scale-0-rounded division, immune to the
+            # engines' different fp-sum orders and 2-dp half boundaries.
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                * 1.0
+                / F.count("value")
+            )
+            .cast("bigint")
+            .alias("v_cents")
+        )
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("d"))
+    joined = cal.join(daily, ["user_id", "d"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v_cents").isNotNull(), F.col("d"))
+    anchored = joined.select(
+        "user_id",
+        "d",
+        "v_cents",
+        F.last("v_cents", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("v_cents", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    interp = (
+        F.when(F.col("v_cents").isNotNull(), F.col("v_cents"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.round(
+                F.col("prev_v")
+                + (F.col("next_v") - F.col("prev_v"))
+                * 1.0
+                * F.datediff("d", "prev_d")
+                / F.datediff("next_d", "prev_d")
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    return (
+        anchored.select("user_id", "d", "v_cents", interp.alias("v_interp_cents"))
+        .orderBy("user_id", "d")
+    )
