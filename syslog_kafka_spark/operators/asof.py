@@ -33,6 +33,7 @@ def asof_join_last(
     right_ts: str,
     right_value: str,
     value_alias: str = "asof_value",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Return ``left`` with ``value_alias`` = latest ``right_value`` whose
     ``right_ts`` <= the row's ``left_ts`` within the same ``on`` key
@@ -40,6 +41,12 @@ def asof_join_last(
 
     ``right_value`` must be orderable — it doubles as the deterministic
     tie-break among right rows sharing a timestamp (largest wins).
+
+    ``tolerance_sec`` bounds the match window (pandas ``merge_asof``
+    tolerance semantics): a preceding right row older than the tolerance
+    yields null instead. The matched row's timestamp rides along in one
+    struct with its value, so the bound always checks the timestamp of
+    the row that supplied the value — never a fresher unmatched one.
     """
     left_cols = [c for c in left.columns]
 
@@ -64,9 +71,22 @@ def asof_join_last(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    merged = tagged_right.unionByName(tagged_left).withColumn(
-        value_alias, F.last("_v", ignorenulls=True).over(w)
-    )
+    merged = tagged_right.unionByName(tagged_left)
+    if tolerance_sec is None:
+        merged = merged.withColumn(value_alias, F.last("_v", ignorenulls=True).over(w))
+    else:
+        carry = F.when(
+            F.col("_side") == 0,
+            F.struct(F.col("_ts").alias("rts"), F.col("_v").alias("v")),
+        )
+        merged = merged.withColumn("_m", F.last(carry, ignorenulls=True).over(w)).withColumn(
+            value_alias,
+            F.when(
+                F.expr("unix_micros(_ts) - unix_micros(_m.rts)")
+                <= F.lit(int(tolerance_sec) * 1_000_000),
+                F.col("_m.v"),
+            ),
+        )
     return merged.filter(F.col("_side") == 1).select("_row.*", value_alias)
 
 

@@ -423,3 +423,55 @@ def join_broadcast_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"), F.count("*").alias("n_items"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    family="joins",
+    oracle="""
+        WITH p AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), pairs AS (
+          SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+                 row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY e.ts DESC, e.event_id DESC
+                 ) AS rn
+          FROM p
+          JOIN events e
+            ON e.user_id = p.user_id
+           AND e.event_type = 'error'
+           AND e.ts <= p.ts
+           AND e.ts >= p.ts - INTERVAL 30 MINUTE
+        )
+        SELECT p.event_id AS purchase_id, pairs.error_id
+        FROM p LEFT JOIN pairs ON pairs.purchase_id = p.event_id AND pairs.rn = 1
+        ORDER BY purchase_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof tolerance): each
+    purchase gets the most recent error by the same user within the last
+    30 minutes, null beyond the bound — stale matches are often worse
+    than none in attribution. Same one-shuffle merge formulation as the
+    unbounded as-of; the oracle is the rank form with the interval
+    predicate, left-joined back so unmatched purchases survive as nulls."""
+    from syslog_kafka_spark.operators.asof import asof_join_last
+
+    e = load_tables(spark, sf_dir).events
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join_last(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value="event_id",
+        value_alias="error_id",
+        tolerance_sec=1800,
+    )
+    return (
+        joined.select(F.col("event_id").alias("purchase_id"), "error_id")
+        .orderBy("purchase_id")
+    )
