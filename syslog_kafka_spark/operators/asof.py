@@ -75,8 +75,12 @@ def asof_join_last(
     if tolerance_sec is None:
         merged = merged.withColumn(value_alias, F.last("_v", ignorenulls=True).over(w))
     else:
+        # Carry only right rows whose value is non-null, matching the
+        # non-tolerance branch: last(_v, ignorenulls) skips null-valued
+        # right rows and falls back to the previous one, so the tolerance
+        # struct must skip them too or the two branches diverge.
         carry = F.when(
-            F.col("_side") == 0,
+            (F.col("_side") == 0) & F.col("_v").isNotNull(),
             F.struct(F.col("_ts").alias("rts"), F.col("_v").alias("v")),
         )
         merged = merged.withColumn("_m", F.last(carry, ignorenulls=True).over(w)).withColumn(

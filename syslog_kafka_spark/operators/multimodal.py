@@ -20,6 +20,7 @@ Design notes for 100 TB:
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -82,22 +83,45 @@ def fake_decoder(payload: bytes, fmt: str) -> np.ndarray:
     return arr
 
 
+@contextmanager
+def arrow_batch_size(spark, n: int):
+    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` to a block,
+    restoring the prior value (or unsetting) on exit. The knob is read at
+    execution time, so callers must keep the block open while the action
+    that consumes the mapInPandas output runs:
+
+        with arrow_batch_size(spark, 64):
+            extract_features(media, ...).write.parquet(out)
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def extract_features(
     media: DataFrame,
     *,
     dim: int = 16,
     decoder: Decoder = real_decoder,
-    batch_size: int | None = 64,
 ) -> DataFrame:
     """media rows → fixed-``dim`` feature vectors via mapInPandas.
 
     The feature is a bucketed byte-histogram of the decoded signal —
     deterministic, cheap, and shaped exactly like a real embedding head.
+
+    Peak executor memory is O(one Arrow batch of payloads); for large
+    blobs bound it with the session knob
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (see
+    :func:`arrow_batch_size` for scoped use). The operator itself never
+    mutates session config.
     """
-    if batch_size is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,7 +139,14 @@ def extract_features(
             for i, payload in enumerate(payloads):
                 if payload is None:
                     continue
-                sig = np.asarray(decoder(bytes(payload), fmts[i]), dtype=np.float64) % dim
+                raw = np.asarray(decoder(bytes(payload), fmts[i]))
+                if np.issubdtype(raw.dtype, np.integer):
+                    # Modulo in the source dtype: int64 signals with
+                    # |value| > 2^53 would lose bits in a float64 cast
+                    # and could land in the wrong bucket.
+                    sig = (raw % dim).astype(np.float64)
+                else:
+                    sig = raw.astype(np.float64) % dim
                 sigs.append(sig)
                 rows.append(np.full(sig.size, i, dtype=np.int64))
                 n_bytes[i] = len(payload)

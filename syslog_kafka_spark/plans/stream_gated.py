@@ -381,9 +381,15 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is written batch-by-batch through a foreachBatch writer (the
     escape hatch for sinks Structured Streaming lacks natively), then the
     files are read BACK and aggregated — so the gate hashes what actually
-    landed on disk, covering the writer path, append atomicity, and the
+    landed on disk, covering the writer path, write atomicity, and the
     read-back schema. Dedup-before-sink makes the landed row set a pure
     function of the data (arrival order only permutes file layout).
+
+    foreachBatch is at-least-once: a retried microbatch re-invokes the
+    writer with the same batch_id. Writing each batch to a batch_id-keyed
+    subdirectory with mode("overwrite") (the standard idempotent-sink
+    pattern) makes the retry a no-op instead of a double-write, so the
+    landed set stays exact under task retries.
     Output lands under the gitignored warehouse dir and is cleaned after
     the read-back is materialized by a count()."""
     import shutil
@@ -397,7 +403,9 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="gate_fes_", dir=warehouse)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id}")
+        )
 
     pairs = (
         stream_events(spark, sf_dir)
@@ -409,7 +417,9 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     try:
-        landed = spark.read.parquet(out_dir)
+        # recursiveFileLookup: the batch-N subdirs are layout, not hive
+        # partitions — read every parquet file beneath out_dir flat.
+        landed = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
         out = (
             landed.groupBy("event_type")
             .agg(F.count("*").alias("n_pairs"), F.countDistinct("user_id").alias("n_users"))

@@ -10,6 +10,7 @@ hash-gated; the SQL is written in the common Spark/DuckDB dialect subset
 
 from __future__ import annotations
 
+import os
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,17 +20,21 @@ from syslog_kafka_spark.sources.readers import load_tables
 
 # Re-registering ten temp views per query build added ~1 s of driver time
 # to every composite query (and re-planned AQE from scratch); the views
-# only need to change when the scale-factor directory does.
+# only need to change when the scale-factor directory does. Keyed on the
+# ABSOLUTE path (same normalization as load_tables) plus the identity of
+# the Tables namespace, so a load_tables(refresh=True) rebuild — which
+# returns a new Tables object — re-registers automatically.
 _REGISTERED: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
-    if _REGISTERED.get(spark) == sf_dir:
-        return
     t = load_tables(spark, sf_dir)
+    key = (os.path.abspath(sf_dir), id(t))
+    if _REGISTERED.get(spark) == key:
+        return
     for name in t.names:
         t[name].createOrReplaceTempView(f"v_{name}")
-    _REGISTERED[spark] = sf_dir
+    _REGISTERED[spark] = key
 
 
 # Q14-ish: promo revenue share. Shared dialect except round/casts kept common.

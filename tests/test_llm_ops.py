@@ -131,6 +131,42 @@ def test_asof_join_next_tie_takes_smallest_value(spark):
     assert out[0].val == 103  # ties at equal ts resolve to the smallest value
 
 
+def test_asof_tolerance_skips_null_valued_right_rows(spark):
+    """Under tolerance, a null-valued right row must be skipped (fall back
+    to the previous non-null row) exactly as last(_v, ignorenulls) does in
+    the non-tolerance branch — and the tolerance bound must then check the
+    TIMESTAMP OF THE ROW THAT SUPPLIED THE VALUE, not the fresher null one."""
+    from datetime import datetime
+
+    from syslog_kafka_spark.operators.asof import asof_join_last
+
+    t = lambda s: datetime.fromisoformat(f"2024-01-01 00:{s}:00")
+    left = spark.createDataFrame([(1, 10, t("10"))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, 10, t("00")), (None, 10, t("09"))],
+        "rid INT, k INT, ts TIMESTAMP",
+    )
+    no_tol = asof_join_last(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_value="rid", value_alias="val"
+    ).collect()[0]
+    assert no_tol.val == 100  # ignorenulls falls back past the null row
+
+    # 15-min tolerance: the matched (non-null) row is 10 min old → in bound
+    wide = asof_join_last(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_value="rid",
+        value_alias="val", tolerance_sec=15 * 60,
+    ).collect()[0]
+    assert wide.val == 100
+
+    # 5-min tolerance: the null row at 09:00 is within bound but carries no
+    # value; the non-null row at 00:00 is out of bound → null result
+    narrow = asof_join_last(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_value="rid",
+        value_alias="val", tolerance_sec=5 * 60,
+    ).collect()[0]
+    assert narrow.val is None
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     from syslog_kafka_spark.operators.similarity import ivf_topk
 

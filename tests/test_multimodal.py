@@ -8,6 +8,7 @@ import pytest
 
 from syslog_kafka_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    arrow_batch_size,
     extract_features,
     fake_decoder,
     frame_sample_plan,
@@ -42,6 +43,40 @@ def test_feature_extraction_plumbing(spark, media):
 def test_real_decoder_is_stubbed(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_features(media.filter(F.col("media_id") == 1), decoder=real_decoder).collect()
+
+
+def test_extract_features_does_not_mutate_session_config(spark, media):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    extract_features(media, dim=8, decoder=fake_decoder).collect()
+    assert spark.conf.get(key, None) == before
+
+
+def test_arrow_batch_size_scopes_and_restores(spark, media):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    with arrow_batch_size(spark, 2):
+        assert spark.conf.get(key) == "2"
+        # the knob is live while the action runs inside the block
+        out = extract_features(media, dim=8, decoder=fake_decoder).collect()
+        assert len(out) == 4
+    assert spark.conf.get(key, None) == before
+
+
+def test_integer_signal_modulo_in_source_dtype(spark):
+    """An int64 signal with |value| > 2^53 must bucket by exact integer
+    modulo, not by its float64-rounded image."""
+    import numpy as np
+
+    big = (1 << 60) + 3  # not representable exactly in float64
+
+    def int_decoder(payload, fmt):
+        return np.array([big], dtype=np.int64)
+
+    rows = [(1, "image", None, b"\x00", "raw", None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(media, dim=8, decoder=int_decoder).collect()[0].feature
+    assert feat[big % 8] == 1.0  # exact bucket, all mass in it
 
 
 def test_frame_sampling_expansion(spark, media):
