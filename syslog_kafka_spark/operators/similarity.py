@@ -312,6 +312,101 @@ def ivf_topk(
     return out
 
 
+def assign_frozen_cluster(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid assignment against FROZEN unit-norm centroids, as a
+    pure Column expression: argmax_c dot(vec, c). Normalizing ``vec`` is
+    unnecessary — dividing every dot by the same positive |vec| cannot
+    change the argmax. Ties break to the smallest cluster index (first
+    position of the max), matching numpy argmax.
+
+    Each dot is a zip_with+aggregate fold — a sequential left-to-right
+    double sum, which the DuckDB twin (:func:`frozen_cluster_sims_sql`)
+    reproduces term for term so both engines see bit-identical sims.
+    """
+    sims = [
+        dot_expr(vec_col, F.array(*[F.lit(x) for x in c])) for c in centroids
+    ]
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def frozen_cluster_sims_sql(centroids: list[list[float]], vec: str = "embedding") -> str:
+    """DuckDB list literal of per-centroid dot products, bit-matching
+    :func:`assign_frozen_cluster`: explicit left-associated sums of
+    CAST(vec[i] AS DOUBLE) * <literal>, one chain per centroid."""
+    dots = []
+    for c in centroids:
+        terms = " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) * {x!r})" for i, x in enumerate(c)
+        )
+        dots.append(f"({terms})")
+    return "[" + ", ".join(dots) + "]"
+
+
+def pair_cosine_sql(dim: int, a: str = "x", b: str = "y", vec: str = "embedding") -> str:
+    """DuckDB cosine between two table aliases' vector columns, matching
+    _prenorm_score's double arithmetic: dot(a,b) / (norm_a * norm_b) with
+    sequential sums. Norms are expected precomputed per side as ``nrm``."""
+    dot = " + ".join(
+        f"(CAST({a}.{vec}[{i + 1}] AS DOUBLE) * CAST({b}.{vec}[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return f"(({dot}) / ({a}.nrm * {b}.nrm))"
+
+
+def norm_sql(dim: int, vec: str = "embedding") -> str:
+    """DuckDB twin of norm_expr: sqrt of the sequential sum of squares."""
+    terms = " + ".join(
+        f"(CAST({vec}[{i + 1}] AS DOUBLE) * CAST({vec}[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    return f"sqrt({terms})"
+
+
+def semantic_dedup_frozen(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """:func:`semantic_dedup` with a PRETRAINED (frozen) coarse quantizer —
+    the shape you actually run at 100 TB: the k-means fit happens once,
+    offline, on a bounded sample (scripts/fit_semdedup_centroids.py); the
+    production pass is then a pure function of the data, with no driver-side
+    collect at all. Same output contract as semantic_dedup; fully
+    SQL-expressible, so the correctness gate hash-compares it end to end.
+    """
+    labeled = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        assign_frozen_cluster(F.col(vec_col), centroids).alias("cluster"),
+    )
+
+    pairs = embedding_neardup_pairs(
+        labeled, id_col=id_col, vec_col=vec_col, label_col="cluster", threshold=threshold
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("_id"), F.col("id_b").alias("_peer")
+    ).unionByName(pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("_peer")))
+    reps = edges.groupBy("_id").agg(F.min("_peer").alias("_min_peer"))
+    return (
+        labeled.join(reps, labeled[id_col] == reps["_id"], "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("_min_peer").isNotNull().alias("in_dup_group"),
+            F.coalesce(F.col("_min_peer") < F.col(id_col), F.lit(False)).alias(
+                "is_dropped"
+            ),
+            F.least(F.coalesce("_min_peer", F.col(id_col)), F.col(id_col)).alias(
+                "kept_id"
+            ),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     *,

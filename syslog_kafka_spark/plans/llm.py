@@ -1707,18 +1707,72 @@ def llm_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_semantic_dedup", family="llm", oracle=None)
+def _semdedup_oracle(threshold: float = 0.8) -> str:
+    """DuckDB twin of semantic_dedup_frozen + the per-cluster rollup:
+    frozen-centroid argmax assignment (list_position of list_max — first
+    max wins, like numpy argmax), cluster-blocked pair scan, min-peer
+    reps. Every float sum is written as the same left-associated double
+    chain Spark's aggregate fold evaluates, so sims and cosines are
+    bit-identical across engines."""
+    from syslog_kafka_spark.operators.semdedup_centroids import CENTROIDS, DIM
+    from syslog_kafka_spark.operators.similarity import (
+        frozen_cluster_sims_sql,
+        norm_sql,
+        pair_cosine_sql,
+    )
+
+    return f"""
+        WITH a0 AS (
+          SELECT vec_id, embedding,
+                 {frozen_cluster_sims_sql(CENTROIDS)} AS sims,
+                 {norm_sql(DIM)} AS nrm
+          FROM embeddings
+        ),
+        a AS (
+          SELECT vec_id, embedding, nrm,
+                 CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS cluster
+          FROM a0
+        ),
+        p AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          WHERE {pair_cosine_sql(DIM)} >= {threshold!r}
+        ),
+        e AS (
+          SELECT id_a AS id, id_b AS peer FROM p
+          UNION ALL SELECT id_b, id_a FROM p
+        ),
+        r AS (SELECT id, min(peer) AS min_peer FROM e GROUP BY id)
+        SELECT a.cluster,
+               count(*) AS n_vecs,
+               CAST(sum(CASE WHEN r.min_peer IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_in_dup_groups,
+               CAST(sum(CASE WHEN r.min_peer < a.vec_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               count(DISTINCT least(coalesce(r.min_peer, a.vec_id), a.vec_id)) AS n_kept
+        FROM a LEFT JOIN r ON a.vec_id = r.id
+        GROUP BY a.cluster
+        ORDER BY a.cluster
+    """
+
+
+@query("llm_semantic_dedup", family="llm", oracle=_semdedup_oracle())
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup summary: IVF k-means clustering +
-    within-cluster cosine pairs + min-id survivors, reported per cluster.
-    Rows-only gate (the k-means quantizer is engine-specific); planted
-    near-identical embeddings are asserted in tests/test_llm_ops.py.
-    Threshold 0.8 sits far above this corpus's same-cluster background
-    cosine (≈0.5), so only true near-copies group."""
-    from syslog_kafka_spark.operators.similarity import semantic_dedup
+    """SemDeDup-style semantic dedup summary (Abbas et al. 2023): coarse
+    quantizer clustering + within-cluster cosine pairs + min-id survivors,
+    reported per cluster. The quantizer is PRETRAINED — seeded k-means
+    centroids fit offline by scripts/fit_semdedup_centroids.py and frozen
+    as literals (operators/semdedup_centroids.py) — which is both the
+    100 TB deployment shape (fit once on a sample, apply everywhere, no
+    driver-side collect in the hot path) and what makes the query a pure
+    function both engines hash-compare end to end. Threshold 0.8 sits far
+    above this corpus's same-cluster background cosine (≈0.5), so only
+    true near-copies group."""
+    from syslog_kafka_spark.operators.semdedup_centroids import CENTROIDS
+    from syslog_kafka_spark.operators.similarity import semantic_dedup_frozen
 
     emb = load_tables(spark, sf_dir).embeddings
-    sd = semantic_dedup(emb, threshold=0.8, n_clusters=8)
+    sd = semantic_dedup_frozen(emb, CENTROIDS, threshold=0.8)
     return (
         sd.groupBy("cluster")
         .agg(

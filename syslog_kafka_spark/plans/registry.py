@@ -63,78 +63,74 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-3 window: every query that has NEVER carried a
-# driver stamp (37 from rounds 1-2 + 7 new this round), plus the 6 queries
-# that ERRed in round 2 and were fixed (TIMESTAMP_NTZ seam + array/map
-# stringification) so the fixes get driver-stamped green. Everything
-# rotated out is already green in CORRECTNESS_r01/r02 and stays covered by
-# the pytest oracle suite (tests/test_inventory_oracle.py).
+# iteration order. Round-4 window: the 6 queries that had never carried a
+# driver stamp (the scans pair now has inline-VALUES oracles so the gate's
+# DuckDB needs no file access), the 2 new round-4 queries, and SemDeDup —
+# upgraded this round from rows-only to a full hash oracle (frozen
+# centroids) and re-windowed so the upgrade gets stamped. The other 41
+# slots backfill with the OLDEST stamps in the inventory (the r1-only
+# cohort, plus three r2-era picks that keep every family represented).
+# Everything rotated out is green in CORRECTNESS_r01/r02/r03 and stays
+# covered by the pytest oracle suite (tests/test_inventory_oracle.py).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- fixed this round (ERR in r02) ---
-    "window_lag_lead_gaps",
-    "window_range_frame_hourly",
-    "window_sessionize_30min",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
-    "stream_tumbling_window_agg",
-    # --- never driver-stamped: aggregation ---
-    "agg_rollup_cascade",
-    "agg_key_skew_audit",
-    "agg_bool_bitwise",  # new r3
-    # --- never driver-stamped: joins ---
-    "join_asof_next_signup",
-    # --- never driver-stamped: windows ---
-    "window_funnel_conversion",
-    "window_moving_avg_7d",  # new r3
-    "window_gapfill_daily",  # new r3
-    "window_share_of_total",  # new r3
-    # --- never driver-stamped: setops ---
-    "setop_multiset_all",  # new r3
-    # sorts representative (family invariant: every family in the window;
-    # all sort_* queries are already r2-green, this keeps one gated)
-    "sort_top_orders",
-    # (scans stay OUT of the window: their oracles read fixture files via
-    #  DuckDB read_csv/read_json, which the external gate's DuckDB may not
-    #  permit — pytest + driver_sim gate them instead)
-    # --- never driver-stamped: syslog ---
-    "syslog_named_levels",
-    # --- never driver-stamped: scalars ---
-    "scalar_edit_distance",
-    "scalar_url_funcs",
-    "scalar_bitwise_funcs",
-    "scalar_struct_funcs",  # new r3
-    "scalar_posexplode_tokens",  # new r3
-    "scalar_trig_funcs",  # new r3
-    # --- never driver-stamped: TPC-H composites ---
-    "tpch_promo_revenue",
-    "tpch_large_volume_customers",
-    "tpch_disjunctive_predicates",
-    "tpch_top_supplier_revenue",
-    "tpch_priority_wait_counts",
-    "tpch_returned_item_accounts",
-    "tpch_small_qty_revenue",
-    "tpch_market_share",
-    # --- never driver-stamped: LLM curation tier ---
-    "llm_dedup_components",
-    "llm_simhash_multiprobe",
-    "llm_pii_redaction",
-    "llm_hash_split",
-    "llm_doc_chunks",
-    "llm_token_entropy",
-    "llm_weighted_sample",
-    "llm_packing_efficiency",
-    "llm_stratified_sample",
-    "llm_curation_pipeline",
-    "llm_url_extraction",
-    "llm_vocab_coverage",
-    "llm_semantic_dedup",  # no oracle by design (rows-only check)
-    # --- never driver-stamped: streaming gates ---
-    "stream_sliding_window_agg",
-    "stream_session_window_agg",
-    "stream_dedup_distinct_pairs",
-    "stream_static_join_agg",
-    "stream_stream_join_agg",
-    "stream_custom_state_profile",  # new r3
+    # --- never driver-stamped (oracled since r3) ---
+    "join_asof_tolerance",
+    "window_gapfill_interpolate",
+    "stream_foreach_batch_sink",
+    "llm_length_buckets",
+    "scan_csv_typed",
+    "scan_json_lines",
+    # --- new r4 ---
+    "syslog_sd_params",
+    "kafka_decode_roundtrip",
+    # --- oracle upgraded r4 (was rows-only) ---
+    "llm_semantic_dedup",
+    # --- backfill: r1-only stamps, aggregation + reshape ---
+    "agg_conditional",
+    "agg_cube_orders",
+    "agg_exact_percentiles",
+    "agg_grouping_sets",
+    "agg_having_big_customers",
+    "agg_min_max_extremes",
+    "agg_multi_distinct",
+    "agg_revenue_forecast",
+    "agg_rollup_revenue",
+    "agg_stats_moments",
+    "reshape_pivot_event_counts",
+    "reshape_unpivot_acctbal",
+    # --- backfill: r1-only stamps, joins ---
+    "join_anti_silent_customers",
+    "join_asof_last_error",
+    "join_broadcast_brand_volume",
+    "join_cross_region_nation",
+    "join_exists_correlated",
+    "join_full_outer_nation_counts",
+    "join_in_subquery_vip_orders",
+    "join_left_outer_order_counts",
+    "join_local_supplier_volume",
+    "join_range_error_burst",
+    "join_semi_active_customers",
+    "join_shipping_priority",
+    # --- backfill: r1-only stamps, LLM ---
+    "llm_bpe_token_counts",
+    "llm_dedup_exact_stats",
+    "llm_dedup_groups",
+    "llm_embedding_neardup",
+    "llm_fingerprint_collisions",
+    "llm_langid_confusion",
+    "llm_quality_scores",
+    "llm_similarity_topk",
+    "llm_term_freq",
+    "llm_tfidf_rank",
+    "llm_token_stats",
+    "llm_word_bigrams",
+    # --- backfill: r1-only stamps, scalars ---
+    "scalar_from_json_struct",
+    "scalar_json_roundtrip",
+    # --- family coverage (oldest remaining stamps are r2) ---
+    "setop_union_all",
+    "sort_nulls_ordering",
+    "syslog_parse_corpus",
 )
 
 
@@ -151,6 +147,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         extras,
         joins,
+        kafka_roundtrip,
         llm,
         reshape,
         scalars,

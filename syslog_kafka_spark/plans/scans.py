@@ -9,8 +9,12 @@ handling, and null semantics are hash-compared cross-engine, not just
 smoke-tested.
 
 The fixtures live in the repo (`fixtures/`), deterministic by
-construction; paths are resolved absolutely so Spark executors and the
-oracle's DuckDB process agree regardless of cwd.
+construction; paths are resolved absolutely so Spark executors read the
+same file regardless of cwd. The ORACLE side, however, is written over
+inline VALUES (the rows below, mirrored from the fixture files and
+drift-guarded by tests/test_cli_and_readers.py) so the external gate's
+DuckDB process needs no filesystem access at all — Spark proves the
+file-scan path, DuckDB pins the expected parse.
 """
 
 from __future__ import annotations
@@ -42,6 +46,49 @@ CSV_SCHEMA = T.StructType(
     ]
 )
 
+# The parsed content of fixtures/scan_demo.csv, row for row (empty descr
+# cell → None, matching Spark's default nullValue=""). unit_price is kept
+# as the SOURCE STRING so the oracle casts it text→double exactly like
+# both CSV readers do (decimal literals would round through DECIMAL).
+CSV_ROWS: list[tuple] = [
+    (1001, "tools", "hammer, claw", 3, "14.99", "2024-03-01", True),
+    (1002, "tools", 'screwdriver set "pro"', 1, "29.5", "2024-03-02", False),
+    (1003, "garden", "hose 25m", 2, "37.25", "2024-03-02", True),
+    (1004, "garden", "rake, leaf", 5, "9.99", "2024-03-03", False),
+    (1005, "kitchen", "kettle 1.7l", 1, "45.0", "2024-03-03", True),
+    (1006, "kitchen", "knife block, oak", 1, "89.95", "2024-03-04", False),
+    (1007, "tools", "drill bits", 4, "19.75", "2024-03-05", True),
+    (1008, "garden", None, 6, "4.5", "2024-03-05", False),
+    (1009, "kitchen", "peeler", 8, "3.25", "2024-03-06", True),
+    (1010, "tools", "tape measure 5m", 2, "11.4", "2024-03-07", False),
+    (1011, "garden", "trowel, hand", 3, "7.8", "2024-03-08", True),
+    (1012, "kitchen", "scale digital", 1, "24.99", "2024-03-08", False),
+    (1013, "tools", "level 60cm", 2, "16.6", "2024-03-09", True),
+    (1014, "garden", "shears", 1, "21.35", "2024-03-10", False),
+    (1015, "kitchen", "mixing bowls, set of 3", 1, "32.0", "2024-03-11", True),
+    (1016, "tools", "wrench, adjustable", 3, "13.45", "2024-03-12", False),
+    (1017, "garden", "seed starter kit", 7, "6.99", "2024-03-12", True),
+    (1018, "kitchen", "colander", 2, "12.5", "2024-03-13", False),
+    (1019, "tools", "stud finder", 1, "27.8", "2024-03-14", True),
+    (1020, "garden", "gloves, thorn-proof", 4, "8.65", "2024-03-15", False),
+]
+
+
+def _sql_str(s: str | None) -> str:
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _csv_values_sql() -> str:
+    rows = ", ".join(
+        f"({oid}, {_sql_str(cat)}, {_sql_str(descr)}, {qty}, "
+        f"CAST('{price}' AS DOUBLE), DATE '{ship}', {str(express).lower()})"
+        for oid, cat, descr, qty, price, ship, express in CSV_ROWS
+    )
+    return (
+        f"(VALUES {rows}) AS t(order_id, category, descr, qty, unit_price, "
+        "ship_date, express)"
+    )
+
 
 @query(
     "scan_csv_typed",
@@ -55,11 +102,7 @@ CSV_SCHEMA = T.StructType(
                CAST(sum(CASE WHEN express THEN 1 ELSE 0 END) AS BIGINT) AS n_express,
                min(ship_date) AS first_ship,
                max(ship_date) AS last_ship
-        FROM read_csv('{CSV_PATH}', header = true, columns = {{
-          'order_id': 'BIGINT', 'category': 'VARCHAR', 'descr': 'VARCHAR',
-          'qty': 'BIGINT', 'unit_price': 'DOUBLE', 'ship_date': 'DATE',
-          'express': 'BOOLEAN'
-        }})
+        FROM {_csv_values_sql()}
         GROUP BY category
         ORDER BY category
     """,
@@ -104,26 +147,53 @@ JSONL_SCHEMA = T.StructType(
 )
 
 
+# The parsed content of fixtures/scan_demo.jsonl, flattened to the fields
+# the query touches: (event_id, kind, plan, uid, tags, dur_ms).
+JSONL_ROWS: list[tuple] = [
+    (1, "page_view", "free", 11, ["web", "landing"], 120),
+    (2, "click", "free", 11, ["web"], 35),
+    (3, "page_view", "pro", 12, ["mobile", "pricing"], 480),
+    (4, "purchase", "pro", 12, ["mobile", "checkout"], 1500),
+    (5, "click", "team", 13, [], 42),
+    (6, "page_view", "team", 13, ["web", "docs"], 310),
+    (7, "click", "free", 14, ["web", "docs"], 28),
+    (8, "purchase", "team", 13, ["web", "checkout"], 2200),
+    (9, "page_view", "pro", 15, ["mobile"], 95),
+    (10, "click", "pro", 15, ["mobile", "pricing"], 51),
+    (11, "page_view", "free", 11, ["web", "pricing"], 260),
+    (12, "purchase", "pro", 15, ["mobile", "checkout"], 1750),
+    (13, "click", "free", 16, ["web"], 33),
+    (14, "page_view", "free", 16, ["web", "landing"], 140),
+    (15, "click", "pro", 12, ["mobile", "docs"], 47),
+    (16, "page_view", "team", 17, ["web"], 205),
+    (17, "purchase", "team", 17, ["web", "checkout"], 1900),
+    (18, "click", "team", 17, ["web", "docs"], 39),
+    (19, "page_view", "free", 14, ["mobile", "landing"], 110),
+    (20, "click", "free", 14, ["mobile"], 25),
+]
+
+
+def _jsonl_values_sql() -> str:
+    rows = ", ".join(
+        f"({eid}, {_sql_str(kind)}, {_sql_str(plan)}, {uid}, "
+        f"[{', '.join(_sql_str(t) for t in tags)}]::VARCHAR[], {dur})"
+        for eid, kind, plan, uid, tags, dur in JSONL_ROWS
+    )
+    return f"(VALUES {rows}) AS t(event_id, kind, plan, uid, tags, dur_ms)"
+
+
 @query(
     "scan_json_lines",
     family="scans",
     oracle=f"""
-        WITH j AS (
-          SELECT * FROM read_json('{JSONL_PATH}', format = 'newline_delimited',
-            columns = {{
-              'event_id': 'BIGINT', 'kind': 'VARCHAR',
-              'user': 'STRUCT(id BIGINT, plan VARCHAR)',
-              'tags': 'VARCHAR[]', 'dur_ms': 'BIGINT'
-            }})
-        )
-        SELECT j.user.plan AS plan, kind,
+        SELECT plan, kind,
                count(*) AS n_events,
-               count(DISTINCT j.user.id) AS n_users,
+               count(DISTINCT uid) AS n_users,
                CAST(sum(dur_ms) AS BIGINT) AS total_ms,
                CAST(sum(len(tags)) AS BIGINT) AS n_tags,
                CAST(sum(CASE WHEN list_contains(tags, 'checkout') THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_checkout
-        FROM j
+        FROM {_jsonl_values_sql()}
         GROUP BY plan, kind
         ORDER BY plan, kind
     """,

@@ -106,6 +106,58 @@ def parse_syslog_lines(df: DataFrame, line_col: str = "line", year: int = DEFAUL
     return df.select(*syslog_columns(line_col, year))
 
 
+# RFC 5424 §6.3 structured data: SD-ELEMENT = "[" SD-ID *(SP SD-PARAM) "]",
+# SD-PARAM = PARAM-NAME "=" %d34 PARAM-VALUE %d34. The element-body and
+# param regexes below are shared verbatim with the DuckDB oracle; both stay
+# in the RE2-safe subset. Escaped characters inside PARAM-VALUE (\" \] \\)
+# are not decoded — values are taken up to the first '"' — which covers
+# the overwhelmingly common case; an escaping value would need a real
+# tokenizer on both engines.
+SD_ELEMENT_RE = r"\[([^\]]*)\]"
+SD_PARAM_RE = r'[A-Za-z0-9@._#-]+="[^"]*"'
+SD_ID_RE = r"^(\S+)"
+
+
+def sd_map_expr(line_col: str = "line") -> Column:
+    """RFC 5424 structured data decoded to ``map<string,string>`` with
+    flattened ``sd-id/param-name`` keys — one map per line, mirroring the
+    reference's LogLine ``tag: map<string>`` model
+    (/root/reference avro/logline.avsc:16-54, syslog.go:150).
+
+    Null for RFC 3164 lines, unparseable lines, and the nil SD field
+    ('-'). Pure Column expressions: regexp_extract_all for the element
+    bodies, a nested transform for the params, map_from_entries at the
+    end — all JVM-side, no UDF.
+    """
+    line = F.col(line_col)
+    is5424 = line.rlike(r"^<[0-9]{1,3}>[0-9]{1,2} ")
+    pri = F.regexp_extract(line, RFC5424_RE, 1).cast("int")
+    sd_raw = _nil(F.regexp_extract(line, RFC5424_RE, 8))
+    elements = F.regexp_extract_all(sd_raw, F.lit(SD_ELEMENT_RE), F.lit(1))
+    entries = F.flatten(
+        F.transform(
+            elements,
+            lambda e: F.transform(
+                F.regexp_extract_all(e, F.lit(SD_PARAM_RE), F.lit(0)),
+                lambda p: F.struct(
+                    F.concat(
+                        F.regexp_extract(e, SD_ID_RE, 1),
+                        F.lit("/"),
+                        F.substring_index(p, "=", 1),
+                    ).alias("key"),
+                    F.regexp_extract(p, r'"(.*)"', 1).alias("value"),
+                ),
+            ),
+        )
+    )
+    return F.when(is5424 & (pri <= 191), F.map_from_entries(entries))
+
+
+def with_structured_data(df: DataFrame, line_col: str = "line", out_col: str = "sd") -> DataFrame:
+    """Append the decoded structured-data map to a frame of raw lines."""
+    return df.withColumn(out_col, sd_map_expr(line_col))
+
+
 def parse_syslog_text(spark, path: str, year: int = DEFAULT_YEAR) -> DataFrame:
     """Batch entry point: parse a text file of syslog lines (one per row)."""
     raw = spark.read.text(path).withColumnRenamed("value", "line")

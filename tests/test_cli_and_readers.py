@@ -183,3 +183,69 @@ def test_package_sql_entry_point(spark, sf_dir):
         "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey",
     ).collect()[0].n
     assert n == 25
+
+
+def test_scan_oracle_values_match_fixture_files():
+    """The scans oracles run over inline VALUES (so the external gate's
+    DuckDB needs no file access); these constants must never drift from
+    the fixture files Spark actually reads."""
+    import csv
+
+    from syslog_kafka_spark.plans.scans import (
+        CSV_PATH,
+        CSV_ROWS,
+        JSONL_PATH,
+        JSONL_ROWS,
+    )
+
+    with open(CSV_PATH, newline="") as fh:
+        got = [
+            (
+                int(r["order_id"]),
+                r["category"],
+                r["descr"] or None,  # empty cell → null, as Spark parses it
+                int(r["qty"]),
+                r["unit_price"],
+                r["ship_date"],
+                r["express"] == "true",
+            )
+            for r in csv.DictReader(fh)
+        ]
+    assert got == CSV_ROWS
+
+    with open(JSONL_PATH) as fh:
+        got = [
+            (
+                d["event_id"],
+                d["kind"],
+                d["user"]["plan"],
+                d["user"]["id"],
+                d["tags"],
+                d["dur_ms"],
+            )
+            for d in map(json.loads, fh)
+        ]
+    assert got == JSONL_ROWS
+
+
+def test_structured_data_map_decode(spark):
+    """RFC 5424 §6.3 SD decode: multi-element flattening, nil/absent/3164
+    nulls, out-of-range PRI rejected."""
+    from syslog_kafka_spark.sources.syslog_parse import with_structured_data
+
+    lines = [
+        '<165>1 2024-02-05T17:32:18Z h nginx 912 REQ [x@1 iut="3" src="app"] GET',
+        '<14>1 2024-03-01T00:00:00Z db pg 1 Q [a@1 x="1"][b@2 y="2"]',
+        "<13>1 2024-06-30T23:59:59Z - - - - - msg with nil sd",
+        "<13>Aug 13 03:38:00 web01 nginx[912]: rfc3164 has no sd",
+        '<999>1 2024-01-01T00:00:00Z h a - - [x@1 k="v"] pri out of range',
+        '<14>1 2024-03-01T00:00:00Z db pg 1 Q [empty@0] no params element',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["line"])
+    sd = [r.sd for r in with_structured_data(df).collect()]
+    assert sd[0] == {"x@1/iut": "3", "x@1/src": "app"}
+    assert sd[1] == {"a@1/x": "1", "b@2/y": "2"}  # two elements, one flat map
+    assert sd[2] is None  # nil '-'
+    assert sd[3] is None  # RFC 3164
+    assert sd[4] is None  # invalid PRI
+    assert sd[5] == {}  # element with no params → empty map

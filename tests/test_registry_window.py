@@ -13,11 +13,9 @@ def test_every_family_lands_in_the_gate_window():
     window = list(inventory.values())[:50]
     window_families = {spec.family for spec in window}
     all_families = {spec.family for spec in inventory.values()}
-    # scans is the one deliberate exception: its oracles read fixture
-    # files with DuckDB read_csv/read_json, which the external gate's
-    # DuckDB may not permit — they stay outside the window (pytest +
-    # driver_sim still gate them) rather than risking a red row inside it
-    assert all_families - window_families <= {"scans"}
+    # since r4 there is no exception: the scans oracles were rewritten
+    # over inline VALUES, so every family sits inside the gate window
+    assert all_families == window_families
 
 
 def test_window_priority_is_exactly_the_gate_size():
@@ -29,7 +27,6 @@ def test_window_leads_with_oracle_gated_queries():
     inventory = load_all()
     window = list(inventory.items())[:50]
     rows_only = {name for name, spec in window if spec.oracle is None}
-    # rows-only by design inside the window: only SemDeDup (approximate
-    # clustering — semantic tests in pytest instead); every other window
-    # entry, including all 7 streaming gates, is hash-oracled
-    assert rows_only == {"llm_semantic_dedup"}
+    # every window entry is hash-oracled since r4: SemDeDup (the last
+    # rows-only holdout) gained a frozen-centroid oracle
+    assert rows_only == set()
