@@ -5,7 +5,10 @@ Prints ONE JSON line:
 
 Env knobs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 $SPARK_GRAFT_CPUS (default all cores), $SPARK_GRAFT_BENCH_ONLY
-(comma-separated query names for a smoke subset; full run when unset).
+(comma-separated query names for a smoke subset; full run when unset),
+$SPARK_GRAFT_BENCH_FULL (where the uncapped per-query map is written —
+default BENCH_FULL.json next to this script; tests point it at a tempdir
+so smoke subsets never clobber a round's headline record).
 """
 
 from __future__ import annotations
@@ -89,7 +92,10 @@ def main() -> None:
     # The full per-query map always lands next to this script — the stdout
     # line is capped because the harness that records it keeps only a ~2000
     # char tail, and a truncated JSON line parses as nothing at all.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+    )
     try:
         with open(full_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

@@ -14,12 +14,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_one_wellformed_json_line(sf_dir):
+def test_bench_emits_one_wellformed_json_line(sf_dir, tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_ONLY="agg_pricing_summary,sort_top_orders,scalar_string_funcs",
+        # never clobber the round's headline BENCH_FULL.json with a
+        # 3-query smoke map — the full record is a per-round artifact
+        SPARK_GRAFT_BENCH_FULL=str(tmp_path / "BENCH_FULL.json"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -40,6 +43,7 @@ def test_bench_emits_one_wellformed_json_line(sf_dir):
     assert all(t >= 0 for t in d["queries"].values()), "a smoke query failed"
     assert abs(d["value"] - sum(d["queries"].values())) < 0.01
     assert d["sf"] is not None
+    assert (tmp_path / "BENCH_FULL.json").exists()  # redirected, not repo-root
 
 
 def test_cap_line_fits_and_keeps_signal():
