@@ -65,13 +65,15 @@ def query(
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-4 window: the 6 queries that had never carried a
 # driver stamp (the scans pair now has inline-VALUES oracles so the gate's
-# DuckDB needs no file access), the 2 new round-4 queries, and SemDeDup —
-# upgraded this round from rows-only to a full hash oracle (frozen
-# centroids) and re-windowed so the upgrade gets stamped. The other 41
-# slots backfill with the OLDEST stamps in the inventory (the r1-only
-# cohort, plus three r2-era picks that keep every family represented).
-# Everything rotated out is green in CORRECTNESS_r01/r02/r03 and stays
-# covered by the pytest oracle suite (tests/test_inventory_oracle.py).
+# DuckDB needs no file access), the 8 new round-4 queries (syslog SD
+# decode, Kafka wire round trip, corpus mining x3, rolling distinct,
+# ORC + partition-pruned storage gates), and SemDeDup — upgraded this
+# round from rows-only to a full hash oracle (frozen centroids) and
+# re-windowed so the upgrade gets stamped. The remaining slots backfill
+# with the OLDEST stamps in the inventory (r1-only cohort, plus three
+# r2-era picks that keep every family represented). Everything rotated
+# out is green in CORRECTNESS_r01/r02/r03 and stays covered by the pytest
+# oracle suite (tests/test_inventory_oracle.py).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- never driver-stamped (oracled since r3) ---
     "join_asof_tolerance",
@@ -83,6 +85,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # --- new r4 ---
     "syslog_sd_params",
     "kafka_decode_roundtrip",
+    "llm_zipf_slope",
+    "llm_pmi_collocations",
+    "llm_bigram_logprob",
+    "window_rolling_distinct_users",
+    "scan_orc_roundtrip",
+    "scan_partition_pruned",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
     # --- backfill: r1-only stamps, aggregation + reshape ---
@@ -111,19 +119,14 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_range_error_burst",
     "join_semi_active_customers",
     "join_shipping_priority",
-    # --- backfill: r1-only stamps, LLM ---
-    "llm_bpe_token_counts",
+    # --- backfill: r1-only stamps, LLM (6 of 12 — the other six r1 LLM
+    # stamps gave their slots to the new r4 queries above) ---
     "llm_dedup_exact_stats",
     "llm_dedup_groups",
     "llm_embedding_neardup",
     "llm_fingerprint_collisions",
-    "llm_langid_confusion",
     "llm_quality_scores",
     "llm_similarity_topk",
-    "llm_term_freq",
-    "llm_tfidf_rank",
-    "llm_token_stats",
-    "llm_word_bigrams",
     # --- backfill: r1-only stamps, scalars ---
     "scalar_from_json_struct",
     "scalar_json_roundtrip",
@@ -149,6 +152,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         kafka_roundtrip,
         llm,
+        mining,
         reshape,
         scalars,
         scans,

@@ -224,3 +224,106 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plan", "kind")
     )
+
+
+def _warehouse_tmp(prefix: str) -> str:
+    """A fresh temp dir under the gitignored spark-warehouse root."""
+    import tempfile
+
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    os.makedirs(warehouse, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=warehouse)
+
+
+@query(
+    "scan_orc_roundtrip",
+    family="scans",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> read round trip: the events table lands in ORC (the
+    second columnar format large estates mix with parquet), is read back,
+    and aggregated — so the gate hashes what ORC actually preserved
+    (types, nulls, timestamps) rather than smoke-testing the writer.
+    Columnar pushdown/pruning apply to ORC scans exactly as to parquet.
+
+    The aggregate is materialized before the temp files are deleted; the
+    returned frame is the collected (bounded: one row per event type)
+    result."""
+    import shutil
+
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    out_dir = _warehouse_tmp("gate_orc_")
+    try:
+        e = load_tables(spark, sf_dir).events
+        e.write.mode("overwrite").orc(out_dir)
+        back = spark.read.orc(out_dir)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("event_type")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "scan_partition_pruned",
+    family="scans",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) AS n,
+               CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY day
+        ORDER BY day
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read: events land
+    partitioned BY event_type (the layout that turns a 100 TB scan of one
+    event type into a directory listing), then only the 'error' partition
+    is read back and aggregated per day. The filter on the partition
+    column must prune at planning time — asserted by the plan-shape test
+    (tests/test_plan_quality.py) via PartitionFilters; the gate hashes
+    the data equivalence with an unpartitioned DuckDB filter."""
+    import shutil
+
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    out_dir = _warehouse_tmp("gate_part_")
+    try:
+        e = load_tables(spark, sf_dir).events
+        e.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+        back = spark.read.parquet(out_dir).filter(F.col("event_type") == "error")
+        out = (
+            back.groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .orderBy("day")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("day")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

@@ -30,12 +30,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source STREAM with the same ns→µs
     timestamp normalization the batch loader applies."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Directory-style parquet table (the normal layout at scale):
+        # stream the directory itself.
+        raw = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # Single-file layout (the driver's testdata): the file source wants
+        # a directory, so stream the parent filtered down to this one file.
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     dtype = raw.schema["ts"].dataType
     if isinstance(dtype, LongType):
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -621,3 +621,48 @@ def window_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchored.select("user_id", "d", "v_cents", interp.alias("v_interp_cents"))
         .orderBy("user_id", "d")
     )
+
+
+@query(
+    "window_rolling_distinct_users",
+    family="windows",
+    oracle="""
+        WITH daily AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM daily)
+        SELECT d.day AS day, count(DISTINCT p.user_id) AS u7_users
+        FROM days d
+        JOIN daily p ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+        ORDER BY d.day
+    """,
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the canonical engagement
+    metric no window frame can express (COUNT(DISTINCT) OVER RANGE is
+    unsupported on both engines).
+
+    Scale shape: collapse to distinct (day, user) pairs FIRST (the big
+    shuffle, bounded by users x days, not by raw events), then explode
+    each pair to the <=7 window-end days it contributes to and hash-agg a
+    distinct count per day. Work is 7x the pair count — linear — where
+    the naive day-range self-join is pairs x days. At 100 TB the same
+    plan swaps the exact distinct for an HLL sketch merge; the explode
+    stays identical."""
+    e = load_tables(spark, sf_dir).events
+    daily = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = daily.select(F.col("day").alias("day_end")).distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day_end"
+        ),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "day_end")
+        .groupBy("day_end")
+        .agg(F.countDistinct("user_id").alias("u7_users"))
+        .select(F.col("day_end").alias("day"), "u7_users")
+        .orderBy("day")
+    )

@@ -205,3 +205,52 @@ def test_multiset_setops_stay_hash_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "setop_multiset_all")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """The top-500 rank cut must plan as TakeOrderedAndProject (partial
+    top-k per partition), never a full sort of the vocabulary."""
+    plan = _plan(spark, sf_dir, "llm_zipf_slope")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pmi_totals_are_broadcast(spark, sf_dir):
+    """The single-row corpus totals join the bigram relation via broadcast
+    (nested-loop over one row), never a shuffled join or cartesian."""
+    plan = _plan(spark, sf_dir, "llm_pmi_collocations")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_distinct_users_explodes_pairs_not_events(spark, sf_dir):
+    """The 7-day contribution explode must run over the distinct
+    (day, user) pairs — i.e. AFTER a distinct aggregate — so work is
+    bounded by users x days, not raw events."""
+    plan = _plan(spark, sf_dir, "window_rolling_distinct_users")
+    assert "explode(sequence(" in plan, plan
+    tree = plan.split("\n\n")[0].splitlines()
+    gen_idx = next(i for i, l in enumerate(tree) if "Generate (" in l)
+    assert "HashAggregate" in tree[gen_idx + 1], (
+        "explode does not feed from the dedup aggregate:\n" + "\n".join(tree)
+    )
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the hive-partition column must prune at planning time:
+    the scan's PartitionFilters carries the predicate and PartitionCount
+    is 1 of the 5 event types."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    out = str(tmp_path / "events_by_type")
+    load_tables(spark, sf_dir).events.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], plan
+    assert "PushedFilters: []" in plan or "event_type" not in (
+        [l for l in plan.splitlines() if "PushedFilters" in l] or [""]
+    )[0], plan  # the predicate is partition-level, not a data filter
