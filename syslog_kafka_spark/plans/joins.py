@@ -475,3 +475,107 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(F.col("event_id").alias("purchase_id"), "error_id")
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "join_salted_skew",
+    family="joins",
+    oracle="""
+        WITH dim AS (
+          SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               CAST(round(sum(e.value / d.type_n), 6) AS DOUBLE) AS norm_value
+        FROM events e JOIN dim d ON d.event_type = e.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted join on a pathologically skewed key: events
+    carries only 5 distinct event_types, so a plain shuffle join lands
+    ~20% of a 100 TB fact table on single tasks. ``salted_join`` spreads
+    each hot key across 8 (key, salt) buckets — the salt derives from the
+    unique event_id (reproducible, unlike rand()) and the build side is
+    exploded to match. Results are salt-invariant, which is exactly what
+    the oracle checks: the plain-join DuckDB twin must hash-match the
+    salted Spark plan."""
+    from syslog_kafka_spark.operators.skew import salted_join
+
+    e = load_tables(spark, sf_dir).events
+    dim = e.groupBy("event_type").agg(F.count("*").alias("type_n"))
+    joined = salted_join(
+        e.select("event_id", "event_type", "value"),
+        dim,
+        "event_type",
+        buckets=8,
+        salt_source="event_id",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") / F.col("type_n")), 6).alias("norm_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    family="joins",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*) AS n_lines,
+               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+                 AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through bucketed storage: orders and lineitem are
+    written bucketed+sorted by orderkey (the storage contract a production
+    deployment adopts for its hot join key), then joined bucket-to-bucket
+    — the sort-merge join reads co-located buckets with ZERO exchange on
+    either side (asserted by tests/test_bucketing.py). At 100 TB this
+    storage layout is the difference between a join that shuffles two
+    fact tables and one that streams matching buckets.
+
+    The managed tables live under the session's spark-warehouse; the
+    aggregate is materialized before they are dropped."""
+    from syslog_kafka_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    t = load_tables(spark, sf_dir)
+    lt, rt = "_gate_bkt_orders", "_gate_bkt_lineitem"
+    write_bucketed(
+        t.orders.select(F.col("o_orderkey").alias("orderkey"), "o_orderstatus"),
+        lt,
+        bucket_by="orderkey",
+    )
+    write_bucketed(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+        ),
+        rt,
+        bucket_by="orderkey",
+    )
+    try:
+        out = (
+            bucketed_join(spark, lt, rt, "orderkey")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("o_orderstatus")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")

@@ -91,6 +91,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_rolling_distinct_users",
     "scan_orc_roundtrip",
     "scan_partition_pruned",
+    "join_salted_skew",
+    "join_bucketed_colocated",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
     # --- backfill: r1-only stamps, aggregation + reshape ---
@@ -113,8 +115,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_cross_region_nation",
     "join_exists_correlated",
     "join_full_outer_nation_counts",
-    "join_in_subquery_vip_orders",
-    "join_left_outer_order_counts",
     "join_local_supplier_volume",
     "join_range_error_burst",
     "join_semi_active_customers",

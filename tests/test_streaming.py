@@ -370,3 +370,47 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     lines = [r.line for r in spark.read.parquet(out).collect()]
     assert len(lines) == 12, "restart reprocessed or dropped data"
     assert sorted(lines) == sorted(SYSLOG_CORPUS[:12])
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """Late-data drop semantics end to end: a row older than the
+    watermark, arriving in a LATER microbatch, must be excluded from its
+    (already-finalized) window — while an equally-old row in the FIRST
+    batch counts. maxFilesPerTrigger=1 pins the file→microbatch mapping;
+    the watermark used by batch N is the one committed after batch N-1."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # Batch 1: two rows in [10:00,10:10) and one at 11:00 that drags the
+    # watermark to 10:45 (11:00 - 15 min) once the batch commits.
+    (src / "f1.csv").write_text(
+        "2024-03-01 10:00:00,u1\n2024-03-01 10:05:00,u2\n2024-03-01 11:00:00,u3\n"
+    )
+    raw = (
+        spark.readStream.schema("ts TIMESTAMP, user_id STRING")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(src))
+    )
+    agg = (
+        raw.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .count()
+    )
+    name = f"t{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # Batch 2: one LATE row for the finalized [10:00,10:10) window
+        # (10:01 < watermark 10:45 → dropped) and one on-time row.
+        (src / "f2.csv").write_text(
+            "2024-03-01 10:01:00,u4\n2024-03-01 11:10:00,u5\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["w"].start.strftime("%H:%M"): r["count"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # The finalized first window counts only the two on-time rows — the
+    # late u4 row did not resurrect or re-emit it.
+    assert rows.get("10:00") == 2, rows
