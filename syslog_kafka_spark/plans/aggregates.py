@@ -458,3 +458,38 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_MONTH_SPINE_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '1996-12-01 00:00:00'
+    )
+    SELECT CAST(m AS DATE) AS month_start,
+           count(o_orderkey) AS n_orders,
+           CAST(round(coalesce(sum(o_totalprice), 0), 2) AS DOUBLE) AS revenue
+    FROM months LEFT JOIN {orders} ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    ORDER BY month_start
+"""
+
+
+@query(
+    "agg_recursive_month_spine",
+    family="aggregation",
+    oracle=_MONTH_SPINE_SQL.format(orders="orders"),
+)
+def agg_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) as a calendar spine: 24 month starts
+    generated by UNION ALL recursion, left-joined to orders so zero-order
+    months survive with revenue 0. The SQL text is IDENTICAL on both
+    engines (modulo the view name) — the strongest dialect-parity case in
+    the inventory. Recursion in Spark is UNION ALL only (no cycle-safe
+    UNION yet), which a finite monotone generator like this satisfies by
+    construction; the spine is 24 rows, so the recursion cost is nil and
+    the join broadcasts the spine against the fact table."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_orders_spine")
+    return spark.sql(_MONTH_SPINE_SQL.format(orders="_orders_spine"))

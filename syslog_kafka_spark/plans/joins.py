@@ -579,3 +579,37 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+@query(
+    "join_right_outer_segment_counts",
+    family="joins",
+    oracle="""
+        SELECT c.c_mktsegment,
+               count(o.o_orderkey) AS n_orders,
+               count(*) AS n_rows,
+               count(*) - count(o.o_orderkey) AS n_orderless_customers
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+)
+def join_right_outer_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (completing the left/right/full trio): every
+    customer survives, orderless ones with a NULL order side — the
+    count(*)-minus-count(key) delta exposes exactly the preserved-side
+    rows. Catalyst flips build/probe sides freely, so right-outer costs
+    the same as its mirrored left-outer."""
+    t = load_tables(spark, sf_dir)
+    joined = t.orders.join(
+        t.customer, t.orders.o_custkey == t.customer.c_custkey, "right_outer"
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("o_orderkey")).alias("n_orderless_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -65,11 +65,13 @@ def query(
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-4 window: the 6 queries that had never carried a
 # driver stamp (the scans pair now has inline-VALUES oracles so the gate's
-# DuckDB needs no file access), the 8 new round-4 queries (syslog SD
+# DuckDB needs no file access), the 13 new round-4 queries (syslog SD
 # decode, Kafka wire round trip, corpus mining x3, rolling distinct,
-# ORC + partition-pruned storage gates), and SemDeDup — upgraded this
-# round from rows-only to a full hash oracle (frozen centroids) and
-# re-windowed so the upgrade gets stamped. The remaining slots backfill
+# ORC + partition-pruned storage gates, salted/bucketed/right-outer
+# joins, recursive month spine, VARIANT extraction), and SemDeDup —
+# upgraded this round from rows-only to a full hash oracle (frozen
+# centroids) and re-windowed so the upgrade gets stamped. The remaining
+# (30) slots backfill
 # with the OLDEST stamps in the inventory (r1-only cohort, plus three
 # r2-era picks that keep every family represented). Everything rotated
 # out is green in CORRECTNESS_r01/r02/r03 and stays covered by the pytest
@@ -93,6 +95,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "scan_partition_pruned",
     "join_salted_skew",
     "join_bucketed_colocated",
+    "join_right_outer_segment_counts",
+    "agg_recursive_month_spine",
+    "scalar_variant_extract",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
     # --- backfill: r1-only stamps, aggregation + reshape ---
@@ -101,7 +106,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_exact_percentiles",
     "agg_grouping_sets",
     "agg_having_big_customers",
-    "agg_min_max_extremes",
     "agg_multi_distinct",
     "agg_revenue_forecast",
     "agg_rollup_revenue",
@@ -117,7 +121,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_full_outer_nation_counts",
     "join_local_supplier_volume",
     "join_range_error_burst",
-    "join_semi_active_customers",
     "join_shipping_priority",
     # --- backfill: r1-only stamps, LLM (6 of 12 — the other six r1 LLM
     # stamps gave their slots to the new r4 queries above) ---
@@ -129,7 +132,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_similarity_topk",
     # --- backfill: r1-only stamps, scalars ---
     "scalar_from_json_struct",
-    "scalar_json_roundtrip",
     # --- family coverage (oldest remaining stamps are r2) ---
     "setop_union_all",
     "sort_nulls_ordering",

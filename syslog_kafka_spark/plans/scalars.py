@@ -604,3 +604,49 @@ def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "scalar_variant_extract",
+    family="scalars",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+                 AS sum_k,
+               count(json_extract_string(props, '$.missing')) AS n_missing
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4): ``parse_json`` once into the binary
+    VARIANT type, then typed ``variant_get`` path extractions — the
+    schema-on-demand semi-structured path that replaces repeated string
+    re-parsing of JSON columns at scale (parse once per row, not once per
+    extraction). A missing path extracts NULL (counted zero on both
+    engines); DuckDB has no VARIANT, so the oracle states the same
+    extractions over its JSON functions."""
+    e = load_tables(spark, sf_dir).events
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+            F.expr("variant_get(v, '$.missing', 'string')").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count("missing").alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

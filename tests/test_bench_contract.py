@@ -81,3 +81,25 @@ def test_cap_line_fits_and_keeps_signal():
     }
     line = bench.cap_line(dict(small))
     assert json.loads(line) == small, "small payloads pass through uncapped"
+
+
+def test_sf1_cipher_preserves_dup_structure():
+    """The sf1 generator's per-replica Caesar cipher must (a) keep
+    identical texts identical within a replica (dup groups scale exactly
+    by the replica count) and (b) share no alphabetic vocabulary across
+    replicas (each replica is its own near-dup universe)."""
+    from scripts.make_sf1 import _cipher_table
+
+    t1, t2 = _cipher_table(1), _cipher_table(2)
+    a, b = "the quick Brown fox 42!", "the quick Brown fox 42!"
+    assert a.translate(t1) == b.translate(t1)  # dup-preserving
+    assert a.translate(t1) != a.translate(t2)  # replica-distinct
+    assert a.translate(t1) != a
+    # injective: decipher by shifting back recovers the original
+    inv = {v: k for k, v in t1.items()}
+    assert a.translate(t1).translate(inv) == a
+    # vocabulary disjoint: no shared alphabetic token across replicas
+    w1 = set(a.translate(t1).split())
+    w2 = set(a.translate(t2).split())
+    shared = {w for w in w1 & w2 if any(c.isalpha() for c in w)}
+    assert not shared
