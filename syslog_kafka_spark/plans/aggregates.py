@@ -493,3 +493,152 @@ def agg_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("_orders_spine")
     return spark.sql(_MONTH_SPINE_SQL.format(orders="_orders_spine"))
+
+
+@query(
+    "agg_listagg_nations",
+    family="aggregation",
+    oracle="""
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+    """,
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4 / ANSI) — ordered string
+    aggregation per region (DuckDB spells it string_agg ORDER BY). The
+    deterministic ORDER BY inside the aggregate is the point: unordered
+    collect_list would hash-mismatch run to run. Region/nation are tiny
+    dims, so the join broadcasts and the aggregation is one exchange on
+    r_name."""
+    t = load_tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("_nat_la")
+    t.region.createOrReplaceTempView("_reg_la")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM _nat_la JOIN _reg_la ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
+
+
+@query(
+    "agg_corr_regression",
+    family="aggregation",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS qty_price_corr,
+               CAST(round(covar_pop(l_quantity, l_extendedprice), 2) AS DOUBLE) AS qty_price_covar,
+               CAST(round(regr_slope(l_extendedprice, l_quantity), 2) AS DOUBLE) AS price_per_qty,
+               CAST(round(regr_intercept(l_extendedprice, l_quantity), 2) AS DOUBLE) AS price_at_zero,
+               CAST(round(regr_r2(l_extendedprice, l_quantity), 4) AS DOUBLE) AS fit_r2,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — corr, covar_pop, and the OLS
+    regr_* family (slope / intercept / R²) per group. All are single-pass
+    partial-aggregable moments (sum x, sum y, sum xy, sum x², n), so the
+    plan is one hash aggregate with map-side combine: the shuffle carries
+    five doubles per group regardless of fact-table size — scale-safe at
+    100 TB."""
+    li = load_tables(spark, sf_dir).lineitem
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("price_per_qty"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("price_at_zero"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("fit_r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_integrity_audit",
+    family="aggregation",
+    oracle="""
+        SELECT 'lineitem_orphan_orderkey' AS check_name,
+               (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS violations
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'orders_dup_pk',
+               (SELECT coalesce(sum(cnt - 1), 0)
+                  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey) d
+                 WHERE cnt > 1)
+        UNION ALL
+        SELECT 'customer_null_acctbal',
+               (SELECT count(*) FROM customer WHERE c_acctbal IS NULL)
+        UNION ALL
+        SELECT 'lineitem_bad_values',
+               (SELECT count(*) FROM lineitem
+                 WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1 OR l_extendedprice < 0)
+        ORDER BY check_name
+    """,
+)
+def agg_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality audit: referential-integrity orphans
+    (anti-join semantics), duplicate-PK excess, null-ratio, and a
+    value-range sanity rule, unioned into one (check_name,
+    violations) report — the constraint-suite shape a 100 TB ingest
+    pipeline runs before accepting a batch. Each check is an independent
+    aggregate; the orphan checks are left-anti joins where Catalyst
+    broadcasts the smaller key side, and no check ever materializes
+    violating rows to the driver — only counts cross the wire."""
+    t = load_tables(spark, sf_dir)
+    li, orders, cust = t.lineitem, t.orders, t.customer
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("violations")
+        )
+
+    orphan_li = row(
+        "lineitem_orphan_orderkey",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti"),
+    )
+    orphan_ord = row(
+        "orders_orphan_custkey",
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti"),
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("violations"))
+        .select(F.lit("orders_dup_pk").alias("check_name"), "violations")
+    )
+    null_bal = row("customer_null_acctbal", cust.filter(F.col("c_acctbal").isNull()))
+    bad_vals = row(
+        "lineitem_bad_values",
+        li.filter(
+            (F.col("l_quantity") <= 0)
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+            | (F.col("l_extendedprice") < 0)
+        ),
+    )
+    return (
+        orphan_li.unionByName(orphan_ord)
+        .unionByName(dup_pk)
+        .unionByName(null_bal)
+        .unionByName(bad_vals)
+        .orderBy("check_name")
+    )

@@ -613,3 +613,50 @@ def join_right_outer_segment_counts(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_lateral_topk",
+    family="joins",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(round(o.o_totalprice, 2) AS DOUBLE) AS total_price
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 120
+        ORDER BY c.c_custkey, o.o_orderkey
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (ANSI lateral derived table, Spark 3.2+)
+    — per-customer top-2 orders by price. Catalyst decorrelates the
+    LATERAL into a ranked window over the join, so the physical plan is a
+    shuffle on the correlation key plus a WindowGroupLimit, never a
+    per-row re-execution — the property that makes lateral top-k viable
+    against a 100 TB fact table. Deterministic: price ties broken by
+    o_orderkey inside the LIMIT's ORDER BY."""
+    t = load_tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("_cust_lat")
+    t.orders.createOrReplaceTempView("_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(round(o.o_totalprice, 2) AS DOUBLE) AS total_price
+        FROM _cust_lat c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _ord_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey <= 120
+        ORDER BY c.c_custkey, o.o_orderkey
+        """
+    )

@@ -1783,3 +1783,129 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --- embedding compression / projection -------------------------------------
+
+_QUANT_ORACLE = """
+    WITH q AS (
+      SELECT label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(round(avg(scale), 6) AS DOUBLE) AS avg_scale,
+           CAST(round(avg(sqrt(list_avg(list_transform(v,
+             x -> pow(x - round(x / scale) * scale, 2))))), 6) AS DOUBLE) AS avg_rmse
+    FROM q
+    WHERE scale > 0
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@query("llm_embedding_quantization", family="llm", oracle=_QUANT_ORACLE)
+def llm_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit for an embedding corpus: per
+    vector, scale = max|x|/127, quantize q = round(x/scale), and measure
+    the reconstruction RMSE of dequantized q*scale — the exact error a
+    serving stack pays for 4x smaller vectors. Everything is JVM-side
+    higher-order array algebra (transform/aggregate) on the embedding
+    column; the only shuffle is the final tiny per-label aggregate, so the
+    audit is a single scan at any corpus size."""
+    emb = load_tables(spark, sf_dir).embeddings
+    v = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    scale = f"aggregate({v}, 0D, (m, x) -> greatest(m, abs(x))) / 127.0"
+    rmse = (
+        f"sqrt(aggregate({v}, 0D, (a, x) -> a + pow(x - round(x / _scale) * _scale, 2))"
+        f" / size(embedding))"
+    )
+    return (
+        emb.withColumn("_scale", F.expr(scale))
+        .filter(F.col("_scale") > 0)
+        .withColumn("_rmse", F.expr(rmse))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_scale"), 6).alias("avg_scale"),
+            F.round(F.avg("_rmse"), 6).alias("avg_rmse"),
+        )
+        .orderBy("label")
+    )
+
+
+def _rademacher_rows(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Frozen +-1 projection matrix, deterministic by construction (fixed
+    LCG seed) so the Spark build and the DuckDB oracle embed the SAME
+    literals — the same freeze-the-randomness trick the SemDeDup oracle
+    uses for its centroids."""
+    import random
+
+    rng = random.Random(20260814)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)] for _ in range(k)]
+
+
+_PROJ_ROWS = _rademacher_rows()
+
+
+def _proj_oracle() -> str:
+    comps = ",\n             ".join(
+        f"list_dot_product(v, {row}) AS p{j}" for j, row in enumerate(_PROJ_ROWS)
+    )
+    sq = " + ".join(f"p{j} * p{j}" for j in range(len(_PROJ_ROWS)))
+    k, d = len(_PROJ_ROWS), len(_PROJ_ROWS[0])
+    return f"""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), p AS (
+      SELECT label,
+             {comps},
+             sqrt(list_dot_product(v, v)) AS norm_v
+      FROM v
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(round(avg((sqrt({sq}) / sqrt({k})) / (norm_v / sqrt({d}))), 4) AS DOUBLE)
+             AS avg_norm_ratio
+    FROM p
+    WHERE norm_v > 0
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+@query("llm_random_projection", family="llm", oracle=_proj_oracle())
+def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project 64-dim embeddings to 8 dims
+    with a frozen Rademacher (+-1) matrix and audit norm preservation —
+    avg of (||Pv||/sqrt(k)) / (||v||/sqrt(d)) per label, which JL says
+    concentrates near 1. The matrix rides inline as literals (no
+    broadcast, no state); each component is a zip_with dot product fused
+    into the scan, so projecting a 100 TB corpus is one pass with a
+    per-label scalar aggregate at the end. Deterministic: both engines
+    fold the identical literal matrix left-to-right in doubles."""
+    emb = load_tables(spark, sf_dir).embeddings
+    k, d = len(_PROJ_ROWS), len(_PROJ_ROWS[0])
+    v = "transform(embedding, x -> CAST(x AS DOUBLE))"
+
+    def dot(row: list[float]) -> str:
+        lits = ", ".join(str(x) for x in row)
+        return f"aggregate(zip_with({v}, array({lits}), (x, s) -> x * s), 0D, (a, b) -> a + b)"
+
+    comps = [F.expr(dot(row)).alias(f"p{j}") for j, row in enumerate(_PROJ_ROWS)]
+    norm_v = F.expr(f"sqrt(aggregate({v}, 0D, (a, x) -> a + x * x))")
+    sq = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(k))
+    return (
+        emb.select("label", norm_v.alias("norm_v"), *comps)
+        .filter(F.col("norm_v") > 0)
+        .withColumn("_ratio", (F.sqrt(sq) / F.lit(k) ** 0.5) / (F.col("norm_v") / F.lit(d) ** 0.5))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_ratio"), 4).alias("avg_norm_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -98,23 +98,26 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_right_outer_segment_counts",
     "agg_recursive_month_spine",
     "scalar_variant_extract",
+    # --- new r4, batch 2 (LATERAL, LISTAGG, regr_* moments, DQ audit,
+    # EWMA fold, z-score anomalies, int8 quantization, JL projection,
+    # try_* arithmetic) ---
+    "join_lateral_topk",
+    "agg_listagg_nations",
+    "agg_corr_regression",
+    "agg_integrity_audit",
+    "window_ewma_user_value",
+    "window_zscore_anomaly",
+    "llm_embedding_quantization",
+    "llm_random_projection",
+    "scalar_try_arith",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
     # --- backfill: r1-only stamps, aggregation + reshape ---
-    "agg_conditional",
-    "agg_cube_orders",
-    "agg_exact_percentiles",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_multi_distinct",
-    "agg_revenue_forecast",
     "agg_rollup_revenue",
     "agg_stats_moments",
     "reshape_pivot_event_counts",
     "reshape_unpivot_acctbal",
     # --- backfill: r1-only stamps, joins ---
-    "join_anti_silent_customers",
-    "join_asof_last_error",
     "join_broadcast_brand_volume",
     "join_cross_region_nation",
     "join_exists_correlated",

@@ -650,3 +650,40 @@ def scalar_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_try_arith",
+    family="scalars",
+    oracle="""
+        SELECT event_id,
+               CAST(round(1.0 / nullif(event_id % 3, 0), 4) AS DOUBLE) AS safe_div,
+               CASE WHEN event_id = 0 THEN 0
+                    WHEN event_id = 1 THEN 9223372036854775807
+                    ELSE NULL END AS overflow_mul,
+               string_split(event_type, '_')[3] AS third_token,
+               TRY_CAST(substr(event_type, 1, 2) AS INT) AS parsed_prefix
+        FROM events
+        WHERE event_id <= 300
+        ORDER BY event_id
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: try_divide (NULL on /0), try_multiply
+    (NULL on BIGINT overflow — oracled via the closed form, since DuckDB
+    would promote to HUGEINT instead), try_element_at (NULL past the end),
+    and TRY_CAST. These are the error-tolerant kernels a 100 TB batch job
+    needs so one malformed row degrades to NULL instead of failing the
+    stage under ANSI mode."""
+    e = load_tables(spark, sf_dir).events
+    return (
+        e.filter(F.col("event_id") <= 300)
+        .select(
+            "event_id",
+            F.round(F.try_divide(F.lit(1.0), F.col("event_id") % 3), 4).alias("safe_div"),
+            F.try_multiply(F.col("event_id"), F.lit(9223372036854775807)).alias("overflow_mul"),
+            F.try_element_at(F.split("event_type", "_"), F.lit(3)).alias("third_token"),
+            F.expr("TRY_CAST(substr(event_type, 1, 2) AS INT)").alias("parsed_prefix"),
+        )
+        .orderBy("event_id")
+    )

@@ -666,3 +666,81 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("day_end").alias("day"), "u7_users")
         .orderBy("day")
     )
+
+
+@query(
+    "window_ewma_user_value",
+    family="windows",
+    oracle="""
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(round(list_reduce(
+                 list_transform(list(value ORDER BY ts, event_id), x -> CAST(x AS DOUBLE)),
+                 (acc, x) -> 0.3 * x + 0.7 * acc
+               ), 4) AS DOUBLE) AS ewma_value
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) >= 3
+        ORDER BY user_id
+    """,
+)
+def window_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (alpha = 0.3, seeded
+    at the first observation) via an ordered higher-order fold: collect the
+    time-ordered value sequence and reduce with acc' = a*x + (1-a)*acc.
+    The fold is a JVM-side lambda over a grouped array — one exchange on
+    user_id, no UDF, no iteration. Both engines execute the identical
+    left-to-right double-precision fold (DuckDB list_reduce seeds from the
+    first element; the Spark aggregate's NULL-seeded WHEN reproduces it),
+    so results are bit-comparable at round(4). Per-user sequences are
+    bounded (events per entity), so the collected array is small even when
+    the table is 100 TB."""
+    e = load_tables(spark, sf_dir).events
+    ewma = F.expr(
+        """
+        round(aggregate(
+          transform(array_sort(collect_list(struct(ts, event_id, value))),
+                    s -> CAST(s.value AS DOUBLE)),
+          CAST(NULL AS DOUBLE),
+          (acc, x) -> CASE WHEN acc IS NULL THEN x ELSE 0.3 * x + 0.7 * acc END
+        ), 4)
+        """
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), ewma.alias("ewma_value"))
+        .filter(F.col("n_events") >= 3)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "window_zscore_anomaly",
+    family="windows",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 3) AS DOUBLE) AS zscore
+        FROM events
+        QUALIFY abs((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type)) > 2.0
+        ORDER BY event_id
+    """,
+)
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-relative anomaly detection: z-score each event against
+    its event_type cohort (unbounded window mean/stddev) and keep |z| > 2.
+    The plan is one exchange on event_type computing both moments in a
+    single Window operator, then a filter — the standard outlier sweep a
+    telemetry pipeline runs per batch. No global sort until the final
+    presentation ORDER BY, and the survivors are a tiny fraction of the
+    input, so the result stays driver-safe at any scale."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.select("event_id", "event_type", z.alias("_z"))
+        .filter(F.abs(F.col("_z")) > 2.0)
+        .select("event_id", "event_type", F.round("_z", 3).alias("zscore"))
+        .orderBy("event_id")
+    )
