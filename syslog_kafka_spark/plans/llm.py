@@ -1909,3 +1909,77 @@ def llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Python UDTF (Spark 4 user-defined table function) ----------------------
+
+
+class _KwicUDTF:
+    """Keyword-in-context concordance: for each occurrence of `keyword`
+    in the document's token stream, emit the token position plus two
+    tokens of left and right context — the classic corpus-linguistics
+    table function. One input row fans out to 0..n output rows, which is
+    exactly the shape SQL scalar functions cannot express and UDTFs
+    exist for."""
+
+    def eval(self, doc_id, text, keyword):
+        toks = [t for t in (text or "").split(" ") if t]
+        for i, t in enumerate(toks):
+            if t == keyword:
+                yield (
+                    doc_id,
+                    i,
+                    " ".join(toks[max(0, i - 2) : i]),
+                    " ".join(toks[i + 1 : i + 3]),
+                )
+
+
+@query(
+    "llm_udtf_concordance",
+    family="llm",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents WHERE doc_id <= 60
+        ),
+        e AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS pos,
+               coalesce(array_to_string(toks[greatest(i - 2, 1):i - 1], ' '), '') AS left_ctx,
+               coalesce(array_to_string(toks[i + 1:i + 2], ' '), '') AS right_ctx
+        FROM e
+        WHERE toks[i] = 'spark'
+        ORDER BY doc_id, pos
+    """,
+)
+def llm_udtf_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 `spark.udtf.register`, Arrow-batched): a
+    keyword-in-context scan for the token 'spark' invoked as a LATERAL
+    table function, one input doc fanning out to one row per hit. The
+    UDTF runs as an Arrow-batched Python worker per partition — the
+    sanctioned slow-path escape hatch — while the oracle recomputes the
+    concordance relationally (indexed unnest + list slicing), so the fan
+    -out cardinality, token positions, and boundary-clipped context
+    windows all hash-match. Scale shape: the UDTF is embarrassingly
+    parallel over doc partitions and emits only hit rows, so output is
+    corpus-frequency-bound, not corpus-size-bound."""
+    from pyspark.sql.functions import udtf
+
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("_docs_kwic")
+    kwic = udtf(
+        _KwicUDTF,
+        returnType="doc_id BIGINT, pos INT, left_ctx STRING, right_ctx STRING",
+        useArrow=True,
+    )
+    spark.udtf.register("kwic_hits", kwic)
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.left_ctx, s.right_ctx
+        FROM _docs_kwic d, LATERAL kwic_hits(d.doc_id, d.text, 'spark') s
+        WHERE d.doc_id <= 60
+        ORDER BY s.doc_id, s.pos
+        """
+    )

@@ -65,17 +65,18 @@ def query(
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-4 window: the 6 queries that had never carried a
 # driver stamp (the scans pair now has inline-VALUES oracles so the gate's
-# DuckDB needs no file access), the 13 new round-4 queries (syslog SD
-# decode, Kafka wire round trip, corpus mining x3, rolling distinct,
-# ORC + partition-pruned storage gates, salted/bucketed/right-outer
-# joins, recursive month spine, VARIANT extraction), and SemDeDup —
-# upgraded this round from rows-only to a full hash oracle (frozen
-# centroids) and re-windowed so the upgrade gets stamped. The remaining
-# (30) slots backfill
-# with the OLDEST stamps in the inventory (r1-only cohort, plus three
-# r2-era picks that keep every family represented). Everything rotated
-# out is green in CORRECTNESS_r01/r02/r03 and stays covered by the pytest
-# oracle suite (tests/test_inventory_oracle.py).
+# DuckDB needs no file access), the 28 new round-4 queries (three batches:
+# parser/wire/mining/storage/join depth; analytics batch 2 — LATERAL,
+# LISTAGG, regr_*, DQ audit, EWMA, z-score, quantization, JL projection,
+# try_*; Spark-4 API batch 3 — Python DataSource batch + streaming,
+# state-store reader, chained stateful windows, parameterized SQL, Python
+# UDTF), and SemDeDup — upgraded this round from rows-only to a full hash
+# oracle (frozen centroids) and re-windowed so the upgrade gets stamped.
+# The remaining 15 slots backfill with the OLDEST stamps in the inventory
+# (r1-only cohort, plus three r2-era picks that keep every family
+# represented). Everything rotated out is green in CORRECTNESS_r01/r02/r03
+# and stays covered by the pytest oracle suite
+# (tests/test_inventory_oracle.py).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- never driver-stamped (oracled since r3) ---
     "join_asof_tolerance",
@@ -110,6 +111,15 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_embedding_quantization",
     "llm_random_projection",
     "scalar_try_arith",
+    # --- new r4, batch 3 (Spark-4 API surfaces: Python DataSource batch +
+    # streaming, state-store reader, chained stateful windows,
+    # parameterized SQL, Python UDTF) ---
+    "scan_python_datasource",
+    "stream_python_datasource_tail",
+    "stream_state_store_read",
+    "stream_chained_window_rollup",
+    "scalar_parameterized_sql",
+    "llm_udtf_concordance",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
     # --- backfill: r1-only stamps, aggregation + reshape ---
@@ -121,16 +131,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_broadcast_brand_volume",
     "join_cross_region_nation",
     "join_exists_correlated",
-    "join_full_outer_nation_counts",
-    "join_local_supplier_volume",
-    "join_range_error_burst",
-    "join_shipping_priority",
-    # --- backfill: r1-only stamps, LLM (6 of 12 — the other six r1 LLM
+    # --- backfill: r1-only stamps, LLM (4 of 12 — the other eight r1 LLM
     # stamps gave their slots to the new r4 queries above) ---
     "llm_dedup_exact_stats",
-    "llm_dedup_groups",
     "llm_embedding_neardup",
-    "llm_fingerprint_collisions",
     "llm_quality_scores",
     "llm_similarity_topk",
     # --- backfill: r1-only stamps, scalars ---

@@ -687,3 +687,39 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "scalar_parameterized_sql",
+    family="scalars",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_totalprice > 250000.0 AND o_orderpriority = '1-URGENT'
+        GROUP BY 1
+        ORDER BY month
+    """,
+)
+def scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(query, args={...})`, Spark 3.4+):
+    the binding happens in the parser as typed literals — not string
+    interpolation — so Catalyst still constant-folds and pushes the
+    predicates to the scan, and injection is structurally impossible.
+    The oracle is the same query with the literals inlined, proving the
+    bound plan is equivalent to the literal plan."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_ord_param")
+    return spark.sql(
+        """
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM _ord_param
+        WHERE o_totalprice > :min_price AND o_orderpriority = :prio
+        GROUP BY 1
+        ORDER BY month
+        """,
+        args={"min_price": 250000.0, "prio": "1-URGENT"},
+    )

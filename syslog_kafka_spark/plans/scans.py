@@ -327,3 +327,50 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("day")
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+from syslog_kafka_spark.sources.syslog_fixtures import corpus_values_idx_sql
+
+
+@query(
+    "scan_python_datasource",
+    family="scans",
+    oracle=f"""
+        WITH c AS (SELECT idx, line FROM {corpus_values_idx_sql()})
+        SELECT CAST(coalesce(sum(strlen(line) + 1) OVER (
+                 ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS byte_offset,
+               CAST(strlen(line) AS BIGINT) AS n_bytes,
+               substr(line, 1, 24) AS prefix
+        FROM c
+        ORDER BY byte_offset
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (`sources/pyds.py`): the fixture
+    corpus served through `format("syslog_text")` with Hadoop-style
+    byte-range splits (3 ranges here), each row stamped with its exact
+    file byte offset. The oracle reconstructs the offsets arithmetically
+    (cumulative strlen+1 over the indexed VALUES corpus), so a split
+    reader that dropped, duplicated, or mis-addressed a boundary line —
+    including the multibyte UTF-8 and 8 KB payload lines — hash-fails.
+    At scale the same reader fans N byte ranges across executors with no
+    driver coordination, exactly like the builtin text source."""
+    from syslog_kafka_spark.sources import pyds
+
+    pyds.register(spark)
+    path = pyds.corpus_file(spark)
+    df = (
+        spark.read.format("syslog_text")
+        .option("path", path)
+        .option("splits", 3)
+        .load()
+    )
+    return (
+        df.select(
+            "byte_offset",
+            F.octet_length("line").cast("bigint").alias("n_bytes"),
+            F.substring("line", 1, 24).alias("prefix"),
+        )
+        .orderBy("byte_offset")
+    )

@@ -438,3 +438,161 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("event_type")
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _corpus_values_idx_sql() -> str:
+    from syslog_kafka_spark.sources.syslog_fixtures import corpus_values_idx_sql
+
+    return corpus_values_idx_sql()
+
+
+def _pyds_severity_counts_sql(values_idx_sql: str) -> str:
+    return f"""
+        WITH c AS (SELECT idx, line FROM {values_idx_sql}),
+        o AS (
+          SELECT CAST(coalesce(sum(strlen(line) + 1) OVER (
+                   ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS byte_offset,
+                 line
+          FROM c
+        ),
+        p AS (
+          SELECT byte_offset,
+                 TRY_CAST(regexp_extract(line, '^<([0-9]{{1,3}})>', 1) AS INT) AS pri_raw
+          FROM o
+        )
+        SELECT CASE WHEN pri_raw IS NOT NULL AND pri_raw <= 191
+                    THEN pri_raw % 8 END AS severity,
+               count(*) AS n_lines,
+               min(byte_offset) AS first_offset
+        FROM p
+        GROUP BY 1
+        ORDER BY severity NULLS LAST
+    """
+
+
+@query(
+    "stream_python_datasource_tail",
+    family="streaming",
+    oracle=_pyds_severity_counts_sql(_corpus_values_idx_sql()),
+)
+def stream_python_datasource_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python *streaming* DataSource (`sources/pyds.py`): tail the
+    corpus file in bounded 5-line microbatches (line-count offsets,
+    checkpoint-compatible JSON), drain to a memory sink, then aggregate a
+    severity histogram with each class's first byte offset. The oracle
+    recomputes severities and offsets arithmetically over the indexed
+    VALUES corpus, so lost/duplicated lines across microbatch boundaries
+    — the classic custom-source bug — hash-fail. Admission control
+    (`batchLines`) bounds per-batch work no matter how much data arrives,
+    which is the property that keeps a production tail stable under
+    burst."""
+    from syslog_kafka_spark.sources import pyds
+
+    pyds.register(spark)
+    path = pyds.corpus_file(spark)
+    raw = (
+        spark.readStream.format("syslog_text")
+        .option("path", path)
+        .option("batchLines", 5)
+        .load()
+    )
+    drained = drain(raw, mode="append")
+    pri_raw = F.expr("TRY_CAST(regexp_extract(line, '^<([0-9]{1,3})>', 1) AS INT)")
+    sev = F.when(pri_raw.isNotNull() & (pri_raw <= 191), pri_raw % 8)
+    return (
+        drained.select(sev.alias("severity"), "byte_offset")
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n_lines"), F.min("byte_offset").alias("first_offset"))
+        .orderBy(F.col("severity").asc_nulls_last())
+    )
+
+
+@query(
+    "stream_state_store_read",
+    family="streaming",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state data source: run a streaming aggregation to
+    completion with a checkpoint, then read the OPERATOR STATE itself back
+    with `spark.read.format("statestore")` and verify it equals the batch
+    aggregate. This is the observability path an on-call engineer uses on
+    a wedged production stream — inspect keys and counts inside the state
+    store without touching the query — and gating it proves the
+    checkpoint's state layout round-trips: what the stream committed is
+    exactly what a batch scan of the same data computes. State rows are
+    (key struct, value struct, partition_id); only key/value participate,
+    since partition assignment is an engine detail."""
+    import shutil
+
+    os.makedirs("spark-warehouse", exist_ok=True)
+    ckpt = os.path.join("spark-warehouse", "_state_read_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    counts = stream_events(spark, sf_dir).groupBy("event_type").count()
+    name = f"ssread_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "stream_chained_window_rollup",
+    family="streaming",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS day,
+               count(*) AS n_events,
+               count(DISTINCT (time_bucket(INTERVAL 1 HOUR, ts), event_type)) AS n_slots
+        FROM events
+        WHERE time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY
+              <= (SELECT max(ts) FROM events)
+        GROUP BY 1
+        ORDER BY day
+    """,
+)
+def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators (Spark 3.4+): an hourly tumbling-window
+    count per event_type feeding a second stateful daily rollup via
+    window_time() — the multi-resolution downsampling cascade every
+    telemetry pipeline runs, as ONE streaming query with two state
+    stores instead of two jobs with an intermediate table. Append mode +
+    watermark 0s: a day window emits once the watermark passes its end,
+    so the final (incomplete) day is withheld — the oracle mirrors that
+    exactly with the max(ts) cutoff. State is bounded by (hours x types)
+    + days, independent of event volume — scale-safe."""
+    raw = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
+    hourly = raw.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"))
+        .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_slots"))
+    )
+    drained = drain(daily, mode="append")
+    return (
+        drained.select(
+            F.col("window.start").alias("day"),
+            "n_events",
+            "n_slots",
+        )
+        .orderBy("day")
+    )

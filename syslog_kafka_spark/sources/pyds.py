@@ -1,0 +1,171 @@
+"""Spark 4 Python DataSource API: a custom batch + streaming source for
+raw syslog text files (``pyspark.sql.datasource``).
+
+This is the PySpark-native answer to the reference's file-tail ingestion
+seam (`syslog/syslog_producer.go` reads framed lines off a socket; a
+file-based deployment tails a log file the same way): a first-class
+``spark.read.format("syslog_text")`` source instead of driver-side glue.
+
+Two readers share one format name:
+
+* **Batch** (`SyslogTextBatchReader`): splits the file into byte ranges
+  using Hadoop LineRecordReader ownership semantics — a split owns every
+  line whose first byte lies in ``(start, end]`` (split 0 also owns byte
+  0); a reader that lands mid-line skips forward to the next newline and
+  the previous reader reads past its ``end`` to finish the line. That
+  makes the source embarrassingly parallel over a 100 TB file set with no
+  coordination and no duplicated/lost lines, exactly like Spark's builtin
+  text source. Each row carries its byte offset so downstream can address
+  back into the raw file.
+* **Streaming** (`SyslogTextStreamReader`): an incremental tail with
+  line-count offsets — ``latestOffset`` advances ``batchLines`` per
+  microbatch until EOF, so ``processAllAvailable`` drains deterministic
+  batches and a restart resumes from the committed offset (offsets are
+  plain JSON dicts, checkpoint-compatible).
+
+Rows are yielded as tuples for line-exact offset accounting; a bulk
+deployment would yield ``pyarrow.RecordBatch`` chunks instead (the same
+``read()`` contract accepts them) to keep the Python→JVM hop vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+@dataclass
+class ByteRange(InputPartition):
+    start: int
+    end: int
+
+
+@dataclass
+class LineRange(InputPartition):
+    start_line: int
+    end_line: int
+
+
+class SyslogTextDataSource(DataSource):
+    """``format("syslog_text")`` — options: ``path`` (required),
+    ``splits`` (batch parallelism, default 4), ``batchLines`` (streaming
+    microbatch size, default 5)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "syslog_text"
+
+    def schema(self) -> str:
+        return "byte_offset BIGINT, line STRING"
+
+    def reader(self, schema) -> "SyslogTextBatchReader":
+        return SyslogTextBatchReader(self.options)
+
+    def streamReader(self, schema) -> "SyslogTextStreamReader":
+        return SyslogTextStreamReader(self.options)
+
+
+class SyslogTextBatchReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+        self.n_splits = int(options.get("splits", 4))
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        n = max(1, self.n_splits)
+        step = max(1, size // n)
+        cuts = list(range(0, size, step))
+        if cuts[-1] != size:
+            cuts.append(size)
+        return [ByteRange(s, e) for s, e in zip(cuts, cuts[1:])]
+
+    def read(self, partition: ByteRange):
+        with open(self.path, "rb") as f:
+            pos = partition.start
+            f.seek(pos)
+            if pos != 0:
+                # The (possibly partial) line straddling `start` belongs to
+                # the previous split, which reads past its own `end`.
+                pos += len(f.readline())
+            while pos <= partition.end:
+                raw = f.readline()
+                if not raw:
+                    break
+                yield (pos, raw.rstrip(b"\n").decode("utf-8"))
+                pos += len(raw)
+
+
+class SyslogTextStreamReader(DataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+        self.batch_lines = int(options.get("batchlines", 5))
+        # Planning state lives on the driver; Spark calls initialOffset/
+        # latestOffset there and ships pickled copies to executors only
+        # for read(). `_current` is the planned high-water mark; commit()
+        # raises it on checkpoint resume so a restarted query never plans
+        # a batch behind its committed offset.
+        self._current = 0
+
+    def _total_lines(self) -> int:
+        with open(self.path, "rb") as f:
+            return sum(1 for _ in f)
+
+    def initialOffset(self) -> dict:
+        return {"line": 0}
+
+    def latestOffset(self) -> dict:
+        # Advance at most `batch_lines` per planning round: bounded
+        # microbatches regardless of how much data arrived (the admission
+        # control knob every production stream source needs).
+        total = self._total_lines()
+        nxt = min(self._current + self.batch_lines, total)
+        self._current = nxt
+        return {"line": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        return [LineRange(start["line"], end["line"])]
+
+    def read(self, partition: LineRange):
+        pos = 0
+        with open(self.path, "rb") as f:
+            for idx, raw in enumerate(f):
+                if idx >= partition.end_line:
+                    break
+                if idx >= partition.start_line:
+                    yield (pos, raw.rstrip(b"\n").decode("utf-8"))
+                pos += len(raw)
+
+    def commit(self, end: dict) -> None:
+        self._current = max(self._current, end["line"])
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark) -> None:
+    """Register the format with this session (idempotent per session)."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(SyslogTextDataSource)
+        _REGISTERED.add(key)
+
+
+def corpus_file(spark) -> str:
+    """Materialize the fixture corpus as a newline-delimited UTF-8 file at
+    a stable warehouse-local path (idempotent overwrite)."""
+    from syslog_kafka_spark.sources.syslog_fixtures import SYSLOG_CORPUS
+
+    os.makedirs("spark-warehouse", exist_ok=True)
+    path = os.path.join("spark-warehouse", "pyds_syslog_corpus.log")
+    data = "".join(line + "\n" for line in SYSLOG_CORPUS).encode("utf-8")
+    if not os.path.exists(path) or open(path, "rb").read() != data:
+        with open(path, "wb") as f:
+            f.write(data)
+    return path

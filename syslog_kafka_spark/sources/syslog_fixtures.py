@@ -48,3 +48,13 @@ def corpus_values_sql() -> str:
     """The corpus as a DuckDB VALUES relation aliased ``t(line)``."""
     quoted = ", ".join("('" + line.replace("'", "''") + "')" for line in SYSLOG_CORPUS)
     return f"(VALUES {quoted}) AS t(line)"
+
+
+def corpus_values_idx_sql() -> str:
+    """The corpus as an indexed DuckDB VALUES relation ``t(idx, line)`` —
+    the index lets oracles reconstruct file byte offsets (cumulative
+    ``strlen + 1``) for the Python DataSource gates."""
+    quoted = ", ".join(
+        f"({i}, '" + line.replace("'", "''") + "')" for i, line in enumerate(SYSLOG_CORPUS)
+    )
+    return f"(VALUES {quoted}) AS t(idx, line)"
