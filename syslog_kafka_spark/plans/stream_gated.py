@@ -578,7 +578,12 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark 0s: a day window emits once the watermark passes its end,
     so the final (incomplete) day is withheld — the oracle mirrors that
     exactly with the max(ts) cutoff. State is bounded by (hours x types)
-    + days, independent of event volume — scale-safe."""
+    + days, independent of event volume — scale-safe. Two chained
+    stateful ops mean TWO state stores per partition paying provider
+    init + commit per microbatch, so the drain right-sizes state
+    partitions like the stream-stream join does (measured at sf0.1 on
+    local[32]: 9.9 s at 32 partitions → 2.8 s at 8 for identical
+    output)."""
     raw = stream_events(spark, sf_dir).withWatermark("ts", "0 seconds")
     hourly = raw.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
@@ -587,7 +592,7 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy(F.window(F.window_time("window"), "1 day"))
         .agg(F.sum("n").alias("n_events"), F.count(F.lit(1)).alias("n_slots"))
     )
-    drained = drain(daily, mode="append")
+    drained = drain(daily, mode="append", state_partitions=8)
     return (
         drained.select(
             F.col("window.start").alias("day"),

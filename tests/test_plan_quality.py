@@ -254,3 +254,53 @@ def test_partitioned_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PushedFilters: []" in plan or "event_type" not in (
         [l for l in plan.splitlines() if "PushedFilters" in l] or [""]
     )[0], plan  # the predicate is partition-level, not a data filter
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    # The LATERAL ... ORDER BY ... LIMIT 2 must plan as a ranked window
+    # (WindowGroupLimit) over one join, never a per-row re-execution or a
+    # cartesian product.
+    plan = _plan(spark, sf_dir, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan, "lateral top-k not planned as window group limit"
+    assert "CartesianProduct" not in plan
+    # the customer-key filter reaches the scan
+    assert "LessThanOrEqual(c_custkey,120)" in plan
+
+
+def test_corr_regression_is_one_partial_aggregate(spark, sf_dir):
+    # Bivariate moments are partial-aggregable: partial HashAggregate
+    # before the shuffle, one agg exchange + one presentation exchange,
+    # no window, no join.
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_corr_regression")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
+    assert "Join" not in plan
+
+
+def test_zscore_moments_share_one_window_exchange(spark, sf_dir):
+    # mean and stddev over the same cohort partition must come from ONE
+    # Window operator over ONE hash exchange on event_type.
+    import re
+
+    plan = _plan(spark, sf_dir, "window_zscore_anomaly")
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 1
+    assert plan.count("hashpartitioning(event_type") >= 1
+
+
+def test_embedding_ops_are_scan_fused(spark, sf_dir):
+    # Quantization and JL projection are per-row array algebra + a tiny
+    # label aggregate: no join, single aggregation exchange.
+    for name in ("llm_embedding_quantization", "llm_random_projection"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, f"{name}: unexpected join"
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python in hot path"
+
+
+def test_integrity_audit_orphan_checks_broadcast(spark, sf_dir):
+    # The referential checks anti-join against dimension keys — the key
+    # side must broadcast, not sort-merge.
+    plan = _plan(spark, sf_dir, "agg_integrity_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
