@@ -73,6 +73,31 @@ def minhash_lsh_pairs(
     id_a < id_b; ``verify_threshold`` filters by exact shingle Jaccard
     (None skips verification and returns jaccard = null).
     """
+    pairs = lsh_candidate_pairs(
+        df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands
+    )
+    if verify_threshold is None:
+        return pairs.select("id_a", "id_b", F.lit(None).cast("double").alias("jaccard"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: one intersect, no array_union pass
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = pairs.withColumn(
+        "jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    )
+    return verified.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) carrying both shingle sets —
+    the shared front half of every verify stage (Jaccard, containment)."""
     rows_per_band = n_hashes // bands
     # cache() is a deliberate materialization barrier: the self-join below
     # references this frame twice, and shingles + signatures are the
@@ -111,21 +136,44 @@ def minhash_lsh_pairs(
     right = banded.select(
         F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band", "_bucket"
     )
-    pairs = (
+    return (
         left.join(right, ["_band", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    if verify_threshold is None:
-        return pairs.select("id_a", "id_b", F.lit(None).cast("double").alias("jaccard"))
-    # |A ∪ B| = |A| + |B| - |A ∩ B|: one intersect, no array_union pass
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric containment over LSH candidates: |A∩B|/|A| and
+    |A∩B|/|B|, keeping pairs where either direction crosses ``threshold``.
+
+    Containment is the dedup signal Jaccard misses: a short document
+    fully embedded in a long one (quote, boilerplate, excerpt) has high
+    containment but low Jaccard because the union is dominated by the
+    long side. Same candidate generation as the Jaccard path — banding
+    bounds the pair space, never all-pairs."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    verified = pairs.withColumn(
-        "jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    len_a = F.size("sh_a").cast("double")
+    len_b = F.size("sh_b").cast("double")
+    c_ab = F.when(len_a == 0, F.lit(1.0)).otherwise(inter / len_a)
+    c_ba = F.when(len_b == 0, F.lit(1.0)).otherwise(inter / len_b)
+    return (
+        pairs.withColumn("containment_ab", c_ab)
+        .withColumn("containment_ba", c_ba)
+        .filter(F.greatest("containment_ab", "containment_ba") >= threshold)
+        .select("id_a", "id_b", "containment_ab", "containment_ba")
     )
-    return verified.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:

@@ -642,3 +642,42 @@ def agg_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bad_vals)
         .orderBy("check_name")
     )
+
+
+@query(
+    "agg_median_mad",
+    family="aggregation",
+    oracle="""
+        WITH med AS (
+          SELECT event_type, median(value) AS med_value
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(round(any_value(m.med_value), 4) AS DOUBLE) AS med_value,
+               CAST(round(median(abs(e.value - m.med_value)), 4) AS DOUBLE) AS mad_value,
+               count(*) AS n
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale statistics: per-group median and MAD (median
+    absolute deviation), the outlier-resistant alternative to mean/stddev
+    for telemetry with heavy tails. Two passes by necessity (MAD is a
+    median OF deviations FROM the median); the group medians are a tiny
+    aggregate broadcast back onto the fact scan, so the cost is two scans
+    and one small-side join — never a global sort. Spark's median() is
+    exact percentile_cont(0.5), matching DuckDB's median on doubles."""
+    e = load_tables(spark, sf_dir).events
+    med = e.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med_value"), 4).alias("med_value"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med_value"))), 4).alias("mad_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

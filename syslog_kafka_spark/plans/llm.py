@@ -1983,3 +1983,93 @@ def llm_udtf_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.doc_id, s.pos
         """
     )
+
+
+# --- near-dup graph analytics ----------------------------------------------
+
+
+def _containment_oracle(threshold: float = 0.6) -> str:
+    return f"""
+        WITH {_lsh_pairs_cte()}
+        SELECT p.id_a, p.id_b,
+               CAST(round(CASE WHEN len(sa.shingles) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                         / len(sa.shingles) END, 4) AS DOUBLE) AS containment_ab,
+               CAST(round(CASE WHEN len(sb.shingles) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                         / len(sb.shingles) END, 4) AS DOUBLE) AS containment_ba
+        FROM pairs p
+        JOIN sh sa ON sa.id = p.id_a
+        JOIN sh sb ON sb.id = p.id_b
+        WHERE greatest(
+          CASE WHEN len(sa.shingles) = 0 THEN 1.0
+               ELSE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                    / len(sa.shingles) END,
+          CASE WHEN len(sb.shingles) = 0 THEN 1.0
+               ELSE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                    / len(sb.shingles) END) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+@query("llm_containment_neardup", family="llm", oracle=_containment_oracle())
+def llm_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B|/|A|, |A∩B|/|B|) over the SAME
+    LSH candidate pairs as the Jaccard gate — the signal that catches a
+    short document embedded in a long one, which Jaccard dilutes through
+    the union. Shares the banded candidate generation (never all-pairs);
+    the verify stage is two array_intersect ratios fused into the pair
+    scan. Oracle reuses the pipeline CTE (signatures, banding, buckets)
+    so candidate sets are provably identical cross-engine."""
+    from syslog_kafka_spark.operators.dedup import containment_pairs
+
+    d = load_tables(spark, sf_dir).documents
+    out = containment_pairs(d, k=5, n_hashes=16, bands=4, threshold=0.6)
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            F.round("containment_ab", 4).alias("containment_ab"),
+            F.round("containment_ba", 4).alias("containment_ba"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _degree_dist_oracle() -> str:
+    return f"""
+        WITH {_lsh_pairs_cte()},
+        sym AS (
+          SELECT id_a AS id FROM verified
+          UNION ALL
+          SELECT id_b FROM verified
+        ),
+        deg AS (SELECT id, count(*) AS degree FROM sym GROUP BY id)
+        SELECT degree, count(*) AS n_docs
+        FROM deg
+        GROUP BY degree
+        ORDER BY degree
+    """
+
+
+@query("llm_neardup_degree_dist", family="llm", oracle=_degree_dist_oracle())
+def llm_neardup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the verified near-dup graph (nodes = docs,
+    edges = Jaccard-verified LSH pairs): how many documents have 1, 2, …
+    near-duplicates. The shape of this histogram is the capacity-planning
+    input for dedup at scale — a heavy tail means giant components and
+    argues for raising the verify threshold before clustering. Both
+    aggregations are tiny (edges, then degree classes), so the cost is
+    the shared pair pipeline, not the analytics."""
+    d = load_tables(spark, sf_dir).documents
+    pairs = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    sym = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    return (
+        sym.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

@@ -65,14 +65,16 @@ def query(
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-4 window: the 6 queries that had never carried a
 # driver stamp (the scans pair now has inline-VALUES oracles so the gate's
-# DuckDB needs no file access), the 28 new round-4 queries (three batches:
+# DuckDB needs no file access), the 35 new round-4 queries (four batches:
 # parser/wire/mining/storage/join depth; analytics batch 2 — LATERAL,
 # LISTAGG, regr_*, DQ audit, EWMA, z-score, quantization, JL projection,
 # try_*; Spark-4 API batch 3 — Python DataSource batch + streaming,
 # state-store reader, chained stateful windows, parameterized SQL, Python
-# UDTF), and SemDeDup — upgraded this round from rows-only to a full hash
-# oracle (frozen centroids) and re-windowed so the upgrade gets stamped.
-# The remaining 15 slots backfill with the OLDEST stamps in the inventory
+# UDTF; feature batch 4 — pipe SQL, collations, median+MAD, MoM change,
+# containment dedup, degree distribution, catalog CTAS), and SemDeDup —
+# upgraded this round from rows-only to a full hash oracle (frozen
+# centroids) and re-windowed so the upgrade gets stamped.
+# The remaining 8 slots backfill with the OLDEST stamps in the inventory
 # (r1-only cohort, plus three r2-era picks that keep every family
 # represented). Everything rotated out is green in CORRECTNESS_r01/r02/r03
 # and stays covered by the pytest oracle suite
@@ -120,21 +122,22 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_chained_window_rollup",
     "scalar_parameterized_sql",
     "llm_udtf_concordance",
+    # --- new r4, batch 4 (pipe SQL, collations, robust stats, MoM change,
+    # containment dedup, near-dup degree distribution, catalog CTAS) ---
+    "scalar_pipe_syntax",
+    "scalar_collation_caseless",
+    "agg_median_mad",
+    "window_pct_change_mom",
+    "llm_containment_neardup",
+    "llm_neardup_degree_dist",
+    "scan_catalog_ctas",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
-    # --- backfill: r1-only stamps, aggregation + reshape ---
-    "agg_rollup_revenue",
-    "agg_stats_moments",
-    "reshape_pivot_event_counts",
-    "reshape_unpivot_acctbal",
     # --- backfill: r1-only stamps, joins ---
-    "join_broadcast_brand_volume",
     "join_cross_region_nation",
     "join_exists_correlated",
-    # --- backfill: r1-only stamps, LLM (4 of 12 — the other eight r1 LLM
+    # --- backfill: r1-only stamps, LLM (2 of 12 — the other ten r1 LLM
     # stamps gave their slots to the new r4 queries above) ---
-    "llm_dedup_exact_stats",
-    "llm_embedding_neardup",
     "llm_quality_scores",
     "llm_similarity_topk",
     # --- backfill: r1-only stamps, scalars ---

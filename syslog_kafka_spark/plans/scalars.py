@@ -723,3 +723,79 @@ def scalar_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 250000.0, "prio": "1-URGENT"},
     )
+
+
+@query(
+    "scalar_pipe_syntax",
+    family="scalars",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        HAVING count(*) > 10
+        ORDER BY o_orderpriority
+    """,
+)
+def scalar_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same logical plan as
+    the classic SELECT, written as a linear left-to-right pipeline —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY |> WHERE |> ORDER BY. The
+    parser desugars pipes into the identical Catalyst tree, so filters
+    still push to the scan and the aggregate still partials; the oracle
+    being the classic spelling proves the two syntaxes are
+    plan-equivalent, not merely similar."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_ord_pipe")
+    return spark.sql(
+        """
+        FROM _ord_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, avg_price
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "scalar_collation_caseless",
+    family="scalars",
+    oracle="""
+        SELECT count(DISTINCT lower(c_mktsegment)) AS n_caseless,
+               count(DISTINCT c_mktsegment) AS n_exact,
+               sum(CASE WHEN lower(c_mktsegment) = lower('Building') THEN 1 ELSE 0 END) AS n_building
+        FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                          ELSE lower(c_mktsegment) END AS c_mktsegment
+              FROM customer)
+    """,
+)
+def scalar_collation_caseless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): UTF8_LCASE comparisons evaluated
+    natively by the collation-aware operators — caseless DISTINCT and
+    caseless equality — over a deliberately case-mangled segment column.
+    The oracle lowers explicitly, proving the collated semantics equal
+    the normalize-then-compare plan. Collation beats lower() at scale
+    because comparisons run on collation keys inside codegen instead of
+    allocating a lowered copy of every row."""
+    cust = load_tables(spark, sf_dir).customer
+    mangled = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    mangled.createOrReplaceTempView("_cust_coll")
+    return spark.sql(
+        """
+        SELECT count(DISTINCT seg COLLATE UTF8_LCASE) AS n_caseless,
+               count(DISTINCT seg) AS n_exact,
+               CAST(sum(CASE WHEN seg COLLATE UTF8_LCASE = 'Building' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_building
+        FROM _cust_coll
+        """
+    )

@@ -374,3 +374,58 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("byte_offset")
     )
+
+
+@query(
+    "scan_catalog_ctas",
+    family="scans",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total_price
+        FROM lineitem
+        WHERE l_quantity >= 45 OR l_quantity < 5
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def scan_catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL surface: CREATE TABLE ... USING parquet AS SELECT
+    (CTAS) into the session warehouse, then INSERT INTO appending a
+    second slice, then aggregate the managed table — the
+    create/append/read lifecycle of every staging table in a warehouse
+    job. The oracle reads the SAME logical content straight from the
+    source (union of the two predicate slices), so a CTAS that dropped
+    rows, an INSERT that double-wrote, or a schema drift across the two
+    writes all hash-fail. Result rows are materialized before the table
+    is dropped (the gate's collect happens after the builder returns)."""
+    import uuid as _uuid
+
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("_li_ctas")
+    tbl = f"ctas_gate_{_uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"""CREATE TABLE {tbl} USING parquet AS
+            SELECT l_returnflag, l_quantity, l_extendedprice
+            FROM _li_ctas WHERE l_quantity >= 45"""
+    )
+    try:
+        spark.sql(
+            f"""INSERT INTO {tbl}
+                SELECT l_returnflag, l_quantity, l_extendedprice
+                FROM _li_ctas WHERE l_quantity < 5"""
+        )
+        out = spark.sql(
+            f"""SELECT l_returnflag,
+                       count(*) AS n,
+                       CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total_price
+                FROM {tbl}
+                GROUP BY l_returnflag
+                ORDER BY l_returnflag"""
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("l_returnflag")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -744,3 +744,45 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", F.round("_z", 3).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "window_pct_change_mom",
+    family="windows",
+    oracle="""
+        WITH monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 sum(o_totalprice) AS revenue
+          FROM orders
+          GROUP BY 1
+        )
+        SELECT month,
+               CAST(round(revenue, 2) AS DOUBLE) AS revenue,
+               CAST(round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month), 2) AS DOUBLE) AS pct_change
+        FROM monthly
+        ORDER BY month
+    """,
+)
+def window_pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: rollup to monthly revenue, then a
+    lag-based percent change — the canonical KPI query. The window is a
+    single-partition sort, which is safe ONLY because it runs on the
+    already-aggregated monthly series (dozens of rows), never on the
+    fact table; the heavy lifting is the partial-aggregated monthly
+    rollup underneath. First month's change is NULL by definition."""
+    o = load_tables(spark, sf_dir).orders
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.select(
+            "month",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("pct_change"),
+        )
+        .orderBy("month")
+    )
