@@ -660,3 +660,47 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o.o_orderkey
         """
     )
+
+
+@query(
+    "join_null_safe_groups",
+    family="joins",
+    oracle="""
+        WITH a AS (
+          SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_nationkey % 5 END AS k
+          FROM customer
+        ), b AS (
+          SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey % 5 END AS k
+          FROM supplier
+        )
+        SELECT a.k, count(*) AS n_pairs
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        GROUP BY a.k
+        ORDER BY a.k NULLS LAST
+    """,
+)
+def join_null_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing, the semantics late-arriving
+    dimension keys need when NULL means 'unassigned bucket' rather than
+    'unknown'. Catalyst plans <=> as an ordinary hash join with a
+    null-safe key (EqualNullSafe), so the NULL group shuffles like any
+    other key — no fallback to a nested loop. Counts per key prove both
+    the NULL-NULL matches and that non-NULL groups are unaffected."""
+    t = load_tables(spark, sf_dir)
+    a = t.customer.select(
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_nationkey") % 5)
+        .alias("k")
+    )
+    b = t.supplier.select(
+        F.when(F.col("s_suppkey") % 7 == 0, None)
+        .otherwise(F.col("s_nationkey") % 5)
+        .alias("k_b")
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k_b))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_last())
+    )

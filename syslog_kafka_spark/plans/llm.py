@@ -2073,3 +2073,79 @@ def llm_neardup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
     )
+
+
+def _tfidf_cosine_oracle(threshold: float = 0.4, max_doc: int = 150) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term
+          FROM documents WHERE doc_id <= {max_doc}
+        ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        df AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ), keep AS (
+          SELECT df.term, ln(CAST(n_docs AS DOUBLE) / df) AS idf
+          FROM df CROSS JOIN n
+          WHERE df * 2 <= n_docs
+        ), w AS (
+          SELECT t.doc_id, t.term, count(*) * any_value(k.idf) AS w
+          FROM toks t JOIN keep k ON t.term = k.term
+          GROUP BY t.doc_id, t.term
+        ), nrm AS (
+          SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(round(dot / (na.nrm * nb.nrm), 3) AS DOUBLE) AS cosine
+        FROM dots
+        JOIN nrm na ON na.doc_id = id_a
+        JOIN nrm nb ON nb.doc_id = id_b
+        WHERE dot / (na.nrm * nb.nrm) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+@query("llm_tfidf_cosine_pairs", family="llm", oracle=_tfidf_cosine_oracle())
+def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity via an INVERTED-INDEX join — the
+    lexical twin of the embedding similarity gates. Documents meet only
+    on shared terms (join on term, sum of weight products), so the pair
+    space is posting-list-bounded instead of all-pairs; terms appearing
+    in more than half the (restricted) corpus are dropped first, which is
+    the standard stopword guard that keeps the hottest posting lists from
+    quadratic blowup at scale. IDF uses the filtered-corpus doc count so
+    both engines derive weights from identical statistics."""
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") <= 150)
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    n_docs = toks.select("doc_id").distinct().count()
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    keep = df_.filter(F.col("df") * 2 <= n_docs).withColumn(
+        "idf", F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = (
+        toks.join(F.broadcast(keep.select("term", "idf")), "term")
+        .groupBy("doc_id", "term")
+        .agg((F.count(F.lit(1)) * F.any_value("idf")).alias("w"))
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(cos >= 0.4)
+        .select("id_a", "id_b", F.round(cos, 3).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

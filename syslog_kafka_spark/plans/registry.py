@@ -65,18 +65,19 @@ def query(
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-4 window: the 6 queries that had never carried a
 # driver stamp (the scans pair now has inline-VALUES oracles so the gate's
-# DuckDB needs no file access), the 35 new round-4 queries (four batches:
+# DuckDB needs no file access), the 39 new round-4 queries (five batches:
 # parser/wire/mining/storage/join depth; analytics batch 2 — LATERAL,
 # LISTAGG, regr_*, DQ audit, EWMA, z-score, quantization, JL projection,
 # try_*; Spark-4 API batch 3 — Python DataSource batch + streaming,
 # state-store reader, chained stateful windows, parameterized SQL, Python
 # UDTF; feature batch 4 — pipe SQL, collations, median+MAD, MoM change,
-# containment dedup, degree distribution, catalog CTAS), and SemDeDup —
+# containment dedup, degree distribution, catalog CTAS; batch 5 — sparse
+# TF-IDF cosine join, null-safe join, within-watermark dedup, map
+# lambdas), and SemDeDup —
 # upgraded this round from rows-only to a full hash oracle (frozen
 # centroids) and re-windowed so the upgrade gets stamped.
-# The remaining 8 slots backfill with the OLDEST stamps in the inventory
-# (r1-only cohort, plus three r2-era picks that keep every family
-# represented). Everything rotated out is green in CORRECTNESS_r01/r02/r03
+# The remaining 4 slots backfill with the oldest stamps that keep every
+# family represented. Everything rotated out is green in CORRECTNESS_r01/r02/r03
 # and stays covered by the pytest oracle suite
 # (tests/test_inventory_oracle.py).
 WINDOW_PRIORITY: tuple[str, ...] = (
@@ -131,16 +132,15 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_containment_neardup",
     "llm_neardup_degree_dist",
     "scan_catalog_ctas",
+    # --- new r4, batch 5 (sparse TF-IDF cosine join, null-safe join,
+    # within-watermark dedup, higher-order map functions) ---
+    "llm_tfidf_cosine_pairs",
+    "join_null_safe_groups",
+    "stream_dedup_within_watermark",
+    "scalar_map_higher_order",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
-    # --- backfill: r1-only stamps, joins ---
-    "join_cross_region_nation",
-    "join_exists_correlated",
-    # --- backfill: r1-only stamps, LLM (2 of 12 — the other ten r1 LLM
-    # stamps gave their slots to the new r4 queries above) ---
-    "llm_quality_scores",
-    "llm_similarity_topk",
-    # --- backfill: r1-only stamps, scalars ---
+    # --- backfill: oldest stamps, family coverage ---
     "scalar_from_json_struct",
     # --- family coverage (oldest remaining stamps are r2) ---
     "setop_union_all",

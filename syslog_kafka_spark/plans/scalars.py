@@ -799,3 +799,73 @@ def scalar_collation_caseless(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _cust_coll
         """
     )
+
+
+@query(
+    "scalar_map_higher_order",
+    family="scalars",
+    oracle="""
+        WITH base AS (
+          SELECT event_id,
+                 round(value, 2) AS lo,
+                 round(value * 2, 2) AS hi
+          FROM events WHERE event_id <= 250
+        )
+        SELECT event_id,
+               CAST((CASE WHEN lo > 50 THEN 1 ELSE 0 END)
+                  + (CASE WHEN hi > 50 THEN 1 ELSE 0 END) AS INT) AS n_big,
+               concat(
+                 CASE WHEN hi > 50 THEN 'HI:' || CAST(hi AS VARCHAR) ELSE '' END,
+                 CASE WHEN hi > 50 AND lo > 50 THEN ',' ELSE '' END,
+                 CASE WHEN lo > 50 THEN 'LO:' || CAST(lo AS VARCHAR) ELSE '' END
+               ) AS big_entries,
+               lo >= 0 AND hi >= 0 AS all_nonneg,
+               lo > 90 OR hi > 90 AS any_huge
+        FROM base
+        ORDER BY event_id
+    """,
+)
+def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions — map_from_arrays, transform_keys
+    (upper-case the keys), transform_values (round), map_filter (keep
+    entries > 50), map_entries → sorted 'K:v' rendering — plus the array
+    quantifiers forall/exists. All JVM-side lambda algebra inside
+    codegen, no UDF. The oracle unrolls the two-entry map into explicit
+    CASE arithmetic, so every lambda's effect on keys, values, and
+    membership is hash-pinned. Floats render identically because both
+    sides round to 2 decimals BEFORE stringification and the doubles are
+    exact at that width."""
+    e = load_tables(spark, sf_dir).events
+    return (
+        e.filter(F.col("event_id") <= 250)
+        .select(
+            "event_id",
+            F.expr(
+                """
+                map_filter(
+                  transform_values(
+                    transform_keys(map_from_arrays(array('lo', 'hi'),
+                                                   array(value, value * 2)),
+                                   (k, v) -> upper(k)),
+                    (k, v) -> round(v, 2)),
+                  (k, v) -> v > 50)
+                """
+            ).alias("_m"),
+            F.expr("round(value, 2)").alias("_lo"),
+            F.expr("round(value * 2, 2)").alias("_hi"),
+        )
+        .select(
+            "event_id",
+            F.size("_m").cast("int").alias("n_big"),
+            F.expr(
+                """
+                array_join(transform(array_sort(map_entries(_m)),
+                                     e -> concat(e.key, ':', CAST(e.value AS STRING))),
+                           ',')
+                """
+            ).alias("big_entries"),
+            F.expr("forall(array(_lo, _hi), x -> x >= 0)").alias("all_nonneg"),
+            F.expr("exists(array(_lo, _hi), x -> x > 90)").alias("any_huge"),
+        )
+        .orderBy("event_id")
+    )

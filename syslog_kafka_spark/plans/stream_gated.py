@@ -601,3 +601,33 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    family="streaming",
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): exactly-once semantics
+    with BOUNDED state — a (user_id, event_type) key is remembered only
+    for the watermark horizon instead of forever, which is the only
+    dedup that survives an unbounded 100 TB/day stream (plain
+    dropDuplicates state grows monotonically). The replay fits inside
+    one horizon here, so the result equals a global distinct and the
+    batch oracle pins it; at scale the horizon is the dial trading state
+    size against duplicate-window length."""
+    raw = stream_events(spark, sf_dir).withWatermark("ts", "45 days")
+    dd = raw.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    drained = drain(dd, mode="append", state_partitions=8)
+    return (
+        drained.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
