@@ -2063,9 +2063,10 @@ def llm_neardup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared pair pipeline, not the analytics."""
     d = load_tables(spark, sf_dir).documents
     pairs = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
-    sym = pairs.select(F.col("id_a").alias("id")).unionAll(
-        pairs.select(F.col("id_b").alias("id"))
-    )
+    # ONE pass over the pair stream: explode both endpoints per edge.
+    # (unionAll of two selections from the same frame would execute the
+    # whole LSH pipeline twice — measured 12x instead of ~3x at sf1.)
+    sym = pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
     return (
         sym.groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
