@@ -473,10 +473,16 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-def _lsh_pairs_cte(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _lsh_pairs_cte(
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    source: str = "documents",
+) -> str:
     """The full MinHash-LSH pipeline as a DuckDB CTE list ending in
-    ``verified(id_a, id_b, jaccard)`` — shared by the pair query and the
-    connected-components clustering oracle. Possible only because every
+    ``verified(id_a, id_b, jaccard)`` — shared by the pair query, the
+    connected-components clustering oracle, and (with ``source``
+    overridden) the dedup-then-LSH composite. Possible only because every
     hash in the path is md5-portable: shingle hash, signature affine
     family, and the band bucket (hash64 of the comma-joined slice)."""
     rpb = n_hashes // bands
@@ -494,7 +500,7 @@ def _lsh_pairs_cte(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -
     return f"""
         sh AS (
           SELECT doc_id AS id, {char_shingles_sql(_NORM_SQL)} AS shingles
-          FROM documents
+          FROM {source}
         ), sig AS (
           SELECT id, shingles, {minhash_signature_sql('shingles', n_hashes)} AS sig
           FROM sh
@@ -2148,5 +2154,71 @@ def llm_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "id_b")
         .filter(cos >= 0.4)
         .select("id_a", "id_b", F.round(cos, 3).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dedup_then_lsh_oracle() -> str:
+    reps_cte = f"""
+        grp AS (
+          SELECT {_NORM_SQL} AS norm,
+                 min(doc_id) AS doc_id,
+                 arg_min(text, doc_id) AS text,
+                 count(*) AS grp_size
+          FROM documents
+          GROUP BY {_NORM_SQL}
+        ), reps AS (SELECT doc_id, text FROM grp)
+    """
+    return f"""
+        WITH {reps_cte},
+        {_lsh_pairs_cte(source="reps")}
+        SELECT v.id_a, v.id_b, v.jaccard,
+               ga.grp_size * gb.grp_size AS n_doc_pairs
+        FROM verified v
+        JOIN grp ga ON ga.doc_id = v.id_a
+        JOIN grp gb ON gb.doc_id = v.id_b
+        ORDER BY v.id_a, v.id_b
+    """
+
+
+@query("llm_dedup_then_lsh", family="llm", oracle=_dedup_then_lsh_oracle())
+def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup BEFORE near-dup — the Lee et al. ordering that keeps
+    LSH bucketing sane on duplicate-heavy crawls (BENCH_SF1.md's negative
+    result measured why: identical docs share identical signatures, so
+    bucket occupancy and candidate pairs grow quadratically in the dup
+    mass; collapsing each exact-dup group to its min-id representative
+    first makes pair volume proportional to UNIQUE content). The LSH
+    stage runs over representatives only; each surviving near-dup edge is
+    weighted by grp_size_a x grp_size_b — the number of underlying
+    document pairs it stands for — so downstream accounting loses
+    nothing. At 100 TB this is the difference between a dedup stage that
+    finishes and one that doesn't. (The synthetic corpus is dup-light —
+    ~0.2% exact-dup mass — so HERE the stage costs the same as raw LSH;
+    the payoff is proportional to dup mass, which real crawls have in
+    abundance.)"""
+    d = load_tables(spark, sf_dir).documents
+    norm = normalized("text")
+    grp = (
+        d.groupBy(norm.alias("_norm"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("text", "doc_id").alias("text"),
+            F.count(F.lit(1)).alias("grp_size"),
+        )
+    )
+    reps = grp.select("doc_id", "text")
+    pairs = minhash_lsh_pairs(reps, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    ga = grp.select(F.col("doc_id").alias("id_a"), F.col("grp_size").alias("_ga"))
+    gb = grp.select(F.col("doc_id").alias("id_b"), F.col("grp_size").alias("_gb"))
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.col("_ga") * F.col("_gb")).alias("n_doc_pairs"),
+        )
         .orderBy("id_a", "id_b")
     )

@@ -65,7 +65,7 @@ def query(
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-4 window: the 6 queries that had never carried a
 # driver stamp (the scans pair now has inline-VALUES oracles so the gate's
-# DuckDB needs no file access), the 39 new round-4 queries (five batches:
+# DuckDB needs no file access), the 40 new round-4 queries (five batches:
 # parser/wire/mining/storage/join depth; analytics batch 2 — LATERAL,
 # LISTAGG, regr_*, DQ audit, EWMA, z-score, quantization, JL projection,
 # try_*; Spark-4 API batch 3 — Python DataSource batch + streaming,
@@ -73,7 +73,7 @@ def query(
 # UDTF; feature batch 4 — pipe SQL, collations, median+MAD, MoM change,
 # containment dedup, degree distribution, catalog CTAS; batch 5 — sparse
 # TF-IDF cosine join, null-safe join, within-watermark dedup, map
-# lambdas), and SemDeDup —
+# lambdas, dedup-then-LSH composite), and SemDeDup —
 # upgraded this round from rows-only to a full hash oracle (frozen
 # centroids) and re-windowed so the upgrade gets stamped.
 # The remaining 4 slots backfill with the oldest stamps that keep every
@@ -138,10 +138,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_null_safe_groups",
     "stream_dedup_within_watermark",
     "scalar_map_higher_order",
+    "llm_dedup_then_lsh",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
     # --- backfill: oldest stamps, family coverage ---
-    "scalar_from_json_struct",
     # --- family coverage (oldest remaining stamps are r2) ---
     "setop_union_all",
     "sort_nulls_ordering",
