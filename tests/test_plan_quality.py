@@ -304,3 +304,31 @@ def test_integrity_audit_orphan_checks_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_integrity_audit")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_cosine_norms_broadcast(spark, sf_dir):
+    # The per-doc norm tables are tiny aggregates: they must broadcast
+    # onto the dot-product stream, never force a sort-merge.
+    plan = _plan(spark, sf_dir, "llm_tfidf_cosine_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    # <=> must plan as a hash join with an EqualNullSafe key — not a
+    # BroadcastNestedLoopJoin (which <=> can degrade to if expressed as
+    # a non-equi condition).
+    plan = _plan(spark, sf_dir, "join_null_safe_groups")
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+
+
+def test_degree_dist_single_lsh_execution(spark, sf_dir):
+    # The endpoint stream is ONE explode pass over the pair frame; a
+    # unionAll of two selections would show the LSH bucket self-join
+    # twice in the plan (measured 12x at sf1).
+    import re
+
+    plan = _plan(spark, sf_dir, "llm_neardup_degree_dist")
+    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert joins <= 2, f"LSH pipeline appears duplicated: {joins} joins"
