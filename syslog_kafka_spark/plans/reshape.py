@@ -169,3 +169,44 @@ def scalar_value_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bucket")
     )
+
+
+@query(
+    "reshape_pivot_multi_agg",
+    family="aggregation",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click_n,
+               CAST(round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 2) AS DOUBLE) AS click_sum,
+               count(*) FILTER (WHERE event_type = 'view') AS view_n,
+               CAST(round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0), 2) AS DOUBLE) AS view_sum
+        FROM events
+        WHERE user_id <= 30
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def reshape_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell: each pivot value fans out
+    to a (count, sum) column pair — the wide-metrics matrix dashboards
+    read. Spark names multi-agg pivot columns `<value>_<alias>`; explicit
+    pivot values keep it one pass and a fixed schema, and the oracle is
+    the FILTER-clause conditional aggregation the pivot desugars to."""
+    e = load_tables(spark, sf_dir).events
+    out = (
+        e.filter(F.col("user_id") <= 30)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum"),
+        )
+        .orderBy("user_id")
+    )
+    return out.select(
+        "user_id",
+        F.coalesce(F.col("click_n"), F.lit(0)).alias("click_n"),
+        F.coalesce(F.col("click_sum"), F.lit(0.0)).alias("click_sum"),
+        F.coalesce(F.col("view_n"), F.lit(0)).alias("view_n"),
+        F.coalesce(F.col("view_sum"), F.lit(0.0)).alias("view_sum"),
+    )

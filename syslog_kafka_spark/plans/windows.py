@@ -786,3 +786,51 @@ def window_pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "window_cohort_retention",
+    family="windows",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+          FROM events GROUP BY user_id
+        ), activity AS (
+          SELECT DISTINCT e.user_id, f.cohort_week,
+                 datediff('week', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) AS week_no
+          FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT cohort_week, week_no, count(*) AS n_active
+        FROM activity
+        WHERE week_no <= 3
+        GROUP BY cohort_week, week_no
+        ORDER BY cohort_week, week_no
+    """,
+)
+def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity week,
+    counted as active in each subsequent week — THE product-analytics
+    query. Plan shape: one aggregate for cohort assignment (tiny,
+    broadcast back onto the event scan), a distinct on (user, week_no)
+    so multiple events in a week count once, then a small group-by. The
+    fact table is scanned twice (min + activity) but shuffled only on
+    user_id, and the retention matrix itself is cohorts x weeks —
+    driver-safe at any scale."""
+    e = load_tables(spark, sf_dir).events
+    week = F.date_trunc("week", "ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(week, F.col("cohort_week")) / 7).cast("int").alias("week_no"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_no") <= 3)
+        .groupBy("cohort_week", "week_no")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_no")
+    )
