@@ -149,3 +149,62 @@ def fnv1a32_partition(col: Column | str, num_partitions: int) -> Column:
     # Go casts the uint32 to int32 (may be negative), then takes abs.
     signed = F.when(h32 >= F.lit(2147483648), h32 - F.lit(4294967296)).otherwise(h32)
     return F.abs(signed) % F.lit(num_partitions)
+
+
+def hashed_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct 60-bit hashes of the character k-grams — the compact
+    representation the LSH pair join carries instead of shingle strings.
+
+    8-byte ints shuffle ~2.5x smaller than short UTF8 strings and
+    intersect with integer compares instead of string compares, which is
+    what the verify stage over hundreds of thousands of candidate pairs
+    is bound by. The 31-bit MinHash base equals ``hash & 0x7FFFFFFF`` of
+    these values, so signatures (and therefore band buckets and candidate
+    sets) are bit-identical to the string path. Collisions at 60 bits are
+    ~1e-6 at 10M shingles AND identical across engines (same md5 family),
+    so the hash gate stays exact."""
+    sh = char_shingles(col, k)
+    return F.array_distinct(
+        F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        )
+    )
+
+
+def hashed_shingles_sql(expr: str, k: int = 5) -> str:
+    """DuckDB twin of :func:`hashed_shingles`."""
+    return (
+        f"list_distinct(list_transform({char_shingles_sql(expr, k)}, "
+        f"s -> (('0x' || substr(md5(s), 1, 15))::BIGINT)))"
+    )
+
+
+def minhash_signature_from_hashes(hash_col: Column, n_hashes: int = 16) -> Column:
+    """:func:`minhash_signature` over pre-hashed shingles (see
+    :func:`hashed_shingles`) — skips the md5 pass; the 31-bit base is the
+    masked low bits of the 60-bit hash, identical to hashing the string."""
+    hashes = F.transform(hash_col, lambda h: h.bitwiseAND(F.lit(_MINHASH_MASK)))
+    coeffs = F.array(
+        *[
+            F.struct(F.lit(a).cast("bigint").alias("a"), F.lit(b).cast("bigint").alias("b"))
+            for a, b in _minhash_coeffs(n_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MINHASH_P).cast("bigint"), n_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs, lambda m, c: F.least(m, F.pmod(h * c["a"] + c["b"], F.lit(_MINHASH_P)))
+        ),
+    )
+
+
+def minhash_signature_from_hashes_sql(hashes_expr: str, n_hashes: int = 16) -> str:
+    """DuckDB twin of :func:`minhash_signature_from_hashes`."""
+    base = f"list_transform({hashes_expr}, h -> (h & {_MINHASH_MASK}))"
+    mins = [
+        f"list_min(list_transform({base}, h -> (h * {a} + {b}) % {_MINHASH_P}))"
+        for a, b in _minhash_coeffs(n_hashes)
+    ]
+    return "[" + ", ".join(mins) + "]"

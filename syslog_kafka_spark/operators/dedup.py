@@ -21,7 +21,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from syslog_kafka_spark.functions.hashes import char_shingles, hash64, minhash_signature
+from syslog_kafka_spark.functions.hashes import (
+    char_shingles,
+    hash64,
+    hashed_shingles,
+    minhash_signature,
+    minhash_signature_from_hashes,
+)
 
 
 def normalized(text: Column | str) -> Column:
@@ -96,8 +102,15 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) carrying both shingle sets —
-    the shared front half of every verify stage (Jaccard, containment)."""
+    """LSH candidate pairs (id_a < id_b) carrying both shingle-HASH sets
+    — the shared front half of every verify stage (Jaccard, containment).
+
+    Shingles ride as distinct 60-bit ints, not strings: ~2.5x smaller
+    pair shuffle and integer intersects in the verify stage (measured the
+    string path at 36 s cold for 512k candidates at sf1 — verify-bound).
+    Signatures/buckets are bit-identical to the string path, and the
+    oracle hashes its shingle lists with the same md5 family, so verify
+    counts match exactly cross-engine."""
     rows_per_band = n_hashes // bands
     # cache() is a deliberate materialization barrier: the self-join below
     # references this frame twice, and shingles + signatures are the
@@ -109,8 +122,8 @@ def lsh_candidate_pairs(
             F.col(id_col).alias("_id"),
             normalized(text_col).alias("_norm"),
         )
-        .withColumn("_sh", char_shingles(F.col("_norm"), k))
-        .withColumn("_sig", minhash_signature(F.col("_sh"), n_hashes))
+        .withColumn("_sh", hashed_shingles(F.col("_norm"), k))
+        .withColumn("_sig", minhash_signature_from_hashes(F.col("_sh"), n_hashes))
         .select("_id", "_sh", "_sig")
         .cache()
     )

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from syslog_kafka_spark.functions.hashes import (
     char_shingles,
     char_shingles_sql,
+    hashed_shingles_sql,
+    minhash_signature_from_hashes_sql,
     hash64_sql,
     minhash_signature,
     minhash_signature_sql,
@@ -499,10 +501,10 @@ def _lsh_pairs_cte(
     )
     return f"""
         sh AS (
-          SELECT doc_id AS id, {char_shingles_sql(_NORM_SQL)} AS shingles
+          SELECT doc_id AS id, {hashed_shingles_sql(_NORM_SQL)} AS shingles
           FROM {source}
         ), sig AS (
-          SELECT id, shingles, {minhash_signature_sql('shingles', n_hashes)} AS sig
+          SELECT id, shingles, {minhash_signature_from_hashes_sql('shingles', n_hashes)} AS sig
           FROM sh
         ), banded AS (
           SELECT id, shingles, t.b AS band,
