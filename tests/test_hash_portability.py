@@ -78,3 +78,46 @@ def test_minhash_signature_matches_duckdb(spark, texts):
     ).fetchall()
     for i, sig in rows:
         assert got[i] == sig, f"signature diverged for {texts[i]!r}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef 123", min_size=0, max_size=60), min_size=1, max_size=8, unique=True))
+def test_hashed_shingles_and_signature_match_duckdb(spark, texts):
+    """The hashed-shingle LSH path (the one the pair join now carries):
+    shingle → 60-bit hash set AND signature-from-hashes must both be
+    byte-identical cross-engine, and the signature must equal the
+    string-path signature (the masked-low-bits equivalence)."""
+    from syslog_kafka_spark.functions.hashes import (
+        char_shingles,
+        char_shingles_sql,
+        hashed_shingles,
+        hashed_shingles_sql,
+        minhash_signature_from_hashes,
+        minhash_signature_from_hashes_sql,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {
+        r.i: (sorted(r.hs), r.sig, r.sig_str)
+        for r in df.select(
+            "i",
+            hashed_shingles(F.col("t"), 5).alias("hs"),
+            minhash_signature_from_hashes(hashed_shingles(F.col("t"), 5), 16).alias("sig"),
+            minhash_signature(char_shingles(F.col("t"), 5), 16).alias("sig_str"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    rows = con.execute(
+        "SELECT i, "
+        + hashed_shingles_sql("t", 5)
+        + ", "
+        + minhash_signature_from_hashes_sql(hashed_shingles_sql("t", 5), 16)
+        + " FROM t ORDER BY i"
+    ).fetchall()
+    for i, hs, sig in rows:
+        g_hs, g_sig, g_sig_str = got[i]
+        assert sorted(hs) == g_hs, f"hashed shingles diverged for {texts[i]!r}"
+        assert list(sig) == list(g_sig), f"signature diverged for {texts[i]!r}"
+        assert list(g_sig) == list(g_sig_str), f"hash-path signature != string-path for {texts[i]!r}"
