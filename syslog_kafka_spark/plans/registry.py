@@ -141,9 +141,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_dedup_then_lsh",
     # --- oracle upgraded r4 (was rows-only) ---
     "llm_semantic_dedup",
-    # NOTE: reshape_pivot_multi_agg and window_cohort_retention (newest
-    # r4 additions) did not fit this round's 50-slot window — they are
-    # pytest-oracled now and first in line for the r5 rotation.
+    # NOTE: reshape_pivot_multi_agg, window_cohort_retention, and
+    # window_nth_value_snapshots (newest r4 additions) did not fit this
+    # round's 50-slot window — they are pytest-oracled now and first in
+    # line for the r5 rotation.
     # --- backfill: oldest stamps, family coverage ---
     # --- family coverage (oldest remaining stamps are r2) ---
     "setop_union_all",

@@ -834,3 +834,69 @@ def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_no")
     )
+
+
+@query(
+    "window_nth_value_snapshots",
+    family="windows",
+    oracle="""
+        WITH ranked AS (
+          SELECT o_custkey,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+                 first_value(o_totalprice) OVER w AS top_price,
+                 nth_value(o_totalprice, 2) OVER w AS second_price,
+                 nth_value(o_totalprice, 3) OVER w AS third_price
+          FROM orders
+          WHERE o_custkey <= 200
+          WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          )
+        )
+        SELECT o_custkey, n_orders,
+               CAST(round(top_price, 2) AS DOUBLE) AS top_price,
+               CAST(round(second_price, 2) AS DOUBLE) AS second_price,
+               CAST(round(third_price, 2) AS DOUBLE) AS third_price
+        FROM ranked
+        WHERE rn = 1
+        ORDER BY o_custkey
+    """,
+)
+def window_nth_value_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over a full-partition frame: per customer, the 1st/2nd/
+    3rd highest order prices in one Window operator (NULL where the
+    customer has fewer orders — nth_value's defining semantics vs a
+    rank-filter join). One exchange on o_custkey computes all three
+    positional picks plus the partition count; the rn=1 filter collapses
+    to one row per customer without a second shuffle. Ties are broken by
+    o_orderkey inside the frame ordering, so both engines pick identical
+    rows."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wp = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_custkey",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_orders"),
+        F.first("o_totalprice").over(w).alias("top_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("top_price", 2).alias("top_price"),
+            F.round("second_price", 2).alias("second_price"),
+            F.round("third_price", 2).alias("third_price"),
+        )
+        .orderBy("o_custkey")
+    )
