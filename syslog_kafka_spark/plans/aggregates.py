@@ -580,7 +580,7 @@ def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         UNION ALL
         SELECT 'orders_dup_pk',
-               (SELECT coalesce(sum(cnt - 1), 0)
+               (SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
                   FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey) d
                  WHERE cnt > 1)
         UNION ALL

@@ -84,13 +84,16 @@ def _roundtrip_oracle() -> str:
         line = _sql_str(rec["line"])
         src = _sql_str(rec["source"])
         t = rec["timings"][0]["value"]
+        # Timing collections are emitted |-flattened (house convention, same
+        # as tag_flat): the driver canonicalizes through pandas, and real
+        # list columns break its sort_values-based ordering.
         rows.append(
             f"({i}, 'avro', {SCHEMA_ID}, {line}, {src}, {tag}, {logtypeid}, "
-            f"['received']::VARCHAR[], [{t}]::BIGINT[])"
+            f"'received', '{t}')"
         )
         rows.append(
             f"({i}, 'proto', CAST(NULL AS INT), {line}, {src}, {tag}, {logtypeid}, "
-            f"CAST(NULL AS VARCHAR[]), [{t}, {t + 500}]::BIGINT[])"
+            f"CAST(NULL AS VARCHAR), '{t}|{t + 500}')"
         )
     values = ", ".join(rows)
     return f"""
@@ -151,8 +154,12 @@ def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("logline.source").alias("source"),
             _flat_tag(F.col("logline.tag")).alias("tag_flat"),
             F.col("logline.logtypeid").alias("logtypeid"),
-            F.transform("logline.timings", lambda x: x["eventName"]).alias("timing_events"),
-            F.transform("logline.timings", lambda x: x["value"]).alias("timing_values"),
+            F.array_join(
+                F.transform("logline.timings", lambda x: x["eventName"]), "|"
+            ).alias("timing_events"),
+            F.array_join(
+                F.transform("logline.timings", lambda x: x["value"].cast("string")), "|"
+            ).alias("timing_values"),
         )
     )
     proto = (
@@ -166,8 +173,10 @@ def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("logline.source").alias("source"),
             _flat_tag(F.col("logline.tag")).alias("tag_flat"),
             F.col("logline.logtypeid").alias("logtypeid"),
-            F.lit(None).cast("array<string>").alias("timing_events"),
-            F.col("logline.timings").alias("timing_values"),
+            F.lit(None).cast("string").alias("timing_events"),
+            F.array_join(
+                F.transform("logline.timings", lambda x: x.cast("string")), "|"
+            ).alias("timing_values"),
         )
     )
     return avro.unionByName(proto).orderBy("encoding", "rec_id")

@@ -769,7 +769,8 @@ def scalar_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(DISTINCT lower(c_mktsegment)) AS n_caseless,
                count(DISTINCT c_mktsegment) AS n_exact,
-               sum(CASE WHEN lower(c_mktsegment) = lower('Building') THEN 1 ELSE 0 END) AS n_building
+               CAST(sum(CASE WHEN lower(c_mktsegment) = lower('Building') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_building
         FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
                           ELSE lower(c_mktsegment) END AS c_mktsegment
               FROM customer)

@@ -23,9 +23,12 @@ Two readers share one format name:
   batches and a restart resumes from the committed offset (offsets are
   plain JSON dicts, checkpoint-compatible).
 
-Rows are yielded as tuples for line-exact offset accounting; a bulk
-deployment would yield ``pyarrow.RecordBatch`` chunks instead (the same
-``read()`` contract accepts them) to keep the Python→JVM hop vectorized.
+The batch reader yields ``pyarrow.RecordBatch`` chunks (8192 lines per
+batch) so the Python→JVM hop is one Arrow buffer per chunk instead of a
+pickled tuple per line — the line-exact offset algebra lives in
+``_rows()`` and is tested directly. The streaming reader stays row-wise:
+its microbatches are admission-controlled to ``batchLines`` rows, far
+below any Arrow batching threshold.
 """
 
 from __future__ import annotations
@@ -73,6 +76,8 @@ class SyslogTextDataSource(DataSource):
 
 
 class SyslogTextBatchReader(DataSourceReader):
+    ARROW_BATCH_ROWS = 8192
+
     def __init__(self, options) -> None:
         self.path = options["path"]
         self.n_splits = int(options.get("splits", 4))
@@ -86,7 +91,8 @@ class SyslogTextBatchReader(DataSourceReader):
             cuts.append(size)
         return [ByteRange(s, e) for s, e in zip(cuts, cuts[1:])]
 
-    def read(self, partition: ByteRange):
+    def _rows(self, partition: ByteRange):
+        """Line-exact (byte_offset, line) pairs owned by this split."""
         with open(self.path, "rb") as f:
             pos = partition.start
             f.seek(pos)
@@ -101,6 +107,33 @@ class SyslogTextBatchReader(DataSourceReader):
                 yield (pos, raw.rstrip(b"\n").decode("utf-8"))
                 pos += len(raw)
 
+    def read(self, partition: ByteRange):
+        # Vectorized transfer: one Arrow RecordBatch per ARROW_BATCH_ROWS
+        # lines instead of a pickled tuple per line. Spark's Python
+        # DataSource contract accepts RecordBatch yields matching the
+        # declared schema.
+        import pyarrow as pa
+
+        offsets: list[int] = []
+        lines: list[str] = []
+        for pos, line in self._rows(partition):
+            offsets.append(pos)
+            lines.append(line)
+            if len(offsets) >= self.ARROW_BATCH_ROWS:
+                yield _record_batch(offsets, lines)
+                offsets, lines = [], []
+        if offsets:
+            yield _record_batch(offsets, lines)
+
+
+def _record_batch(offsets, lines):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [pa.array(offsets, type=pa.int64()), pa.array(lines, type=pa.string())],
+        names=["byte_offset", "line"],
+    )
+
 
 class SyslogTextStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
@@ -108,10 +141,18 @@ class SyslogTextStreamReader(DataSourceStreamReader):
         self.batch_lines = int(options.get("batchlines", 5))
         # Planning state lives on the driver; Spark calls initialOffset/
         # latestOffset there and ships pickled copies to executors only
-        # for read(). `_current` is the planned high-water mark; commit()
-        # raises it on checkpoint resume so a restarted query never plans
-        # a batch behind its committed offset.
+        # for read(). `_current` is the planned high-water mark; `_floor`
+        # is the highest START offset Spark has ever handed partitions()
+        # — on a checkpoint restart that is the committed resume point,
+        # which a fresh reader (``_current = 0``) cannot otherwise know
+        # because latestOffset() is called BEFORE the first partitions().
+        # Clamping every planned range to `_floor` means the one
+        # post-restart regressing batch (end < committed start) plans
+        # EMPTY instead of re-reading lines the previous incarnation
+        # already committed, and the next batch resumes exactly at the
+        # floor: no duplicates, no losses.
         self._current = 0
+        self._floor = 0
 
     def _total_lines(self) -> int:
         with open(self.path, "rb") as f:
@@ -123,14 +164,22 @@ class SyslogTextStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Advance at most `batch_lines` per planning round: bounded
         # microbatches regardless of how much data arrived (the admission
-        # control knob every production stream source needs).
+        # control knob every production stream source needs). Monotonic:
+        # never plans behind the committed floor or a prior plan.
         total = self._total_lines()
-        nxt = min(self._current + self.batch_lines, total)
+        base = max(self._current, self._floor)
+        nxt = max(min(base + self.batch_lines, total), base)
         self._current = nxt
         return {"line": nxt}
 
     def partitions(self, start: dict, end: dict):
-        return [LineRange(start["line"], end["line"])]
+        s, e = start["line"], end["line"]
+        # Spark's start offsets come from the checkpoint/offset log; the
+        # highest one seen is the resume floor a fresh reader must honor.
+        self._floor = max(self._floor, s)
+        self._current = max(self._current, s, e)
+        lo = max(s, self._floor)
+        return [LineRange(lo, max(e, lo))]
 
     def read(self, partition: LineRange):
         pos = 0
@@ -144,6 +193,7 @@ class SyslogTextStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._current = max(self._current, end["line"])
+        self._floor = max(self._floor, end["line"])
 
 
 _REGISTERED: set[int] = set()

@@ -46,8 +46,32 @@ def test_batch_splits_partition_exactly(corpus_path, splits):
     assert parts[-1].end == os.path.getsize(corpus_path)
     for a, b in zip(parts, parts[1:]):
         assert a.end == b.start
-    got = [row for p in parts for row in reader.read(p)]
+    got = [row for p in parts for row in reader._rows(p)]
     assert sorted(got) == expected_rows()
+
+
+def test_batch_read_yields_arrow_batches_equal_to_rows(corpus_path):
+    import pyarrow as pa
+
+    reader = SyslogTextBatchReader({"path": corpus_path, "splits": 2})
+    for part in reader.partitions():
+        rows = []
+        for rb in reader.read(part):
+            assert isinstance(rb, pa.RecordBatch)
+            assert rb.schema.names == ["byte_offset", "line"]
+            assert rb.schema.types == [pa.int64(), pa.string()]
+            rows.extend(zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()))
+        assert rows == list(reader._rows(part))
+
+
+def test_batch_read_chunks_at_arrow_batch_rows(tmp_path, monkeypatch):
+    p = tmp_path / "many.log"
+    p.write_bytes(b"".join(b"line %d\n" % i for i in range(25)))
+    monkeypatch.setattr(SyslogTextBatchReader, "ARROW_BATCH_ROWS", 10)
+    reader = SyslogTextBatchReader({"path": str(p), "splits": 1})
+    (part,) = reader.partitions()
+    sizes = [rb.num_rows for rb in reader.read(part)]
+    assert sizes == [10, 10, 5]
 
 
 def test_batch_cut_on_every_byte_boundary(tmp_path):
@@ -64,7 +88,7 @@ def test_batch_cut_on_every_byte_boundary(tmp_path):
         want.append((pos, line))
         pos += len(line) + 1
     for cut in range(1, size):
-        got = list(reader.read(ByteRange(0, cut))) + list(reader.read(ByteRange(cut, size)))
+        got = list(reader._rows(ByteRange(0, cut))) + list(reader._rows(ByteRange(cut, size)))
         assert sorted(got) == want, f"cut at {cut}"
 
 
@@ -93,3 +117,37 @@ def test_stream_commit_guards_resume(corpus_path):
     reader = SyslogTextStreamReader({"path": corpus_path, "batchlines": 5})
     reader.commit({"line": 10})
     assert reader.latestOffset()["line"] >= 10
+
+
+def test_stream_checkpoint_restart_never_duplicates(corpus_path):
+    # Simulate the exact restart sequence Spark drives: a fresh reader
+    # (planning state reset to 0) whose FIRST latestOffset() is called
+    # before it has seen the checkpointed start offset. Lines 0..10 were
+    # committed by the previous incarnation; the restarted query must
+    # deliver exactly lines 10..EOF — no duplicates, no losses.
+    n = len(SYSLOG_CORPUS)
+    committed = 10
+    reader = SyslogTextStreamReader({"path": corpus_path, "batchlines": 5})
+
+    # Spark: latestOffset() first — a naive reader answers 5 (< committed).
+    end0 = reader.latestOffset()["line"]
+    # Spark: partitions(checkpointed_start, that_end) — possibly regressing.
+    (part0,) = reader.partitions({"line": committed}, {"line": end0})
+    first_batch = list(reader.read(part0))
+    assert first_batch == []  # the regressing batch must plan EMPTY
+
+    # Subsequent planning: Spark chains from the regressed end (5), the
+    # worst case — without the floor clamp this batch would re-deliver
+    # the committed lines 5..10.
+    got = []
+    prev = end0
+    while True:
+        nxt = reader.latestOffset()["line"]
+        if nxt == prev:
+            break
+        (part,) = reader.partitions({"line": prev}, {"line": nxt})
+        got.extend(reader.read(part))
+        reader.commit({"line": nxt})
+        prev = nxt
+    assert got == expected_rows()[committed:]
+    assert prev == n
