@@ -89,6 +89,15 @@ def main() -> None:
         "sf": sf,
     }
 
+    # Ingestion parity as a number, not a smoke test: the reference's
+    # identity is a syslog->Kafka producer, so the streaming replay's
+    # sustained parse rate is the headline throughput figure.
+    replay_wall = timings.get("stream_replay_throughput")
+    if replay_wall and replay_wall > 0:
+        from syslog_kafka_spark.plans.extras import replay_line_count
+
+        payload["replay_lines_per_sec"] = round(replay_line_count() / replay_wall)
+
     # The full per-query map always lands next to this script — the stdout
     # line is capped because the harness that records it keeps only a ~2000
     # char tail, and a truncated JSON line parses as nothing at all.

@@ -143,19 +143,35 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Replay volume for the ingest-throughput probe: 17 lines x 30000 =
+# 510k lines (~40 MB). Sized so the fixed stream-start cost (~1 s)
+# amortizes and the measured rate reflects sustained parse throughput —
+# at 6k copies the fixed cost dominated and the derived lines/s
+# understated the engine by ~4x. bench.py divides this count by the
+# query's wall time to emit `replay_lines_per_sec`.
+REPLAY_COPIES = 30000
+
+
+def replay_line_count() -> int:
+    from syslog_kafka_spark.sources.syslog_fixtures import SYSLOG_CORPUS
+
+    return len(SYSLOG_CORPUS) * REPLAY_COPIES
+
+
 @query("stream_replay_throughput", family="streaming", oracle=None, bench=True)
 def stream_replay_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ingest probe: replay the syslog corpus (~100k lines)
+    """Streaming ingest probe: replay the syslog corpus (510k lines)
     through a file-source microbatch stream with full RFC parsing, count
     rows per severity. Returns the final severity histogram; bench wall
     time / line count gives sustained lines/sec (BASELINE budget:
-    ≥ 50k lines/s)."""
+    ≥ 50k lines/s — the reference's published floor is 1k records/s per
+    partition; tests/test_bench_contract.py pins ours ≥ 50k)."""
     import tempfile
 
     from syslog_kafka_spark.sources.syslog_fixtures import SYSLOG_CORPUS
     from syslog_kafka_spark.streaming.pipeline import parsed_messages
 
-    n_copies = 6000  # 17 lines x 6000 ≈ 102k lines
+    n_copies = REPLAY_COPIES
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/replay.txt"
         block = "\n".join(SYSLOG_CORPUS) + "\n"
