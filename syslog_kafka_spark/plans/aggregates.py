@@ -681,3 +681,42 @@ def agg_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_group_by_all",
+    family="aggregation",
+    oracle="""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY ALL
+        HAVING count(*) > 5
+        ORDER BY o_orderstatus, o_orderpriority, yr
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL sugar): the grouping keys are
+    inferred as every non-aggregate select item, so adding a dimension to
+    the projection can't silently desync from the GROUP BY clause. DuckDB
+    speaks the same dialect, so the oracle IS the same text — the gate
+    proves both engines infer the identical key set (status, priority,
+    derived year). Plan-wise this is an ordinary partial/final hash
+    aggregate on the inferred keys; the sugar costs nothing at scale."""
+    load_tables(spark, sf_dir).orders.createOrReplaceTempView("_ord_gball")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM _ord_gball
+        GROUP BY ALL
+        HAVING count(*) > 5
+        ORDER BY o_orderstatus, o_orderpriority, yr
+        """
+    )

@@ -704,3 +704,43 @@ def join_null_safe_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.col("k").asc_nulls_last())
     )
+
+
+@query(
+    "join_lateral_dataframe_api",
+    family="joins",
+    oracle="""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_custkey, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        )
+        WHERE n.n_nationkey < 10
+        ORDER BY n_name, c_acctbal DESC, c_custkey
+    """,
+)
+def join_lateral_dataframe_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native lateral join (Spark 4 `df.lateralJoin`): top-2
+    customers by balance per nation, expressed with `.outer()` column
+    correlation instead of SQL LATERAL text — the programmatic twin of
+    join_lateral_topk. Catalyst rewrites the correlated limit into a
+    WindowGroupLimit over one shuffle of the fact side (same physical
+    plan as the SQL form), so per-group top-k never collects a group to
+    one node at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    n = t.nation.filter(F.col("n_nationkey") < 10)
+    c = t.customer
+    inner = (
+        c.filter(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return (
+        n.lateralJoin(inner)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", F.col("c_acctbal").desc(), "c_custkey")
+    )

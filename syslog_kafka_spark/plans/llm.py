@@ -2224,3 +2224,317 @@ def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "llm_domain_mixture",
+    family="llm",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        sh AS (
+          SELECT source, n_docs, n_tokens,
+                 n_tokens / (SELECT sum(n_tokens) FROM tok) AS share
+          FROM tok
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(round(share, 6) AS DOUBLE) AS share,
+               CAST(round(pow(share, 0.3) / (SELECT sum(pow(share, 0.3)) FROM sh), 6)
+                    AS DOUBLE) AS mix_weight,
+               CAST(round(pow(share, 0.3) / (SELECT sum(pow(share, 0.3)) FROM sh)
+                          / share, 4) AS DOUBLE) AS upsample
+        FROM sh
+        ORDER BY source
+    """,
+)
+def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weighting: per-source token shares temperature-
+    scaled with alpha=0.3 (the exponentiated-share sampling used for
+    multilingual/multi-domain pretraining mixes — rare sources get
+    upsampled, dominant ones capped) and renormalized; `upsample` is the
+    resulting over/under-sampling factor per domain. The plan is one
+    token-count aggregate over the corpus plus two broadcast 1-row
+    totals — at 100 TB the heavy pass is the single groupBy(source)
+    with map-side partials; everything after runs on a frame the size of
+    the domain count."""
+    d = load_tables(spark, sf_dir).documents
+    tok = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    total = tok.agg(F.sum("n_tokens").cast("double").alias("_total"))
+    sh = tok.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_tokens") / F.col("_total")
+    )
+    z = sh.agg(F.sum(F.pow("share", F.lit(0.3))).alias("_z"))
+    return (
+        sh.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round(F.pow("share", F.lit(0.3)) / F.col("_z"), 6).alias("mix_weight"),
+            F.round(F.pow("share", F.lit(0.3)) / F.col("_z") / F.col("share"), 4).alias(
+                "upsample"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# Winnowing (Schleimer, Wilkerson, Aiken 2003, "Winnowing: Local
+# Algorithms for Document Fingerprinting"): hash every k-gram, slide a
+# window of w hashes, keep each window's minimum — guarantees any match
+# of length >= w+k-1 shares a fingerprint, with ~2/(w+1) selection
+# density. k=8, w=4 here.
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+@query(
+    "llm_winnowing_fingerprints",
+    family="llm",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(length(t) - {_WINNOW_K - 1}, 1)),
+                   i -> {hash64_sql(f"substr(t, i, {_WINNOW_K})")}) AS hs
+          FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+        ),
+        fp AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+                   p -> list_min(list_slice(hs, p, p + {_WINNOW_W - 1}))))) AS fp
+          FROM h
+        )
+        SELECT fp, count(DISTINCT doc_id) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM fp
+        GROUP BY fp
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, fp
+        LIMIT 20
+    """,
+)
+def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): per-document
+    window-min selection over k-gram hashes — the plagiarism/overlap
+    detector with a guaranteed match length, denser than MinHash but
+    positional. Top shared fingerprints across documents surface copied
+    passages. The k-gram hashing and window-min both run as codegen'd
+    array lambdas INSIDE the per-doc row (no explode until the already-
+    winnowed ~2/(w+1)-density fingerprint set), so the shuffle carries
+    only selected fingerprints — the same reason winnowing beats full
+    k-gram inverted indexes at 100 TB."""
+    k, w = _WINNOW_K, _WINNOW_W
+    d = load_tables(spark, sf_dir).documents
+    t = normalized("text")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    with_h = d.select("doc_id", hashes.alias("hs"))
+    fps = with_h.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))
+                    ),
+                    lambda p: F.array_min(F.slice("hs", p, F.lit(w))),
+                )
+            )
+        ).alias("fp"),
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "fp")
+        .limit(20)
+    )
+
+
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score raw documents by
+# log p_target(x) - log p_raw(x) under hashed bag-of-ngrams models.
+_DSIR_BUCKETS = 64
+
+
+@query(
+    "llm_dsir_importance",
+    family="llm",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 {hash64_sql("term")} % {_DSIR_BUCKETS} AS bucket
+          FROM (SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM documents)
+        ),
+        bstats AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                 CAST(count(*) AS BIGINT) AS n_r
+          FROM tok GROUP BY bucket
+        ),
+        tot AS (
+          SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM bstats
+        ),
+        ratio AS (
+          SELECT bucket,
+                 ln(((n_t + 1) / (tot_t + {_DSIR_BUCKETS}))
+                    / ((n_r + 1) / (tot_r + {_DSIR_BUCKETS}))) AS log_ratio
+          FROM bstats, tot
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(round(sum(r.log_ratio), 4) AS DOUBLE) AS dsir_score
+        FROM tok t JOIN ratio r USING (bucket)
+        GROUP BY t.doc_id
+        ORDER BY dsir_score DESC, t.doc_id
+        LIMIT 15
+    """,
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): rank raw documents by
+    the hashed-ngram log-likelihood ratio between a target distribution
+    (here: the English subcorpus) and the raw corpus — the importance-
+    resampling selector for pretraining data. Unigram features hash into
+    64 buckets (portable md5 hash, add-1 smoothing). Plan shape: one
+    token explode feeds BOTH the 64-row bucket model and, via a
+    broadcast join of that tiny ratio table back onto itself, the
+    per-doc score sum — the model fit costs one shuffle by bucket, the
+    scoring pass shuffles by doc_id only; nothing all-pairs, nothing
+    driver-side, which is exactly how DSIR runs over a full crawl."""
+    B = _DSIR_BUCKETS
+    d = load_tables(spark, sf_dir).documents
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term")).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint"), F.lit(B)
+        ).alias("bucket"),
+    )
+    bstats = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.count(F.lit(1)).alias("n_r"),
+    )
+    tot = bstats.agg(
+        F.sum("n_t").cast("double").alias("tot_t"),
+        F.sum("n_r").cast("double").alias("tot_r"),
+    )
+    ratio = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("n_t") + 1) / (F.col("tot_t") + B))
+            / ((F.col("n_r") + 1) / (F.col("tot_r") + B))
+        ).alias("log_ratio"),
+    )
+    return (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 4).alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+_URL_VARIANT_SQL = (
+    "(CASE WHEN o_orderkey % 2 = 0 THEN 'https://' ELSE 'http://' END)"
+    " || (CASE WHEN o_orderkey % 3 = 0 THEN 'www.' ELSE '' END)"
+    " || (CASE WHEN o_orderkey % 5 = 0 THEN 'SITE' ELSE 'site' END)"
+    " || CAST(o_orderkey % 7 AS VARCHAR) || '.Example.com/item/'"
+    " || CAST(o_orderkey % 40 AS VARCHAR)"
+    " || (CASE WHEN o_orderkey % 4 = 0 THEN '?utm_source=feed'"
+    "          WHEN o_orderkey % 4 = 1 THEN '/' ELSE '' END)"
+)
+
+
+@query(
+    "llm_url_canonical_dedup",
+    family="llm",
+    oracle=f"""
+        WITH raw AS (
+          SELECT {_URL_VARIANT_SQL} AS url
+          FROM orders WHERE o_orderkey <= 600
+        ),
+        canon AS (
+          SELECT url,
+                 lower(split_part(regexp_replace(regexp_replace(regexp_replace(
+                          url, '^https?://', ''), '^www\\.', ''), '[?].*$', ''),
+                        '/', 1))
+                 || regexp_replace(
+                      substr(regexp_replace(regexp_replace(regexp_replace(
+                               url, '^https?://', ''), '^www\\.', ''), '[?].*$', ''),
+                             length(split_part(regexp_replace(regexp_replace(
+                               regexp_replace(url, '^https?://', ''), '^www\\.', ''),
+                               '[?].*$', ''), '/', 1)) + 1),
+                      '/$', '') AS canonical
+          FROM raw
+        )
+        SELECT canonical,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               count(DISTINCT url) AS n_variants
+        FROM canon
+        GROUP BY canonical
+        HAVING count(DISTINCT url) >= 2
+        ORDER BY n_urls DESC, canonical
+        LIMIT 20
+    """,
+)
+def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-curation step that
+    collapses scheme/www/case/tracking-query/trailing-slash variants of
+    one resource before fetch-dedup: strip scheme and leading www., drop
+    the query string, lowercase the HOST ONLY (paths are case-
+    sensitive), trim a trailing slash, then group. Variant synthesis is
+    deterministic from orders keys so both engines build the identical
+    messy corpus. Pure string expressions per row + one groupBy on the
+    canonical key — at crawl scale the canonical form IS the shuffle/
+    partition key for the fetch-frontier."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 600)
+    k = F.col("o_orderkey")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("SITE")).otherwise(F.lit("site")),
+        (k % 7).cast("string"),
+        F.lit(".Example.com/item/"),
+        (k % 40).cast("string"),
+        F.when(k % 4 == 0, F.lit("?utm_source=feed"))
+        .when(k % 4 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+    )
+    raw = o.select(url.alias("url"))
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("url", r"^https?://", ""), r"^www\.", ""),
+        r"[?].*$",
+        "",
+    )
+    host = F.split_part(stripped, F.lit("/"), F.lit(1))
+    path = F.regexp_replace(F.substring(stripped, F.length(host) + 1, 1_000_000), r"/$", "")
+    canon = raw.select("url", F.concat(F.lower(host), path).alias("canonical"))
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy(F.col("n_urls").desc(), "canonical")
+        .limit(20)
+    )

@@ -84,7 +84,22 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "reshape_pivot_multi_agg",
     "window_cohort_retention",
     "window_nth_value_snapshots",
-    # --- new r5 queries land here as they register ---
+    # --- new r5, batch 1 (Spark-4 surfaces: native XML round trip, SQL
+    # UDFs, SQL scripting, GROUP BY ALL, DataFrame lateralJoin,
+    # Trigger.AvailableNow drain) ---
+    "scan_xml_roundtrip",
+    "scalar_sql_udf",
+    "scalar_sql_scripting",
+    "agg_group_by_all",
+    "join_lateral_dataframe_api",
+    "stream_available_now_trigger",
+    # --- new r5, batch 2 (training-data pipeline: temperature-scaled
+    # domain mixture, winnowing fingerprints, DSIR importance weights,
+    # URL canonicalization dedup) ---
+    "llm_domain_mixture",
+    "llm_winnowing_fingerprints",
+    "llm_dsir_importance",
+    "llm_url_canonical_dedup",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -121,16 +136,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_embedding_neardup",
     "llm_fingerprint_collisions",
     "llm_langid_confusion",
-    "llm_quality_scores",
-    "llm_similarity_topk",
-    "llm_term_freq",
-    "llm_tfidf_rank",
-    "llm_token_stats",
-    "llm_word_bigrams",
-    "reshape_pivot_event_counts",
-    "reshape_unpivot_acctbal",
-    "scalar_from_json_struct",
-    "scalar_json_roundtrip",
 )
 
 

@@ -870,3 +870,110 @@ def scalar_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "scalar_sql_udf",
+    family="scalars",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+                 AS disc_revenue,
+               CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                    AS DOUBLE) AS charged
+        FROM lineitem
+        WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def scalar_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4): `CREATE TEMPORARY FUNCTION ... RETURNS ...
+    RETURN expr` — named scalar functions declared in SQL and inlined by
+    Catalyst into the calling plan (no Python boundary, full codegen), so
+    a shared business expression (discounted price, total charge) is
+    defined once and reused. The oracle expands the definitions manually,
+    proving the UDF layer is pure sugar over the same plan. At scale this
+    matters because SQL UDFs keep hot-path expressions JVM-side where a
+    Python UDF would cost an Arrow hop per batch."""
+    load_tables(spark, sf_dir).lineitem.createOrReplaceTempView("_li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(round(sum(disc_price(l_extendedprice, l_discount)), 2) AS DOUBLE)
+                 AS disc_revenue,
+               CAST(round(sum(charge(l_extendedprice, l_discount, l_tax)), 2) AS DOUBLE)
+                 AS charged
+        FROM _li_sqludf
+        WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "scalar_sql_scripting",
+    family="scalars",
+    oracle="""
+        WITH RECURSIVE proj AS (
+          SELECT 1 AS yr,
+                 CAST((SELECT round(sum(o_totalprice), 2) FROM orders
+                        WHERE o_orderstatus = 'O') AS DOUBLE) AS revenue
+          UNION ALL
+          SELECT yr + 1, CAST(round(revenue * 1.05, 2) AS DOUBLE)
+          FROM proj WHERE yr < 5
+        )
+        SELECT yr, revenue FROM proj ORDER BY yr
+    """,
+)
+def scalar_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4): a BEGIN...END block with DECLARE'd
+    variables and a WHILE loop — procedural control flow executed by the
+    engine, compounding open-order revenue 5% per simulated year. The
+    oracle is the equivalent recursive CTE, proving the imperative loop
+    and the declarative recursion compute the same table. Each loop
+    iteration is one Catalyst-planned statement, so the script's data
+    work (the initial aggregate) still runs distributed; only the scalar
+    loop state lives on the driver."""
+    load_tables(spark, sf_dir).orders.createOrReplaceTempView("_ord_script")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql(
+            """
+            BEGIN
+              DECLARE base DOUBLE;
+              DECLARE yr INT DEFAULT 1;
+              DECLARE rows_acc ARRAY<STRUCT<yr: INT, revenue: DOUBLE>>
+                DEFAULT array();
+              SET base = (SELECT round(sum(o_totalprice), 2)
+                            FROM _ord_script WHERE o_orderstatus = 'O');
+              WHILE yr <= 5 DO
+                SET rows_acc = array_append(rows_acc,
+                                            named_struct('yr', yr, 'revenue', base));
+                SET base = round(base * 1.05, 2);
+                SET yr = yr + 1;
+              END WHILE;
+              SELECT t.yr, t.revenue FROM (SELECT explode(rows_acc) AS t)
+              ORDER BY t.yr;
+            END
+            """
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("yr")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

@@ -429,3 +429,53 @@ def scan_catalog_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema).orderBy("l_returnflag")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+@query(
+    "scan_xml_roundtrip",
+    family="scans",
+    oracle="""
+        SELECT event_id,
+               CAST(length('<ROW>' || chr(10) ||
+                 '    <event_id>' || CAST(event_id AS VARCHAR) || '</event_id>' || chr(10) ||
+                 '    <event_type>' || event_type || '</event_type>' || chr(10) ||
+                 '    <user_id>' || CAST(user_id AS VARCHAR) || '</user_id>' || chr(10) ||
+                 '</ROW>') AS INT) AS xml_len,
+               event_type AS event_type_rt,
+               user_id AS user_id_rt
+        FROM events
+        WHERE event_id <= 200
+        ORDER BY event_id
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML support (Spark 4): each event is serialized with
+    `to_xml(struct(...))` and parsed back with `from_xml`, proving
+    serialize ∘ parse == identity for the record shape, while `xml_len`
+    pins the exact wire text — the oracle reconstructs the document
+    (to_xml's deterministic `<ROW>` + 4-space-indent layout) character by
+    character, so any drift in the XML encoding hash-fails. Only
+    fixed-point-renderable fields (bigint/string) go through the wire so
+    both engines agree on the text. At scale this is one narrow
+    projection per row — no shuffle, whole-stage codegen around the XML
+    expressions."""
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    e = load_tables(spark, sf_dir).events.filter(F.col("event_id") <= 200)
+    xml = e.select(
+        "event_id",
+        F.to_xml(F.struct("event_id", "event_type", "user_id")).alias("xml"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.length("xml").alias("xml_len"),
+        F.from_xml(
+            "xml", "event_id BIGINT, event_type STRING, user_id BIGINT"
+        ).alias("r"),
+    )
+    return parsed.select(
+        "event_id",
+        "xml_len",
+        F.col("r.event_type").alias("event_type_rt"),
+        F.col("r.user_id").alias("user_id_rt"),
+    ).orderBy("event_id")
