@@ -720,3 +720,40 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority, yr
         """
     )
+
+
+@query(
+    "agg_count_if_extrema_by",
+    family="aggregation",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               max_by(o_orderkey, o_totalprice) AS priciest_order,
+               min_by(o_orderkey, o_totalprice) AS cheapest_order,
+               CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def agg_count_if_extrema_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate sugar: count_if predicates and max_by/min_by
+    argmax-style selectors (fetch the ID at the extreme without a
+    self-join back to the row — the classic 'row holding the max' that
+    otherwise costs a window or a join). o_totalprice values are unique
+    per priority group at every tested SF, so the argmax is
+    deterministic. One partial+final hash aggregate; the argmax carries
+    (value, key) pairs through the partial stage — no second pass."""
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2538,3 +2538,149 @@ def llm_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_urls").desc(), "canonical")
         .limit(20)
     )
+
+
+@query(
+    "llm_tokenizer_fertility",
+    family="llm",
+    oracle=f"""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all(text,
+                      '([A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\\s])', 1)) AS BIGINT)
+                   AS n_subwords
+          FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+               CAST(round(sum(n_subwords) / greatest(sum(n_words), 1), 4) AS DOUBLE)
+                 AS fertility
+        FROM t
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: sub-word pieces emitted per
+    whitespace word (the BPE-ish regex proxy over the real vocabulary) —
+    the metric that decides whether a tokenizer under-serves a language
+    (high fertility = more compute per word, worse effective context).
+    One pass, two codegen'd array counts per row, one groupBy(lang) with
+    map-side partials — corpus-scale-safe by construction."""
+    d = load_tables(spark, sf_dir).documents
+    return (
+        d.select(
+            "lang",
+            token_count("text").cast("bigint").alias("n_words"),
+            bpe_ish_token_count("text").cast("bigint").alias("n_subwords"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_subwords").alias("total_subwords"),
+            F.round(
+                F.sum("n_subwords") / F.greatest(F.sum("n_words"), F.lit(1)), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "llm_embedding_centroid_audit",
+    family="llm",
+    oracle="""
+        WITH ed AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ),
+        dims AS (
+          -- parallel unnest zips the value list with its index list
+          SELECT label, d, avg(val) AS c
+          FROM (SELECT label,
+                       unnest(generate_series(1, len(emb))) AS d,
+                       unnest(emb) AS val
+                FROM ed)
+          GROUP BY label, d
+        ),
+        cent AS (
+          SELECT label, list(c ORDER BY d) AS carr FROM dims GROUP BY label
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label,
+                 list_sum(list_transform(generate_series(1, len(e.emb)),
+                                         i -> e.emb[i] * c.carr[i])) AS dot,
+                 sqrt(list_sum(list_transform(e.emb, x -> x * x))) AS nv,
+                 sqrt(list_sum(list_transform(c.carr, x -> x * x))) AS nc
+          FROM ed e JOIN cent c USING (label)
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(round(any_value(nc), 4) AS DOUBLE) AS centroid_norm,
+               CAST(round(avg(dot / (nv * nc)), 4) AS DOUBLE) AS mean_cos_to_centroid
+        FROM scored
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def llm_embedding_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class audit: per-label centroid norm and mean
+    cosine of members to their centroid — the cluster-coherence check
+    run before trusting labels for semantic dedup or sampling (a label
+    whose centroid norm ~0 or mean-cosine ~0 is noise). Plan: one
+    posexplode feeds the (label, dim) centroid aggregate — a frame of
+    labels x dims rows, tiny — which broadcasts back onto the vectors;
+    every per-vector product then runs as an ORDERED array fold
+    (zip_with + aggregate), bit-identical to DuckDB's ordered list_sum,
+    which is what makes float dot products cross-engine hashable at
+    all. The corpus-sized shuffle is only the centroid groupBy."""
+    e = load_tables(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    dims = e.select("label", F.posexplode("emb").alias("d", "val"))
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))), lambda s: s["c"]
+            ).alias("carr")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "carr", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("emb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("carr", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", dot.alias("dot"), nv.alias("nv"), nc.alias("nc")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.any_value("nc"), 4).alias("centroid_norm"),
+            F.round(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 4).alias(
+                "mean_cos_to_centroid"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -100,6 +100,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_winnowing_fingerprints",
     "llm_dsir_importance",
     "llm_url_canonical_dedup",
+    # --- new r5, batch 3 (calendar-interval semantics, count_if +
+    # argmax aggregates, tokenizer fertility, embedding-centroid audit) ---
+    "scalar_interval_arithmetic",
+    "agg_count_if_extrema_by",
+    "llm_tokenizer_fertility",
+    "llm_embedding_centroid_audit",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -132,10 +138,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_shipping_priority",
     "llm_bpe_token_counts",
     "llm_dedup_exact_stats",
-    "llm_dedup_groups",
-    "llm_embedding_neardup",
-    "llm_fingerprint_collisions",
-    "llm_langid_confusion",
 )
 
 

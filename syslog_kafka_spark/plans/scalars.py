@@ -977,3 +977,46 @@ def scalar_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@query(
+    "scalar_interval_arithmetic",
+    family="scalars",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3mo,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+               CAST(round(12 * (year(TIMESTAMP '1998-12-01 00:00:00') - year(o_orderdate))
+                    + (month(TIMESTAMP '1998-12-01 00:00:00') - month(o_orderdate))
+                    + (day(TIMESTAMP '1998-12-01 00:00:00') - day(o_orderdate)) / 31.0, 4)
+                 AS DOUBLE) AS months_to_ref,
+               CAST(make_date(CAST(year(o_orderdate) AS INT), 12, 31) AS TIMESTAMP)
+                 AS year_end,
+               CAST(datediff('day', o_orderdate,
+                             CAST(make_date(CAST(year(o_orderdate) AS INT), 12, 31)
+                                  AS TIMESTAMP)) AS INT) AS days_left_in_year
+        FROM orders
+        WHERE o_orderkey <= 250
+        ORDER BY o_orderkey
+    """,
+)
+def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic: month addition (calendar-aware, not
+    30-day), last_day month-end snapping, months_between fractional
+    months (Spark's /31 day-fraction rule restated arithmetically in the
+    oracle, since DuckDB's age() fractions differ), make_date
+    construction, and end-of-year day counts. All pure codegen'd column
+    expressions — interval math costs nothing at scale but is the #1
+    cross-engine semantic divergence, which is exactly why it's pinned
+    here."""
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 250)
+    ref = F.lit("1998-12-01").cast("timestamp")
+    year_end = F.make_date(F.year("o_orderdate"), F.lit(12), F.lit(31))
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.round(F.months_between(ref, F.col("o_orderdate")), 4).alias("months_to_ref"),
+        year_end.cast("timestamp").alias("year_end"),
+        F.datediff(year_end, F.col("o_orderdate")).alias("days_left_in_year"),
+    ).orderBy("o_orderkey")

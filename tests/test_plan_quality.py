@@ -332,3 +332,40 @@ def test_degree_dist_single_lsh_execution(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_neardup_degree_dist")
     joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert joins <= 2, f"LSH pipeline appears duplicated: {joins} joins"
+
+
+def test_lateral_dataframe_api_decorrelates_to_window_group_limit(spark, sf_dir):
+    """df.lateralJoin + per-group ORDER/LIMIT must decorrelate to the
+    same WindowGroupLimit shape as the SQL LATERAL form — never a
+    nested-loop per outer row."""
+    plan = _plan(spark, sf_dir, "join_lateral_dataframe_api")
+    assert "WindowGroupLimit" in plan, "correlated top-k not decorrelated"
+
+
+def test_dsir_model_joins_are_broadcast(spark, sf_dir):
+    """DSIR scoring: the 64-row bucket-ratio table and the 1-row totals
+    must broadcast — the only shuffles are the bucket agg and the
+    per-doc score agg."""
+    plan = _plan(spark, sf_dir, "llm_dsir_importance")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_mixture_totals_are_broadcast(spark, sf_dir):
+    """Mixture weights: both 1-row totals (token mass, partition
+    function) join via BroadcastNestedLoopJoin on a frame the size of
+    the domain count — no repartitioning of the corpus after the one
+    groupBy(source)."""
+    plan = _plan(spark, sf_dir, "llm_domain_mixture")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_explodes_only_winnowed_set(spark, sf_dir):
+    """Winnowing: exactly ONE Generate (explode) node — the k-gram
+    hashing and window-min selection stay inside per-row array lambdas;
+    only the ~2/(w+1)-density fingerprint set ever becomes rows."""
+    import re
+
+    plan = _plan(spark, sf_dir, "llm_winnowing_fingerprints")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
