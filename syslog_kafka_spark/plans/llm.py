@@ -2684,3 +2684,50 @@ def llm_embedding_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "llm_arrow_native_lengths",
+    family="llm",
+    oracle="""
+        SELECT CAST(power(2, CAST(ceil(log2(greatest(length(text), 1))) AS INT))
+                    AS BIGINT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY len_bucket
+    """,
+)
+def llm_arrow_native_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` (the zero-copy sibling of mapInPandas): per-document
+    character lengths computed with pyarrow.compute kernels directly on
+    the Arrow batches — no pandas materialization, no Python-object
+    round trip, the cheapest possible Python touchpoint for a 100 TB
+    corpus when a native Arrow kernel exists for the job. Lengths then
+    bucket into power-of-two classes JVM-side. The Python stage is
+    measurable-batch-size, columnar in, columnar out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pc.utf8_length(b.column("text"))],
+                names=["doc_id", "n_chars"],
+            )
+
+    d = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    lens = d.mapInArrow(lengths, "doc_id bigint, n_chars int")
+    bucket = F.pow(
+        F.lit(2), F.ceil(F.log2(F.greatest(F.col("n_chars"), F.lit(1))))
+    ).cast("bigint")
+    return (
+        lens.select(bucket.alias("len_bucket"), "n_chars")
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("len_bucket")
+    )

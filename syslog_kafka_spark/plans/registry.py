@@ -106,6 +106,11 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_count_if_extrema_by",
     "llm_tokenizer_fertility",
     "llm_embedding_centroid_audit",
+    # --- new r5, batch 4 (observe() DQ metrics, mapInArrow kernel stage,
+    # stream-static anti-join catalog dedup) ---
+    "scan_observe_metrics",
+    "llm_arrow_native_lengths",
+    "stream_static_anti_dedup",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -135,9 +140,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_local_supplier_volume",
     "join_range_error_burst",
     "join_semi_active_customers",
-    "join_shipping_priority",
-    "llm_bpe_token_counts",
-    "llm_dedup_exact_stats",
 )
 
 

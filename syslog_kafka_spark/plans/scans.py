@@ -485,3 +485,46 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_type").alias("event_type_rt"),
         F.col("r.user_id").alias("user_id_rt"),
     ).orderBy("event_id")
+
+
+@query(
+    "scan_observe_metrics",
+    family="scans",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count_if(l_discount > 0.06) AS BIGINT) AS n_high_disc,
+               CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS total_price,
+               CAST(round(max(l_quantity), 2) AS DOUBLE) AS max_qty
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe` (the Observation API): data-quality metrics collected
+    AS the scan streams past — row count, predicate count, sums —
+    without a second pass over the data, which is how a 100 TB ingest
+    audits itself for free instead of doubling its I/O. The observed
+    metrics (accumulator-style, exactly-once per row for batch) are
+    returned as the result frame and hash-checked against a plain
+    aggregate oracle, proving observe() sees every row the query saw."""
+    from pyspark.sql import Observation
+
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    li = load_tables(spark, sf_dir).lineitem.filter(F.col("l_returnflag") == "R")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_discount") > 0.06).alias("n_high_disc"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+    # Drive the observed plan to completion (count() is the cheap action:
+    # the metrics piggyback on it), then surface the metrics as rows.
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_disc"], m["total_price"], m["max_qty"])],
+        "n_rows bigint, n_high_disc bigint, total_price double, max_qty double",
+    )

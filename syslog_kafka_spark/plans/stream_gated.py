@@ -695,3 +695,36 @@ def stream_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name).filter(F.col("n_events") > 0).orderBy("day")
+
+
+@query(
+    "stream_static_anti_dedup",
+    family="streaming",
+    oracle="""
+        SELECT event_type, count(*) AS n_new
+        FROM events
+        WHERE event_id % 3 <> 0
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def stream_static_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join — incremental ingest dedup against an
+    already-ingested catalog: each microbatch drops rows whose key
+    exists in the static seen-set (here: every third event id, read as a
+    batch frame), the pattern a continuously-fed training corpus uses to
+    admit only new documents. The static side re-plans per microbatch
+    (picking up catalog growth) and broadcasts under AQE; no streaming
+    state at all — the dedup memory lives in the catalog, which is what
+    keeps it bounded on an unbounded stream. Counts per type of
+    admitted events are hash-checked against the batch complement."""
+    seen = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("event_id") % 3 == 0)
+        .select(F.col("event_id").alias("seen_id"))
+    )
+    ev = stream_events(spark, sf_dir)
+    fresh = ev.join(seen, ev.event_id == seen.seen_id, "left_anti")
+    counts = fresh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_new"))
+    drained = drain(counts, mode="complete", state_partitions=8)
+    return drained.orderBy("event_type")
