@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from syslog_kafka_spark.sources.readers import spread
 from syslog_kafka_spark.functions.hashes import (
     char_shingles,
     hash64,
@@ -117,10 +118,15 @@ def lsh_candidate_pairs(
     # expensive columns (at warehouse scale this would be a checkpoint or
     # intermediate table). Carrying the shingle arrays through the join
     # means the verify stage never re-shingles a document.
+    # spread() first: a single-file scan is ONE split, and shingle+
+    # signature hashing is the most per-row-expensive stage in the repo —
+    # without the guard it runs on one core (sources/readers.spread).
     base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            normalized(text_col).alias("_norm"),
+        spread(
+            df.select(
+                F.col(id_col).alias("_id"),
+                normalized(text_col).alias("_norm"),
+            )
         )
         .withColumn("_sh", hashed_shingles(F.col("_norm"), k))
         .withColumn("_sig", minhash_signature_from_hashes(F.col("_sh"), n_hashes))

@@ -2332,16 +2332,25 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowed ~2/(w+1)-density fingerprint set), so the shuffle carries
     only selected fingerprints — the same reason winnowing beats full
     k-gram inverted indexes at 100 TB."""
+    from syslog_kafka_spark.sources.readers import spread
+
     k, w = _WINNOW_K, _WINNOW_W
     d = load_tables(spark, sf_dir).documents
-    t = normalized("text")
+    # Materialize the normalized text ONCE and spread the frame before
+    # the per-position hashing: referencing normalized() inside the
+    # position lambda re-evaluates its regex per k-gram (~150x per doc),
+    # and a single-file scan is one split, serializing the whole hash
+    # pass onto one core (19.3 s -> ~4 s at sf0.1 for the two fixes).
+    t = F.col("_nt")
     hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
         lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
             "bigint"
         ),
     )
-    with_h = d.select("doc_id", hashes.alias("hs"))
+    with_h = spread(d.select("doc_id", normalized("text").alias("_nt"))).select(
+        "doc_id", hashes.alias("hs")
+    )
     fps = with_h.select(
         "doc_id",
         F.explode(
