@@ -209,9 +209,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     set when the majority of token hashes have bit i set). No UDFs; the
     shuffle carries 64 ints per doc.
     """
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalized(text_col), " ")).alias("_tok"),
+    tokens = spread(
+        df.select(F.col(id_col), normalized(text_col).alias("_nt"))
+    ).select(
+        F.col(id_col), F.explode(F.split(F.col("_nt"), " ")).alias("_tok")
     ).withColumn("_h", hash64(F.col("_tok")))
 
     bit_sums = [

@@ -21,6 +21,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.pandas.functions import pandas_udf
 
+from syslog_kafka_spark.sources.readers import spread
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Dot product of two array columns — zip_with + aggregate fold,
@@ -154,10 +156,12 @@ def srp_lsh_topk(
     from pyspark.sql import Window
 
     srp = srp_signature_udf(dim, n_planes, seed, n_tables)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm_expr(F.col(vec_col)).alias("_cn"),
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            norm_expr(F.col(vec_col)).alias("_cn"),
+        )
     ).withColumn("_bucket", F.explode(srp(F.col("_cvec"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -195,6 +199,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``label_col``
     (e.g. a cluster/shard assignment) so the self-join never goes global."""
+    # spread() guards the small-file edge: per-row norm/dot folds on a
+    # single-split scan would otherwise run on one core.
+    df = spread(df)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
