@@ -2740,3 +2740,59 @@ def llm_arrow_native_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket")
     )
+
+
+@query(
+    "llm_media_frame_sample",
+    family="llm",
+    oracle="""
+        WITH v AS (
+          SELECT doc_id AS media_id,
+                 n_chars * 100 AS duration_ms,
+                 CAST(greatest((n_chars * 100) // 2000, 1) AS BIGINT)
+                   AS n_frames
+          FROM documents
+          WHERE doc_id < 100 AND doc_id % 2 = 0
+        )
+        SELECT media_id,
+               duration_ms,
+               n_frames,
+               (n_frames - 1) * 2000 AS last_frame_ts_ms
+        FROM v
+        ORDER BY media_id
+    """,
+)
+def llm_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample_plan):
+    media rows expand to one row per sampled timestamp via
+    sequence+explode — the Spark-side fan-out a video curation pipeline
+    runs before per-frame decode (decode itself is the documented stub
+    seam). Durations are synthesized deterministically (100 ms per
+    char, every doc with an even id is 'video'), every_ms=2000; the
+    gate hashes per-media frame counts and the last sampled timestamp,
+    so an off-by-one in the expansion arithmetic fails. At scale the
+    expansion is a narrow per-row generate — output rows ∝ total video
+    duration, the natural unit of downstream decode work."""
+    from syslog_kafka_spark.operators.multimodal import frame_sample_plan
+
+    d = load_tables(spark, sf_dir).documents.filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 2 == 0)
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("rawv").alias("format"),
+        (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
+    )
+    frames = frame_sample_plan(media, every_ms=2000)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
+        )
+        .join(media.select("media_id", "duration_ms"), "media_id")
+        .select("media_id", "duration_ms", "n_frames", "last_frame_ts_ms")
+        .orderBy("media_id")
+    )

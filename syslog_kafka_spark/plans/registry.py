@@ -111,6 +111,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "scan_observe_metrics",
     "llm_arrow_native_lengths",
     "stream_static_anti_dedup",
+    "llm_media_frame_sample",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -139,7 +140,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_left_outer_order_counts",
     "join_local_supplier_volume",
     "join_range_error_burst",
-    "join_semi_active_customers",
 )
 
 
