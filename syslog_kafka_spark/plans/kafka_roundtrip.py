@@ -180,3 +180,56 @@ def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return avro.unionByName(proto).orderBy("encoding", "rec_id")
+
+
+@query(
+    "kafka_partitioner_histogram",
+    family="kafka",
+    oracle="""
+        WITH k AS (
+          SELECT 'key-' || CAST(o_orderkey AS VARCHAR) AS key
+          FROM orders WHERE o_orderkey <= 2000
+        ),
+        h AS (
+          SELECT key,
+                 list_reduce(
+                   list_prepend(CAST(2166136261 AS BIGINT),
+                     list_transform(generate_series(1, length(key)),
+                                    i -> CAST(ord(substr(key, i, 1)) AS BIGINT))),
+                   (acc, b) -> (xor(acc, b) * 16777619) % 4294967296) AS h32
+          FROM k
+        )
+        SELECT CAST((CASE WHEN h32 >= 2147483648
+                          THEN abs(h32 - 4294967296) ELSE h32 END) % 8 AS BIGINT)
+                 AS partition,
+               count(*) AS n_keys
+        FROM h
+        GROUP BY 1
+        ORDER BY partition
+    """,
+)
+def kafka_partitioner_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer partitioner parity as a DRIVER gate (R11): the
+    reference's default partitioner FNV-1a-hashes the record key and
+    takes abs(int32) % numPartitions (siesta-producer/partitioner.go:
+    15-44). 2000 synthesized ASCII keys route through OUR pure-Column
+    fold (functions/hashes.fnv1a32_partition — exact uint32 wraparound,
+    no UDF) while the oracle re-implements the same byte fold in DuckDB
+    via list_reduce; the per-partition key histogram hash-matches only
+    if every single key landed on the same partition in both engines —
+    stronger than the golden-value unit tests because it covers the
+    whole key population. At scale this expression IS the Kafka sink's
+    partition router, evaluated inside codegen on the write path."""
+    from syslog_kafka_spark.functions.hashes import fnv1a32_partition
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    o = load_tables(spark, sf_dir).orders.filter(F.col("o_orderkey") <= 2000)
+    keys = o.select(
+        F.concat(F.lit("key-"), F.col("o_orderkey").cast("string")).alias("key")
+    )
+    return (
+        keys.select(fnv1a32_partition("key", 8).cast("bigint").alias("partition"))
+        .groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("partition")
+    )

@@ -112,6 +112,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_arrow_native_lengths",
     "stream_static_anti_dedup",
     "llm_media_frame_sample",
+    "kafka_partitioner_histogram",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -139,7 +140,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_in_subquery_vip_orders",
     "join_left_outer_order_counts",
     "join_local_supplier_volume",
-    "join_range_error_burst",
 )
 
 
