@@ -2796,3 +2796,102 @@ def llm_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "duration_ms", "n_frames", "last_frame_ts_ms")
         .orderBy("media_id")
     )
+
+
+# Gopher quality rules (Rae et al. 2021, appendix A1.1), adapted to the
+# fixture corpus's ranges: doc word count bounds, mean word length
+# bounds, digit-character ratio cap, unique-word ratio floor, and the
+# ">= 2 distinct English stop words" rule.
+_GOPHER_STOPS = ("the", "and", "of", "to", "a")
+
+
+@query(
+    "llm_gopher_rules",
+    family="llm",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents WHERE doc_id <= 60
+        ),
+        feats AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CASE WHEN len(toks) > 0
+                      THEN (len(list_filter(string_split(array_to_string(toks, ''), ''),
+                                            c -> c != ''))) / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END AS mean_word_len,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / greatest(length(text), 1.0) AS digit_ratio,
+                 len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE)
+                   AS uniq_ratio,
+                 len(list_filter(['the', 'and', 'of', 'to', 'a'],
+                                 w -> list_contains(toks, w))) AS n_stops
+          FROM t
+        )
+        SELECT doc_id,
+               n_words,
+               CAST(CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1 ELSE 0 END AS BIGINT)
+                 AS ok_word_count,
+               CAST(CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1 ELSE 0 END AS BIGINT)
+                 AS ok_word_len,
+               CAST(CASE WHEN digit_ratio < 0.2 THEN 1 ELSE 0 END AS BIGINT)
+                 AS ok_digits,
+               CAST(CASE WHEN uniq_ratio > 0.2 THEN 1 ELSE 0 END AS BIGINT)
+                 AS ok_uniq,
+               CAST(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stops,
+               CAST(CASE WHEN n_words BETWEEN 5 AND 10000
+                          AND mean_word_len BETWEEN 2 AND 12
+                          AND digit_ratio < 0.2
+                          AND uniq_ratio > 0.2
+                          AND n_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM feats
+        ORDER BY doc_id
+    """,
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021 A1.1) as one
+    verdict-with-reasons pass: word-count bounds, mean word length
+    bounds, digit-ratio cap, unique-word-ratio floor, and the >= 2
+    distinct stop words rule — each emitted as its own flag so a
+    filtered corpus can report WHY each document was dropped, which is
+    what makes a curation run auditable. Every rule is a codegen'd
+    Column expression over one tokens array per row; the only shuffle is
+    the final sort. Mean word length counts characters across tokens
+    (join-then-count, identical arithmetic both engines)."""
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") <= 60)
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.length(F.array_join(toks, "")).alias("n_token_chars"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(w) for w in _GOPHER_STOPS]),
+                lambda w: F.array_contains(toks, w),
+            )
+        ).alias("n_stops"),
+    )
+    mean_wl = F.when(
+        F.col("n_words") > 0, F.col("n_token_chars") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ) / F.greatest(F.length("text"), F.lit(1)).cast("double")
+    uniq_ratio = F.col("n_uniq") / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+    flags = {
+        "ok_word_count": F.col("n_words").between(5, 10000),
+        "ok_word_len": mean_wl.between(2, 12),
+        "ok_digits": digit_ratio < 0.2,
+        "ok_uniq": uniq_ratio > 0.2,
+        "ok_stops": F.col("n_stops") >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return base.select(
+        "doc_id",
+        "n_words",
+        *[F.when(c, 1).otherwise(0).cast("bigint").alias(n) for n, c in flags.items()],
+        F.when(keep, 1).otherwise(0).cast("bigint").alias("keep"),
+    ).orderBy("doc_id")

@@ -113,6 +113,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_static_anti_dedup",
     "llm_media_frame_sample",
     "kafka_partitioner_histogram",
+    "scan_agg_pushdown",
+    "llm_gopher_rules",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -138,8 +140,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_exists_correlated",
     "join_full_outer_nation_counts",
     "join_in_subquery_vip_orders",
-    "join_left_outer_order_counts",
-    "join_local_supplier_volume",
 )
 
 

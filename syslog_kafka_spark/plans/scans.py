@@ -528,3 +528,50 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_high_disc"], m["total_price"], m["max_qty"])],
         "n_rows bigint, n_high_disc bigint, total_price double, max_qty double",
     )
+
+
+@query(
+    "scan_agg_pushdown",
+    family="scans",
+    oracle="""
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+               CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price
+        FROM orders
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (DataSource V2): COUNT/MIN/MAX answer
+    from row-group footer statistics without materializing a single data
+    page — the difference between a metadata read and a 100 TB scan for
+    the `SELECT count(*), min(x), max(x)` class of audit queries. The V2
+    reader is scoped to this query (the session default stays V1 —
+    Spark's own default — so every other gate is untouched), and
+    tests/test_plan_quality.py asserts `PushedAggregation` actually
+    appears in the physical plan. Values are exact (footer stats are
+    exact for fully-written files), so the plain-aggregate oracle
+    hash-matches."""
+    import os as _os
+
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    prev_push = spark.conf.get(push_key, None)
+    prev_v1 = spark.conf.get(v1_key)
+    spark.conf.set(push_key, "true")
+    spark.conf.set(v1_key, "")
+    try:
+        df = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        agg = df.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        if prev_push is None:
+            spark.conf.unset(push_key)
+        else:
+            spark.conf.set(push_key, prev_push)
+        spark.conf.set(v1_key, prev_v1)
+    return out
