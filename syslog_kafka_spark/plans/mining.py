@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from syslog_kafka_spark.functions.text import tokens
 from syslog_kafka_spark.plans.registry import query
-from syslog_kafka_spark.sources.readers import load_tables
+from syslog_kafka_spark.sources.readers import load_tables, spread
 
 _TOKENS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
 
@@ -133,7 +133,10 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram counts are hash-aggs on the token; the two vocab joins key on
     single words — all shuffles are on token strings, never on doc pairs."""
     d = load_tables(spark, sf_dir).documents
-    base = d.select("doc_id", tokens("text").alias("_toks"))
+    # spread: the base is consumed by several aggregations; on a
+    # single-split scan each re-execution of the tokenize+explode would
+    # otherwise run one-core (sources/readers.spread).
+    base = spread(d.select("doc_id", tokens("text").alias("_toks")))
     uni = (
         base.select(F.explode("_toks").alias("tok"))
         .groupBy("tok")
@@ -208,7 +211,9 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes a fixed slice while the LM statistics still cover the whole
     corpus."""
     d = load_tables(spark, sf_dir).documents
-    base = d.select("doc_id", tokens("text").alias("_toks"))
+    # spread: doc_big is consumed three times (c12, c1, scoring join) —
+    # parallelize the re-executed tokenize+explode (sources/readers.spread).
+    base = spread(d.select("doc_id", tokens("text").alias("_toks")))
     doc_big = base.select("doc_id", F.explode(_bigrams_col()).alias("bigram")).withColumn(
         "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
     )
