@@ -744,3 +744,74 @@ def join_lateral_dataframe_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "c_custkey", "c_acctbal")
         .orderBy("n_name", F.col("c_acctbal").desc(), "c_custkey")
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    family="joins",
+    oracle="""
+        WITH dim AS (
+          SELECT c_custkey,
+                 'tier-' || CAST(v AS VARCHAR) AS segment_version,
+                 CAST(TIMESTAMP '1992-01-01 00:00:00'
+                      + (v * 730) * INTERVAL 1 DAY AS TIMESTAMP) AS valid_from,
+                 CAST(TIMESTAMP '1992-01-01 00:00:00'
+                      + ((v + 1) * 730) * INTERVAL 1 DAY AS TIMESTAMP) AS valid_to
+          FROM customer, (SELECT unnest([0, 1, 2, 3]) AS v)
+          WHERE c_custkey <= 300
+        )
+        SELECT d.segment_version,
+               count(*) AS n_orders,
+               CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN dim d
+          ON d.c_custkey = o.o_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND o.o_orderdate < d.valid_to
+        WHERE o.o_custkey <= 300
+        GROUP BY d.segment_version
+        ORDER BY d.segment_version
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join — the warehouse staple: each fact row
+    joins the dimension VERSION that was valid at the fact's timestamp
+    (equality on the business key + a half-open [valid_from, valid_to)
+    range predicate). The versioned dimension is synthesized
+    deterministically (4 fixed 730-day validity windows per customer) so
+    both engines build the identical SCD2 table. Plan shape: the range
+    predicate rides the equi-join on the business key as a post-join
+    filter — the shuffle keys on c_custkey alone, so at 100 TB this
+    costs exactly one fact-side shuffle (or none, with the dimension
+    broadcast), never a range-only join explosion; each fact row matches
+    exactly one version by construction, which the count also audits."""
+    t = load_tables(spark, sf_dir)
+    versions = spark.range(4).select(F.col("id").cast("int").alias("v"))
+    base_ts = F.lit("1992-01-01").cast("timestamp")
+    dim = (
+        t.customer.filter(F.col("c_custkey") <= 300)
+        .crossJoin(F.broadcast(versions))
+        .select(
+            "c_custkey",
+            F.concat(F.lit("tier-"), F.col("v").cast("string")).alias(
+                "segment_version"
+            ),
+            (base_ts + F.make_dt_interval(F.col("v") * 730)).alias("valid_from"),
+            (base_ts + F.make_dt_interval((F.col("v") + 1) * 730)).alias("valid_to"),
+        )
+    )
+    o = t.orders.filter(F.col("o_custkey") <= 300)
+    return (
+        o.join(
+            F.broadcast(dim),
+            (dim.c_custkey == o.o_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (o.o_orderdate < dim.valid_to),
+        )
+        .groupBy("segment_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("segment_version")
+    )

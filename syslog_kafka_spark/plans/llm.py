@@ -2895,3 +2895,82 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.when(c, 1).otherwise(0).cast("bigint").alias(n) for n, c in flags.items()],
         F.when(keep, 1).otherwise(0).cast("bigint").alias("keep"),
     ).orderBy("doc_id")
+
+
+def _leakage_safe_split_oracle() -> str:
+    """Recursive closure -> component representative -> salted hash split:
+    near-duplicate documents inherit their component's split, so no pair
+    of near-dups ever straddles train/val/test."""
+    rep_hash = hash64_sql("CAST(rep AS VARCHAR)", salt="leakage-split-v1")
+    return f"""
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+        ),
+        lbl AS (
+          SELECT src AS node, least(src, min(dst)) AS component
+          FROM reach GROUP BY src
+        ),
+        assigned AS (
+          SELECT d.doc_id,
+                 coalesce(l.component, d.doc_id) AS rep
+          FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+        ),
+        split AS (
+          SELECT doc_id, rep,
+                 CASE WHEN {rep_hash} % 100 < 80 THEN 'train'
+                      WHEN {rep_hash} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM assigned
+        )
+        SELECT split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               count(DISTINCT rep) AS n_components
+        FROM split
+        GROUP BY split
+        ORDER BY split
+    """
+
+
+@query("llm_leakage_safe_split", family="llm", oracle=_leakage_safe_split_oracle())
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: each document is assigned by
+    the salted hash of its near-dup COMPONENT representative (min-id in
+    its connected component; singletons represent themselves), so two
+    near-duplicate documents can never land in different splits — the
+    contamination mode a naive per-doc hash split permits and eval
+    integrity forbids. Composes the gated LSH pair + connected-components
+    machinery with the house split formula; the oracle rebuilds the
+    identical closure declaratively. At 100 TB the extra cost over a
+    plain split is exactly the dedup pass a curation run executes
+    anyway — the split piggybacks on its labels via one broadcast-sized
+    join of (node, component)."""
+    from syslog_kafka_spark.operators.dedup import connected_components
+    from syslog_kafka_spark.functions.hashes import hash64
+
+    d = load_tables(spark, sf_dir).documents
+    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    assigned = d.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
+    bucket = F.pmod(hash64(F.col("rep").cast("string"), salt="leakage-split-v1"), F.lit(100))
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        assigned.select("doc_id", "rep", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_components"),
+        )
+        .orderBy("split")
+    )

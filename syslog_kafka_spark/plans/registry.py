@@ -115,6 +115,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "kafka_partitioner_histogram",
     "scan_agg_pushdown",
     "llm_gopher_rules",
+    "join_scd2_point_in_time",
+    "llm_leakage_safe_split",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -138,8 +140,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_broadcast_brand_volume",
     "join_cross_region_nation",
     "join_exists_correlated",
-    "join_full_outer_nation_counts",
-    "join_in_subquery_vip_orders",
 )
 
 
