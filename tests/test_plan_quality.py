@@ -398,3 +398,15 @@ def test_parquet_aggregate_pushdown_reaches_scan(spark, sf_dir):
     finally:
         spark.conf.unset(push_key)
         spark.conf.set(v1_key, prev_v1)
+
+
+def test_scd2_join_broadcasts_the_dimension(spark, sf_dir):
+    """SCD2 point-in-time join: the versioned dimension must broadcast
+    (equi-key + range predicate as a BroadcastHashJoin condition), never
+    degrade to a sort-merge or nested-loop range join."""
+    plan = _plan(spark, sf_dir, "join_scd2_point_in_time")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the one BroadcastNestedLoopJoin allowed is the deliberate 4-row
+    # version-expansion cross join that BUILDS the dimension
+    assert plan.count("(") and plan.count("BroadcastNestedLoopJoin Cross") <= 1
