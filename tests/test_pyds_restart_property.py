@@ -1,0 +1,53 @@
+"""Property test for the streaming reader's checkpoint-restart clamp
+(sources/pyds.py): for ANY committed offset and any interleaving of a
+crash-restart, the restarted reader delivers exactly the uncommitted
+suffix — no duplicates, no losses — even though Spark calls
+latestOffset() on the fresh reader BEFORE handing it the checkpointed
+start offset.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from syslog_kafka_spark.sources.pyds import SyslogTextStreamReader
+
+N_LINES = 40
+
+
+@given(
+    committed=st.integers(min_value=0, max_value=N_LINES),
+    batch_lines=st.integers(min_value=1, max_value=12),
+    chain_from_regressed_end=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_restart_delivers_exactly_the_uncommitted_suffix(
+    tmp_path_factory, committed, batch_lines, chain_from_regressed_end
+):
+    p = tmp_path_factory.mktemp("pyds") / "f.log"
+    p.write_bytes(b"".join(b"line %d\n" % i for i in range(N_LINES)))
+    reader = SyslogTextStreamReader({"path": str(p), "batchlines": batch_lines})
+
+    # Spark's restart sequence: latestOffset() first (fresh reader knows
+    # nothing), then partitions(checkpointed_start, that_end).
+    end0 = reader.latestOffset()["line"]
+    (part0,) = reader.partitions({"line": committed}, {"line": end0})
+    got = [idx for _, line in reader.read(part0) for idx in [int(line.split()[1])]]
+    assert all(i >= committed for i in got), "regressing batch re-read committed lines"
+
+    # Subsequent batches chain either from the regressed end (worst case)
+    # or from the committed offset — both must converge without dups.
+    prev = end0 if chain_from_regressed_end else max(end0, committed)
+    seen = list(got)
+    for _ in range(2 * N_LINES):
+        nxt = reader.latestOffset()["line"]
+        if nxt == prev and nxt >= N_LINES:
+            break
+        (part,) = reader.partitions({"line": prev}, {"line": nxt})
+        seen.extend(int(line.split()[1]) for _, line in reader.read(part))
+        reader.commit({"line": nxt})
+        prev = nxt
+    assert seen == list(range(committed, N_LINES)), (
+        f"committed={committed} batch={batch_lines} got {seen[:10]}..."
+    )

@@ -1,0 +1,102 @@
+"""Winnowing guarantee (Schleimer et al. 2003, theorem 1) as a
+hypothesis property, plus Spark-parity for the mirror.
+
+The algorithm promises: if two documents share a substring of length
+>= w + k - 1, they share at least one selected fingerprint. The
+property is checked on a pure-Python mirror of the exact expression
+pipeline (same md5-derived hash64, same window-min selection), and one
+Spark test pins mirror == engine over the corpus so the property
+transfers to the gated query (llm_winnowing_fingerprints).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+K, W = 8, 4  # must match plans/llm.py _WINNOW_K/_WINNOW_W
+
+
+def _normalize(text: str) -> str:
+    return re.sub(r"\s+", " ", text.strip().lower())
+
+
+def _hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def winnow_fingerprints(text: str, k: int = K, w: int = W) -> set[int]:
+    """Pure-Python mirror of the gated query's per-document selection."""
+    t = _normalize(text)
+    n = max(len(t) - (k - 1), 1)
+    hashes = [_hash64(t[i : i + k]) for i in range(n)]
+    n_win = max(len(hashes) - (w - 1), 1)
+    return {min(hashes[p : p + w]) for p in range(n_win)}
+
+
+_alpha = st.text(alphabet="abcdefgh ", min_size=0, max_size=40)
+_shared = st.text(alphabet="abcdefgh", min_size=K + W - 1, max_size=30)
+
+
+@given(prefix_a=_alpha, prefix_b=_alpha, shared=_shared, suffix_a=_alpha, suffix_b=_alpha)
+@settings(max_examples=300, deadline=None)
+def test_shared_substring_shares_a_fingerprint(prefix_a, prefix_b, shared, suffix_a, suffix_b):
+    # Guard: whitespace collapse must not break the shared run, so join
+    # with a non-space boundary character.
+    doc_a = prefix_a + "x" + shared + "x" + suffix_a
+    doc_b = prefix_b + "y" + shared + "y" + suffix_b
+    fps_a = winnow_fingerprints(doc_a)
+    fps_b = winnow_fingerprints(doc_b)
+    # The guarantee needs the shared run to survive normalization intact;
+    # 'shared' has no whitespace, so it does. len(shared) >= w+k-1 means
+    # it contains >= w consecutive k-gram positions -> one full window
+    # lies inside it on both sides -> both select that window's min.
+    assert fps_a & fps_b, f"no shared fingerprint for shared run {shared!r}"
+
+
+@given(text=st.text(alphabet="abcdefgh xyz", min_size=0, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_density_bound(text):
+    # Selection density: at most one fingerprint per window position,
+    # and never zero (even the empty doc yields one hash -> one fp).
+    fps = winnow_fingerprints(text)
+    t = _normalize(text)
+    n_pos = max(max(len(t) - (K - 1), 1) - (W - 1), 1)
+    assert 1 <= len(fps) <= n_pos
+
+
+def test_mirror_matches_spark_engine(spark, sf_dir):
+    """The pure-Python mirror computes the identical fingerprint multiset
+    as the Spark expression pipeline over real corpus docs — so the
+    hypothesis properties above speak for the gated query."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.operators.dedup import normalized
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 30)
+    t = F.col("_nt")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (K - 1), F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(K))), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    winnow = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("hs") - (W - 1), F.lit(1))),
+            lambda p: F.array_min(F.slice("hs", p, F.lit(W))),
+        )
+    )
+    rows = (
+        d.select("doc_id", "text", normalized("text").alias("_nt"))
+        .select("doc_id", "text", hashes.alias("hs"))
+        .select("doc_id", "text", winnow.alias("fps"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert set(r.fps) == winnow_fingerprints(r.text), f"doc {r.doc_id}"
