@@ -728,3 +728,96 @@ def stream_static_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = fresh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_new"))
     drained = drain(counts, mode="complete", state_partitions=8)
     return drained.orderBy("event_type")
+
+
+@query(
+    "stream_stream_left_outer_join",
+    family="streaming",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS max_ts FROM events
+                     WHERE ts < TIMESTAMP '2024-01-08'),
+        v_all AS (SELECT user_id, ts FROM events, mx
+               WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-08'
+                 AND ts <= max_ts - INTERVAL 1 HOUR),
+        -- the stream's final watermark is the VIEWS side's max event
+        -- time; rows within the 10-minute join window of it have
+        -- implementation-defined eviction timing, so both engines drop
+        -- them with the same 20-minute margin
+        v AS (SELECT * FROM v_all
+               WHERE ts <= (SELECT max(ts) FROM v_all) - INTERVAL 20 MINUTE),
+        p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08')
+        SELECT v.user_id,
+               count(*) AS n_views,
+               CAST(count(p.ts) AS BIGINT) AS n_matched,
+               CAST(count(*) - count(p.ts) AS BIGINT) AS n_unmatched
+        FROM v LEFT JOIN p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        GROUP BY v.user_id
+        ORDER BY v.user_id
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — a different state
+    machine than the inner join: an unmatched left row cannot emit on
+    arrival; the operator must HOLD it until the watermark proves no
+    matching right row can still arrive, then emit it null-padded. The
+    gate restricts the left side to views at least 1 hour older than
+    the stream's final watermark (join window is 10 minutes), so every
+    kept row's matched-or-unmatched outcome is provably final and
+    engine-version-independent — borderline rows whose eviction timing
+    is an implementation detail are excluded on BOTH engines by the
+    same predicate. State stays interval-bounded exactly as in the
+    inner join; the outer semantics add only the held-row emission."""
+    cutoff = F.lit("2024-01-08").cast("timestamp")
+    max_ts = (
+        load_tables(spark, sf_dir)
+        .events.filter(F.col("ts") < cutoff)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    ev = stream_events(spark, sf_dir).filter(F.col("ts") < cutoff)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .filter(F.col("view_ts") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_p_user"), F.col("ts").alias("purchase_ts")
+    )
+    joined = (
+        views.withWatermark("view_ts", "0 seconds")
+        .join(
+            purchases.withWatermark("purchase_ts", "0 seconds"),
+            (F.col("user_id") == F.col("_p_user"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "leftOuter",
+        )
+        .select("user_id", "view_ts", "purchase_ts")
+    )
+    vmax = (
+        load_tables(spark, sf_dir)
+        .events.filter(
+            (F.col("ts") < cutoff)
+            & (F.col("event_type") == "view")
+            & (F.col("ts") <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR"))
+        )
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    drained = drain(joined, mode="append", state_partitions=4)
+    return (
+        drained.filter(
+            F.col("view_ts") <= F.lit(vmax) - F.expr("INTERVAL 20 MINUTES")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("purchase_ts").alias("n_matched"),
+            (F.count(F.lit(1)) - F.count("purchase_ts")).alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )
