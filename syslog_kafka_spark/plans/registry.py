@@ -118,6 +118,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_scd2_point_in_time",
     "llm_leakage_safe_split",
     "stream_stream_left_outer_join",
+    "sort_global_range_partitioned",
     # --- family coverage (oldest stamp per uncovered family) ---
     "stream_tumbling_window_agg",
     "scan_csv_typed",
@@ -139,7 +140,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_anti_silent_customers",
     "join_asof_last_error",
     "join_broadcast_brand_volume",
-    "join_cross_region_nation",
 )
 
 

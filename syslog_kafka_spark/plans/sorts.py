@@ -88,3 +88,76 @@ def sort_mixed_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "sort_global_range_partitioned",
+    family="sorts",
+    oracle="""
+        WITH ranked AS (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (ORDER BY l_extendedprice DESC,
+                                    l_orderkey, l_linenumber) AS rn
+          FROM lineitem
+        )
+        SELECT rn, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice, 2) AS DOUBLE) AS price
+        FROM ranked
+        WHERE rn % 1000 = 1
+        ORDER BY rn
+    """,
+)
+def sort_global_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-correct GLOBAL ranking: a naive row_number() over an
+    unpartitioned window collapses the whole table into one task, so
+    this op computes the total order the way a 100 TB sort must —
+    repartitionByRange on the sort key (sampled range bounds, disjoint
+    ordered partitions), a LOCAL row_number within each partition (fully
+    parallel), and a broadcast map of cumulative partition counts that
+    lifts local ranks to global ones. The only driver-side data is one
+    count per partition. Output probes every 1000th global rank; the
+    total order is unique (full tiebreak), so ranks are independent of
+    where the sampled range bounds happen to land. The oracle is the
+    declarative single-window ranking — same answer, scale-hostile plan."""
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    keys = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    # localCheckpoint pins ONE materialization of the range exchange:
+    # the sampled range bounds are per-execution, so letting the counts
+    # pass and the ranking pass re-run the exchange independently could
+    # place rows differently and corrupt the offsets (at warehouse scale
+    # this is the persisted sorted intermediate).
+    parted = (
+        li.repartitionByRange(16, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # one row per partition — the bounded driver-side piece
+    sizes = {r["_pid"]: r["n"] for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]),
+        F.col("_pid"),
+    )
+    local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    return (
+        parted.withColumn("rn", (local_rn + off_expr).cast("bigint"))
+        .filter(F.col("rn") % 1000 == 1)
+        .select(
+            "rn",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy("rn")
+    )
