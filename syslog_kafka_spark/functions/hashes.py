@@ -144,7 +144,17 @@ def fnv1a32(col: Column | str) -> Column:
 
 def fnv1a32_partition(col: Column | str, num_partitions: int) -> Column:
     """Reference hash-partitioner parity: abs(fnv1a32(key)) % n
-    (partitioner.go:27-44; the Go int32 cast can go negative, abs'd)."""
+    (partitioner.go:27-44; the Go int32 cast can go negative, abs'd).
+
+    Deliberate 1-in-2^32 divergence: for the single hash value
+    0x80000000, Go's ``hash = -hash`` overflows int32 (-(-2^31) stays
+    -2^31) and its ``%`` then yields a NEGATIVE partition — an
+    unroutable index, arguably a reference bug. This implementation
+    (and the DuckDB oracle in kafka_partitioner_histogram) instead
+    produce abs() = 2147483648 and a valid partition. No key in any
+    fixture or realistic corpus hits it, so the byte-parity claim holds
+    for every other hash value; documented so the claim is precise.
+    """
     h32 = fnv1a32(col)
     # Go casts the uint32 to int32 (may be negative), then takes abs.
     signed = F.when(h32 >= F.lit(2147483648), h32 - F.lit(4294967296)).otherwise(h32)

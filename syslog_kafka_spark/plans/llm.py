@@ -2306,12 +2306,17 @@ _WINNOW_W = 4
                    i -> {hash64_sql(f"substr(t, i, {_WINNOW_K})")}) AS hs
           FROM (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
         ),
+        m AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+                   p -> list_min(list_slice(hs, p, p + {_WINNOW_W - 1}))) AS mins
+          FROM h
+        ),
         fp AS (
           SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                   generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
-                   p -> list_min(list_slice(hs, p, p + {_WINNOW_W - 1}))))) AS fp
-          FROM h
+                 unnest(list_filter(mins, (x, i) -> i = 1 OR x <> mins[i - 1])) AS fp
+          FROM m
         )
         SELECT fp, count(DISTINCT doc_id) AS n_docs,
                CAST(count(*) AS BIGINT) AS n_occurrences
@@ -2327,11 +2332,16 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-min selection over k-gram hashes — the plagiarism/overlap
     detector with a guaranteed match length, denser than MinHash but
     positional. Top shared fingerprints across documents surface copied
-    passages. The k-gram hashing and window-min both run as codegen'd
-    array lambdas INSIDE the per-doc row (no explode until the already-
-    winnowed ~2/(w+1)-density fingerprint set), so the shuffle carries
-    only selected fingerprints — the same reason winnowing beats full
-    k-gram inverted indexes at 100 TB."""
+    passages. Selection follows the paper: each window's min, with
+    CONSECUTIVE duplicate selections collapsed (run-length dedup, not a
+    global distinct) — so `n_occurrences` counts true selection runs (a
+    passage repeated within one document fingerprints once per
+    repetition) and the n_occurrences tiebreak carries signal, while
+    density stays ~2/(w+1). The k-gram hashing and window-min both run
+    as codegen'd array lambdas INSIDE the per-doc row (no explode until
+    the winnowed set), so the shuffle carries only selected
+    fingerprints — the same reason winnowing beats full k-gram inverted
+    indexes at 100 TB."""
     from syslog_kafka_spark.sources.readers import spread
 
     k, w = _WINNOW_K, _WINNOW_W
@@ -2351,18 +2361,29 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_h = spread(d.select("doc_id", normalized("text").alias("_nt"))).select(
         "doc_id", hashes.alias("hs")
     )
-    fps = with_h.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))
-                    ),
-                    lambda p: F.array_min(F.slice("hs", p, F.lit(w))),
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))),
+        lambda p: F.array_min(F.slice("hs", p, F.lit(w))),
+    )
+    # Materialize `mins` before the run-length filter: the filter lambda
+    # references the array twice (element and predecessor), and an
+    # unmaterialized transform would re-evaluate per element.
+    fps = (
+        with_h.select("doc_id", mins.alias("_mins"))
+        .select(
+            "doc_id",
+            F.explode(
+                # Keep each selection RUN once: position 0, or value differs
+                # from the previous window's min. F.get is 0-based and
+                # NULL-safe out of bounds (element_at(_, 0) would raise
+                # under Spark 4's default ANSI mode at i = 0).
+                F.filter(
+                    "_mins",
+                    lambda x, i: (i == F.lit(0))
+                    | (x != F.get(F.col("_mins"), i - F.lit(1))),
                 )
-            )
-        ).alias("fp"),
+            ).alias("fp"),
+        )
     )
     return (
         fps.groupBy("fp")

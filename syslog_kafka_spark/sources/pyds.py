@@ -151,8 +151,38 @@ class SyslogTextStreamReader(DataSourceStreamReader):
         # EMPTY instead of re-reading lines the previous incarnation
         # already committed, and the next batch resumes exactly at the
         # floor: no duplicates, no losses.
+        #
+        # DURABILITY SEAM (`hwmpath`): the clamp alone cannot survive a
+        # SECOND restart — the first post-restart latestOffset() answer
+        # regresses below the committed start, Spark records that
+        # regressed end in its offset log, and if the query dies again
+        # after the empty batch commits, the third incarnation resumes
+        # from the regressed offset and re-delivers. Passing
+        # ``.option("hwmpath", <file under the query's checkpoint dir>)``
+        # persists the committed high-water mark in a sidecar the fresh
+        # reader loads as its floor, so latestOffset() never regresses
+        # in the first place and exactly-once survives ANY restart
+        # count. The sidecar is per-query (keyed to its checkpoint), so
+        # concurrent queries over the same file never share a floor.
+        # Without hwmpath the single-restart clamp applies and the
+        # double-restart window is a documented limitation.
         self._current = 0
         self._floor = 0
+        self._hwm_path = options.get("hwmpath")
+        if self._hwm_path and os.path.exists(self._hwm_path):
+            try:
+                with open(self._hwm_path) as f:
+                    self._floor = max(self._floor, int(f.read().strip() or 0))
+            except (OSError, ValueError):
+                pass  # unreadable sidecar degrades to the clamp-only path
+
+    def _persist_floor(self) -> None:
+        if not self._hwm_path:
+            return
+        tmp = f"{self._hwm_path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self._floor))
+        os.replace(tmp, self._hwm_path)  # atomic: readers never see partial
 
     def _total_lines(self) -> int:
         with open(self.path, "rb") as f:
@@ -193,7 +223,10 @@ class SyslogTextStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._current = max(self._current, end["line"])
+        # Never let a regressed post-restart batch end LOWER the floor —
+        # the committed resume point only moves forward.
         self._floor = max(self._floor, end["line"])
+        self._persist_floor()
 
 
 _REGISTERED: set[int] = set()

@@ -114,6 +114,13 @@ def read_json(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+# spread() decision cache: (session id, sorted input files, target) ->
+# under-split?  The probe (`df.rdd.getNumPartitions()`) compiles a
+# separate RDD conversion plan per call, so hot paths that re-build the
+# same scan every run should pay it once per source, not per invocation.
+_SPREAD_CACHE: dict[tuple, bool] = {}
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a frame UP to the session's parallelism iff it is
     under-split — the guard for per-row-heavy stages (shingle hashing,
@@ -125,8 +132,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     similarly once spread). At warehouse scale inputs arrive
     pre-split, the partition count exceeds the floor, and this is a
     no-op — it only defends the small-file edge, never adds a shuffle
-    to a properly-partitioned scan."""
+    to a properly-partitioned scan.
+
+    CONTRACT: only wrap scan-adjacent NARROW plans (projections/filters
+    straight off a file scan — the current call sites). The probe reads
+    the pre-execution partition count, which for a plan containing its
+    own shuffle can differ from the AQE-coalesced runtime partitioning —
+    on such plans the check could both false-positive and pay an
+    unneeded shuffle. The under-split decision is cached per (session,
+    input-file set, target) so repeated builds of the same scan skip the
+    RDD-conversion probe."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    key = (id(df.sparkSession), files, target)
+    under = _SPREAD_CACHE.get(key) if files else None
+    if under is None:
+        under = df.rdd.getNumPartitions() < target
+        if files:
+            _SPREAD_CACHE[key] = under
+    return df.repartition(target) if under else df

@@ -51,3 +51,57 @@ def test_restart_delivers_exactly_the_uncommitted_suffix(
     assert seen == list(range(committed, N_LINES)), (
         f"committed={committed} batch={batch_lines} got {seen[:10]}..."
     )
+
+
+@given(
+    committed=st.integers(min_value=1, max_value=N_LINES),
+    batch_lines=st.integers(min_value=1, max_value=12),
+    n_restarts=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=80, deadline=None)
+def test_hwm_sidecar_survives_repeated_restarts(
+    tmp_path_factory, committed, batch_lines, n_restarts
+):
+    """With `hwmpath`, exactly-once survives ANY restart count: the clamp
+    alone lets the first post-restart latestOffset() regress below the
+    committed start (Spark would persist that regressed end to its offset
+    log, so a SECOND crash resumes from it and re-delivers); the sidecar
+    floor makes latestOffset() monotone across incarnations."""
+    d = tmp_path_factory.mktemp("pyds_hwm")
+    p = d / "f.log"
+    p.write_bytes(b"".join(b"line %d\n" % i for i in range(N_LINES)))
+    opts = {"path": str(p), "batchlines": batch_lines, "hwmpath": str(d / "hwm")}
+
+    # Incarnation 0 runs to `committed`, committing as it goes (writes hwm).
+    reader = SyslogTextStreamReader(opts)
+    prev, seen = 0, []
+    while prev < committed:
+        nxt = min(reader.latestOffset()["line"], committed)
+        (part,) = reader.partitions({"line": prev}, {"line": nxt})
+        seen.extend(int(line.split()[1]) for _, line in reader.read(part))
+        reader.commit({"line": nxt})
+        prev = nxt
+
+    # Crash/restart n times; each fresh incarnation's FIRST latestOffset()
+    # answer must already sit at-or-above the committed floor (no
+    # regressed end ever reaches Spark's offset log), and chaining from
+    # whatever it answers never duplicates a committed line.
+    for _ in range(n_restarts):
+        reader = SyslogTextStreamReader(opts)
+        end0 = reader.latestOffset()["line"]
+        assert end0 >= prev, f"regressed end {end0} < committed {prev}"
+        (part,) = reader.partitions({"line": prev}, {"line": end0})
+        got = [int(line.split()[1]) for _, line in reader.read(part)]
+        assert all(i >= prev for i in got)
+        seen.extend(got)
+        reader.commit({"line": end0})
+        prev = end0
+
+    # Drain to EOF and verify the global exactly-once property.
+    while prev < N_LINES:
+        nxt = reader.latestOffset()["line"]
+        (part,) = reader.partitions({"line": prev}, {"line": nxt})
+        seen.extend(int(line.split()[1]) for _, line in reader.read(part))
+        reader.commit({"line": nxt})
+        prev = nxt
+    assert seen == list(range(N_LINES))

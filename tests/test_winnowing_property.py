@@ -28,13 +28,17 @@ def _hash64(s: str) -> int:
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
-def winnow_fingerprints(text: str, k: int = K, w: int = W) -> set[int]:
-    """Pure-Python mirror of the gated query's per-document selection."""
+def winnow_fingerprints(text: str, k: int = K, w: int = W) -> list[int]:
+    """Pure-Python mirror of the gated query's per-document selection:
+    each window's min with consecutive duplicate selections collapsed
+    (run-length dedup, per Schleimer et al. — so repeated passages
+    fingerprint once per repetition, and density stays ~2/(w+1))."""
     t = _normalize(text)
     n = max(len(t) - (k - 1), 1)
     hashes = [_hash64(t[i : i + k]) for i in range(n)]
     n_win = max(len(hashes) - (w - 1), 1)
-    return {min(hashes[p : p + w]) for p in range(n_win)}
+    mins = [min(hashes[p : p + w]) for p in range(n_win)]
+    return [m for j, m in enumerate(mins) if j == 0 or m != mins[j - 1]]
 
 
 _alpha = st.text(alphabet="abcdefgh ", min_size=0, max_size=40)
@@ -48,8 +52,8 @@ def test_shared_substring_shares_a_fingerprint(prefix_a, prefix_b, shared, suffi
     # with a non-space boundary character.
     doc_a = prefix_a + "x" + shared + "x" + suffix_a
     doc_b = prefix_b + "y" + shared + "y" + suffix_b
-    fps_a = winnow_fingerprints(doc_a)
-    fps_b = winnow_fingerprints(doc_b)
+    fps_a = set(winnow_fingerprints(doc_a))
+    fps_b = set(winnow_fingerprints(doc_b))
     # The guarantee needs the shared run to survive normalization intact;
     # 'shared' has no whitespace, so it does. len(shared) >= w+k-1 means
     # it contains >= w consecutive k-gram positions -> one full window
@@ -60,8 +64,11 @@ def test_shared_substring_shares_a_fingerprint(prefix_a, prefix_b, shared, suffi
 @given(text=st.text(alphabet="abcdefgh xyz", min_size=0, max_size=60))
 @settings(max_examples=200, deadline=None)
 def test_density_bound(text):
-    # Selection density: at most one fingerprint per window position,
+    # Selection density: at most one selection run per window position,
     # and never zero (even the empty doc yields one hash -> one fp).
+    # Run-length dedup keeps the distinct-SET identical to the paper's
+    # fingerprint set (collapsing runs drops no values), so the
+    # shared-substring guarantee above is untouched.
     fps = winnow_fingerprints(text)
     t = _normalize(text)
     n_pos = max(max(len(t) - (K - 1), 1) - (W - 1), 1)
@@ -85,18 +92,21 @@ def test_mirror_matches_spark_engine(spark, sf_dir):
             "bigint"
         ),
     )
-    winnow = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("hs") - (W - 1), F.lit(1))),
-            lambda p: F.array_min(F.slice("hs", p, F.lit(W))),
-        )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hs") - (W - 1), F.lit(1))),
+        lambda p: F.array_min(F.slice("hs", p, F.lit(W))),
+    )
+    winnow = F.filter(
+        "_mins",
+        lambda x, i: (i == F.lit(0)) | (x != F.get(F.col("_mins"), i - F.lit(1))),
     )
     rows = (
         d.select("doc_id", "text", normalized("text").alias("_nt"))
         .select("doc_id", "text", hashes.alias("hs"))
+        .select("doc_id", "text", mins.alias("_mins"))
         .select("doc_id", "text", winnow.alias("fps"))
         .collect()
     )
     assert rows
     for r in rows:
-        assert set(r.fps) == winnow_fingerprints(r.text), f"doc {r.doc_id}"
+        assert list(r.fps) == winnow_fingerprints(r.text), f"doc {r.doc_id}"
