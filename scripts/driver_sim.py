@@ -85,11 +85,14 @@ def render_value(v) -> str:
     return repr(v)
 
 
-def canon_pandas(df: pd.DataFrame):
-    """The driver-faithful canonical form: columns sorted by name, rows
+def canon_rows(df: pd.DataFrame):
+    """Driver-faithful canonical rows: columns sorted by name, rows
     sorted by ``sort_values`` over ALL columns (raises TypeError on
     list/dict/ndarray columns — exactly like the real driver), values
-    rendered dtype-sensitively, sha256 over the joined rows."""
+    rendered dtype-sensitively. Returns (cols, rendered_row_strings) —
+    the pre-hash form, exposed so the pytest harness
+    (tests/conftest.assert_matches_oracle) can diff individual rows
+    through the SAME canonicalization the sim hashes."""
     cols = sorted(df.columns)
     out = df[cols]
     if len(out):
@@ -98,8 +101,14 @@ def canon_pandas(df: pd.DataFrame):
         "|".join(render_value(v) for v in row)
         for row in out.itertuples(index=False, name=None)
     ]
+    return list(cols), rendered
+
+
+def canon_pandas(df: pd.DataFrame):
+    """(cols, row_count, sha256-prefix) over :func:`canon_rows`."""
+    cols, rendered = canon_rows(df)
     h = hashlib.sha256("\n".join(rendered).encode()).hexdigest()[:12]
-    return list(cols), len(out), h
+    return cols, len(rendered), h
 
 
 def main() -> int:

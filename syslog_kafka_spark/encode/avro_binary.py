@@ -90,6 +90,20 @@ def encode_logline(rec: dict) -> bytes:
     return bytes(out)
 
 
+def logline_schema_json() -> str:
+    """The LogLine writer schema as JSON — serialized from the single
+    source of truth (model.LOGLINE_AVSC; reference avro/logline.avsc:1-56,
+    embedded literal at avro/logline.go:41-106). Handed to the JVM
+    spark-avro ``to_avro`` when that module's jar is present
+    (encode/transformers.avro_transform's primary path), so the Python
+    fold below and the JVM encoder can never drift apart structurally."""
+    import json
+
+    from syslog_kafka_spark.model import LOGLINE_AVSC
+
+    return json.dumps(LOGLINE_AVSC)
+
+
 def confluent_frame(schema_id: int, body: bytes) -> bytes:
     """[magic 0x00][schema id int32 BE][avro body]."""
     return CONFLUENT_MAGIC + struct.pack(">I", schema_id) + body

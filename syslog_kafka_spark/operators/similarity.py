@@ -319,6 +319,176 @@ def ivf_topk(
     return out
 
 
+def srp_buckets_frozen(vec_col: Column, planes: list[list[list[float]]]) -> Column:
+    """Multi-table SRP bucket ids from FROZEN hyperplanes, as a pure
+    Column expression: for table t, bucket = (t << n_planes) +
+    Σ_j [dot(vec, plane_tj) > 0] * 2^j. Each dot is a zip_with+aggregate
+    fold (sequential left-to-right double sum), which the DuckDB twin in
+    llm_ann_srp_topk's oracle reproduces with list_reduce — bit-identical
+    sign decisions, so the candidate set is deterministic across engines.
+
+    This is the 100 TB deployment shape for LSH retrieval: planes drawn
+    once offline (scripts/fit_ann_structures.py), applied everywhere as
+    data-independent constants — no UDF, no driver state."""
+    n_planes = len(planes[0])
+    buckets = []
+    for t, tbl in enumerate(planes):
+        acc: Column = F.lit(t << n_planes)
+        for j, p in enumerate(tbl):
+            d = dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+            acc = acc + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        buckets.append(acc)
+    return F.array(*buckets)
+
+
+def srp_topk_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[list[float]]],
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """:func:`srp_lsh_topk` with FROZEN hyperplanes and expression-side
+    signatures — same plan shape (bucket join bounds the candidate set,
+    no Q x N scan), but the whole query is a pure function of the data,
+    so the correctness gate hash-compares candidates AND scores."""
+    from pyspark.sql import Window
+
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            norm_expr(F.col(vec_col)).alias("_cn"),
+        )
+    ).withColumn("_bucket", F.explode(srp_buckets_frozen(F.col("_cvec"), planes)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm_expr(F.col(vec_col)).alias("_qn"),
+    ).withColumn("_bucket", F.explode(srp_buckets_frozen(F.col("_qvec"), planes)))
+
+    candidates = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_cvec", "_qvec", "_cn", "_qn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "score", _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+def ivf_topk_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    *,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """:func:`ivf_topk` with a PRETRAINED (frozen) coarse quantizer —
+    fit once offline (scripts/fit_ann_structures.py), applied as pure
+    Column expressions: corpus vectors argmax-assign to one list
+    (:func:`assign_frozen_cluster`), queries probe their ``n_probe``
+    best lists via a comparator sort over (sim DESC, index ASC) — the
+    numpy argsort tie order — so the probed lists, candidate set, and
+    re-ranked top-k are all deterministic and hash-gateable. The rescan
+    still touches ~n_probe/n_lists of the corpus; no driver-side fit in
+    the hot path, which is the warehouse deployment shape."""
+    from pyspark.sql import Window
+
+    vec = F.col(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vec.alias("_cvec"),
+        norm_expr(vec).alias("_cn"),
+        assign_frozen_cluster(vec, centroids).alias("_list"),
+    )
+    dots = [
+        F.struct(
+            dot_expr(vec, F.array(*[F.lit(float(x)) for x in cen])).alias("s"),
+            F.lit(i).alias("i"),
+        )
+        for i, cen in enumerate(centroids)
+    ]
+    ranked_lists = F.array_sort(
+        F.array(*dots),
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .when(l["i"] < r["i"], F.lit(-1))
+        .when(l["i"] > r["i"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    probes = F.transform(F.slice(ranked_lists, 1, n_probe), lambda x: x["i"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vec.alias("_qvec"),
+        norm_expr(vec).alias("_qn"),
+        F.explode(probes).alias("_list"),
+    )
+
+    scored = (
+        c.join(F.broadcast(q), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
+def srp_buckets_sql(
+    n_tables: int, n_planes: int, dim: int, vec: str = "v", planes: str = "P", t: str = "u.t"
+) -> str:
+    """DuckDB twin of :func:`srp_buckets_frozen` for ONE table index
+    column ``t``: bucket = t*2^n_planes + Σ_j sign-bits. Each dot is
+    ``list_reduce`` over the element products — a left-sequential fold
+    bit-matching Spark's aggregate (0.0 + x1 == x1 exactly, so the
+    missing explicit init cannot diverge). ``planes`` names a literal
+    list-of-lists column with flattened (table*n_planes + plane) rows."""
+    bits = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(generate_series(1, {dim}),"
+        f" i -> {vec}[i] * {planes}[{t} * {n_planes} + {j + 1}][i]),"
+        f" (a, x) -> a + x) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"({t} * {1 << n_planes} + {bits})"
+
+
+def planes_sql_literal(planes: list[list[list[float]]]) -> str:
+    """Flattened (table*n_planes + plane)-major DuckDB literal of the
+    frozen SRP hyperplanes — the ``planes`` operand of
+    :func:`srp_buckets_sql`."""
+    rows = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for tbl in planes for p in tbl
+    ]
+    return "[" + ", ".join(rows) + "]"
+
+
 def assign_frozen_cluster(vec_col: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid assignment against FROZEN unit-norm centroids, as a
     pure Column expression: argmax_c dot(vec, c). Normalizing ``vec`` is

@@ -38,7 +38,7 @@ from syslog_kafka_spark.operators.dedup import (
     normalized,
     simhash_neardup_pairs,
 )
-from syslog_kafka_spark.operators.similarity import cosine_topk, embedding_neardup_pairs, srp_lsh_topk
+from syslog_kafka_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
@@ -698,15 +698,78 @@ def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("llm_ann_srp_topk", family="llm", oracle=None)
+def _ann_srp_oracle() -> str:
+    """DuckDB twin of srp_topk_frozen: identical frozen hyperplanes
+    (literal CTE), identical sign decisions (list_reduce left fold ==
+    Spark's aggregate fold bit-for-bit), bucket join, DISTINCT candidate
+    set, exact-cosine re-rank rounded to 4dp (list_dot_product — the
+    proven llm_similarity_topk scoring twin)."""
+    from syslog_kafka_spark.operators.ann_frozen import (
+        DIM,
+        N_PLANES,
+        N_TABLES,
+        SRP_PLANES,
+    )
+    from syslog_kafka_spark.operators.similarity import (
+        planes_sql_literal,
+        srp_buckets_sql,
+    )
+
+    return f"""
+        WITH pl AS (SELECT {planes_sql_literal(SRP_PLANES)} AS P),
+        base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        bx AS (
+          SELECT b.vec_id, {srp_buckets_sql(N_TABLES, N_PLANES, DIM)} AS bucket
+          FROM base b CROSS JOIN pl CROSS JOIN range(0, {N_TABLES}) u(t)
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM bx q JOIN bx c ON q.bucket = c.bucket
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_dot_product(cc.v, qq.v)
+                   / (sqrt(list_dot_product(cc.v, cc.v))
+                      * sqrt(list_dot_product(qq.v, qq.v))) AS s
+          FROM cand
+          JOIN base qq ON qq.vec_id = cand.query_id
+          JOIN base cc ON cc.vec_id = cand.neighbor_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, s,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY s DESC, neighbor_id
+                 ) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, CAST(round(s, 4) AS DOUBLE) AS score
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+@query("llm_ann_srp_topk", family="llm", oracle=_ann_srp_oracle())
 def llm_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via signed-random-projection LSH buckets (pandas
-    UDF signatures). Rows-only gate; recall vs brute force is asserted in
-    unit tests."""
+    """Approximate top-k via signed-random-projection LSH buckets with
+    FROZEN hyperplanes (scripts/fit_ann_structures.py →
+    operators/ann_frozen.py): the candidate set is the union over 8
+    independent 4-plane bucket tables, re-ranked by exact cosine — and
+    because the planes are committed literals evaluated with the same
+    left-associated folds on both engines, candidates AND scores
+    hash-gate end to end (the r4 SemDeDup pattern applied to ANN; the
+    adaptive seeded-UDF path stays in operators/similarity.srp_lsh_topk
+    with its recall floor tested in tests/test_llm_ops.py)."""
+    from syslog_kafka_spark.operators.ann_frozen import SRP_PLANES
+    from syslog_kafka_spark.operators.similarity import srp_topk_frozen
+
     emb = load_tables(spark, sf_dir).embeddings
-    return srp_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64, n_planes=4, n_tables=16
-    ).orderBy("query_id", "rank")
+    return srp_topk_frozen(emb, emb.filter(F.col("vec_id") < 10), SRP_PLANES, k=5).orderBy(
+        "query_id", "rank"
+    )
 
 
 _TFIDF_TERMS = ["spark", "query", "data"]
@@ -819,18 +882,73 @@ def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_ann_ivf_topk", family="llm", oracle=None)
+def _ann_ivf_oracle(n_probe: int = 3) -> str:
+    """DuckDB twin of ivf_topk_frozen: frozen-centroid sims as the same
+    left-associated chains (frozen_cluster_sims_sql), corpus argmax via
+    list_position-of-list_max (first-max ties, = numpy/Spark), query
+    probe lists via row_number over (sim DESC, index ASC) — the argsort
+    tie order — then exact-cosine re-rank rounded to 4dp."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS, N_LISTS
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    return f"""
+        WITH a0 AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims
+          FROM embeddings
+        ),
+        c AS (
+          SELECT vec_id, v,
+                 CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS lst
+          FROM a0
+        ),
+        qp AS (
+          SELECT a.vec_id, a.v, u.i - 1 AS lst,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY a.sims[u.i] DESC, u.i
+                 ) AS pr
+          FROM a0 a CROSS JOIN range(1, {N_LISTS + 1}) u(i)
+          WHERE a.vec_id < 10
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(c.v, q.v)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.v, q.v))) AS s
+          FROM qp q JOIN c ON q.lst = c.lst
+          WHERE q.pr <= {n_probe} AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, s,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY s DESC, neighbor_id
+                 ) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id, CAST(round(s, 4) AS DOUBLE) AS score
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+    """
+
+
+@query("llm_ann_ivf_topk", family="llm", oracle=_ann_ivf_oracle(n_probe=4))
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer (driver-side
-    sample), nearest-list assignment, n_probe-list rescan with exact
-    cosine. Rows-only gate; recall vs brute force asserted in unit tests.
-    The second ANN scale path next to SRP-LSH: IVF scans ~n_probe/n_lists
-    of the corpus per query."""
-    from syslog_kafka_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k with a PRETRAINED coarse quantizer: k-means
+    centroids fit once offline (scripts/fit_ann_structures.py) and frozen
+    as literals (operators/ann_frozen.py) — corpus vectors argmax-assign
+    to one inverted list, queries probe their 4 nearest lists, and the
+    exact-cosine rescan touches ~n_probe/n_lists of the corpus. Frozen
+    structure + fold-identical arithmetic on both engines makes the
+    probed lists, candidate set, and re-ranked top-k hash-gateable (the
+    adaptive driver-side-fit path stays in operators/similarity.ivf_topk
+    with its recall floor tested in tests/test_llm_ops.py)."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import ivf_topk_frozen
 
     emb = load_tables(spark, sf_dir).embeddings
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=3
+    return ivf_topk_frozen(
+        emb, emb.filter(F.col("vec_id") < 10), IVF_CENTROIDS, k=5, n_probe=4
     ).orderBy("query_id", "rank")
 
 

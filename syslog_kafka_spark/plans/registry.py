@@ -63,83 +63,75 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-5 window: the 6 queries without a driver stamp —
-# the 3 CORRECTNESS_r04 reds, now fixed (kafka_decode_roundtrip flattens
-# its timing arrays to '|'-joined strings per house convention;
-# agg_integrity_audit and scalar_collation_caseless CAST their oracle
-# integer sums to BIGINT so DuckDB doesn't surface HUGEINT→float64), and
-# the 3 r4 additions that never fit a window (reshape_pivot_multi_agg,
-# window_cohort_retention, window_nth_value_snapshots) — then the new
-# round-5 queries, then backfill drawn from the OLDEST stamps (r1/r2)
-# with the family-coverage entries (streaming/scans/setops/sorts/syslog)
-# pinned so every family stays inside the gate
-# (tests/test_registry_window.py). Everything rotated out keeps its
-# r1–r4 stamp and stays covered by tests/test_inventory_oracle.py.
+# iteration order. Round-6 window = REGRESSION DEFENSE: with every oracled
+# query cumulatively driver-green after r5, the window now holds (a) the 3
+# queries needing a FRESH stamp — the two ANN queries newly hash-gated via
+# frozen structures (operators/ann_frozen.py) and winnowing, whose
+# selection semantics changed to paper-faithful run-length dedup — (b) one
+# family-coverage pin per family otherwise absent (oldest stamp in each),
+# and (c) the 42 STALEST stamps (all 25 r1 + the 17 oldest r2), proving no
+# silent regression under five rounds of refactors (spread(), hashed
+# shingles, canonicalizer rewrite). The ~19 remaining r2 stamps
+# (scalar/tpch/window families) are the r7 rotation pool. Everything
+# rotated out keeps its stamp and stays covered every pytest run by
+# tests/test_inventory_oracle.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- never driver-stamped: the 3 fixed r4 reds ---
-    "kafka_decode_roundtrip",
-    "agg_integrity_audit",
-    "scalar_collation_caseless",
-    # --- never driver-stamped: newest r4 additions ---
-    "reshape_pivot_multi_agg",
-    "window_cohort_retention",
-    "window_nth_value_snapshots",
-    # --- new r5, batch 1 (Spark-4 surfaces: native XML round trip, SQL
-    # UDFs, SQL scripting, GROUP BY ALL, DataFrame lateralJoin,
-    # Trigger.AvailableNow drain) ---
-    "scan_xml_roundtrip",
-    "scalar_sql_udf",
-    "scalar_sql_scripting",
-    "agg_group_by_all",
-    "join_lateral_dataframe_api",
-    "stream_available_now_trigger",
-    # --- new r5, batch 2 (training-data pipeline: temperature-scaled
-    # domain mixture, winnowing fingerprints, DSIR importance weights,
-    # URL canonicalization dedup) ---
-    "llm_domain_mixture",
+    # --- fresh-stamp required: ANN hash-gated this round; winnowing
+    # selection semantics changed this round ---
+    "llm_ann_srp_topk",
+    "llm_ann_ivf_topk",
     "llm_winnowing_fingerprints",
-    "llm_dsir_importance",
-    "llm_url_canonical_dedup",
-    # --- new r5, batch 3 (calendar-interval semantics, count_if +
-    # argmax aggregates, tokenizer fertility, embedding-centroid audit) ---
-    "scalar_interval_arithmetic",
-    "agg_count_if_extrema_by",
-    "llm_tokenizer_fertility",
-    "llm_embedding_centroid_audit",
-    # --- new r5, batch 4 (observe() DQ metrics, mapInArrow kernel stage,
-    # stream-static anti-join catalog dedup) ---
-    "scan_observe_metrics",
-    "llm_arrow_native_lengths",
-    "stream_static_anti_dedup",
-    "llm_media_frame_sample",
-    "kafka_partitioner_histogram",
-    "scan_agg_pushdown",
-    "llm_gopher_rules",
-    "join_scd2_point_in_time",
-    "llm_leakage_safe_split",
-    "stream_stream_left_outer_join",
-    "sort_global_range_partitioned",
-    # --- family coverage (oldest stamp per uncovered family) ---
-    "stream_tumbling_window_agg",
-    "scan_csv_typed",
-    "setop_union_distinct",
-    "sort_mixed_direction",
-    "syslog_severity_histogram",
-    # --- backfill: oldest stamps (r1/r2), re-freshened this round ---
-    "llm_chunk_dedup",
-    "agg_conditional",
-    "agg_cube_orders",
-    "agg_exact_percentiles",
-    "agg_grouping_sets",
-    "agg_having_big_customers",
-    "agg_min_max_extremes",
-    "agg_multi_distinct",
-    "agg_revenue_forecast",
-    "agg_rollup_revenue",
-    "agg_stats_moments",
-    "join_anti_silent_customers",
-    "join_asof_last_error",
-    "join_broadcast_brand_volume",
+    # --- family coverage (oldest stamp per otherwise-absent family) ---
+    "kafka_decode_roundtrip",
+    "scan_catalog_ctas",
+    "sort_top_orders",
+    "stream_custom_state_profile",
+    "syslog_named_levels",
+    # --- stalest stamps: the full r1 cohort ---
+    "join_cross_region_nation",
+    "join_exists_correlated",
+    "join_full_outer_nation_counts",
+    "join_in_subquery_vip_orders",
+    "join_left_outer_order_counts",
+    "join_local_supplier_volume",
+    "join_range_error_burst",
+    "join_semi_active_customers",
+    "join_shipping_priority",
+    "llm_bpe_token_counts",
+    "llm_dedup_exact_stats",
+    "llm_dedup_groups",
+    "llm_embedding_neardup",
+    "llm_fingerprint_collisions",
+    "llm_langid_confusion",
+    "llm_quality_scores",
+    "llm_similarity_topk",
+    "llm_term_freq",
+    "llm_tfidf_rank",
+    "llm_token_stats",
+    "llm_word_bigrams",
+    "reshape_pivot_event_counts",
+    "reshape_unpivot_acctbal",
+    "scalar_from_json_struct",
+    "scalar_json_roundtrip",
+    # --- stalest stamps: the oldest r2 cohort (with setops/windows
+    # family representatives promoted over two later-alphabet scalars) ---
+    "agg_collect_sorted",
+    "agg_pricing_summary",
+    "join_not_in_subquery",
+    "llm_decontamination",
+    "llm_jaccard_neardup",
+    "llm_media_features",
+    "llm_minhash_estimate",
+    "llm_minhash_lsh_pairs",
+    "llm_pack_assignment",
+    "llm_quality_repetition",
+    "llm_simhash_neardup",
+    "llm_unigram_logprob",
+    "scalar_array_advanced",
+    "scalar_casts_conditionals",
+    "scalar_datetime_funcs",
+    "setop_except",
+    "window_first_last_value",
 )
 
 

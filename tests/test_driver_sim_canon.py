@@ -83,3 +83,26 @@ def test_row_order_insensitive():
     a = _duck_df("SELECT * FROM (VALUES (1, 'b'), (2, 'a')) t(x, y)")
     b = _duck_df("SELECT * FROM (VALUES (2, 'a'), (1, 'b')) t(x, y)")
     assert canon_pandas(a) == canon_pandas(b)
+
+
+def test_pytest_harness_rejects_hugeint_oracle(spark, duck):
+    """The pytest oracle harness routes through the SAME pandas-path
+    canonicalizer as the driver sim (tests/conftest imports
+    scripts.driver_sim.canon_rows), so a deliberately-injected HUGEINT
+    oracle — DuckDB sum() over integers → pandas float64 '15.0' against
+    Spark's int64 '15' — must FAIL pytest locally, not only at the
+    graded gate."""
+    from tests.conftest import assert_matches_oracle
+
+    sdf = spark.createDataFrame([(15,)], "s BIGINT")
+    with pytest.raises(AssertionError):
+        assert_matches_oracle(
+            sdf, duck, "SELECT sum(x) AS s FROM range(1, 6) t(x)", name="hugeint_probe"
+        )
+    # and the BIGINT-cast house convention passes through the same path
+    assert_matches_oracle(
+        sdf,
+        duck,
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM range(1, 6) t(x)",
+        name="bigint_probe",
+    )

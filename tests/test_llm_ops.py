@@ -63,6 +63,34 @@ def test_srp_recall_vs_bruteforce(spark, sf_dir):
             assert abs(approx_scores[key] - r.score) < 1e-9
 
 
+def test_frozen_ann_recall_vs_bruteforce(spark, sf_dir):
+    """The hash-gated frozen-structure ANN paths must also stay GOOD
+    retrievers: the gate pins their exact output, this pins their
+    quality floor vs brute force (frozen planes/centroids could drift
+    to uselessness while still hashing consistently)."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS, SRP_PLANES
+    from syslog_kafka_spark.operators.similarity import ivf_topk_frozen, srp_topk_frozen
+
+    emb = load_tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_set = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    srp_set = {
+        (r.query_id, r.neighbor_id)
+        for r in srp_topk_frozen(emb, queries, SRP_PLANES, k=5).collect()
+    }
+    ivf_set = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_frozen(emb, queries, IVF_CENTROIDS, k=5, n_probe=4).collect()
+    }
+    # Random (near-orthogonal) vectors are the worst case for both
+    # structures; measured srp=0.68/ivf=0.46 at sf0.001 — floors mirror
+    # the adaptive-path thresholds above.
+    assert len(srp_set & exact_set) / len(exact_set) >= 0.5, "frozen SRP recall collapsed"
+    assert len(ivf_set & exact_set) / len(exact_set) >= 0.4, "frozen IVF recall collapsed"
+
+
 def test_fnv1a32_reference_parity(spark):
     # FNV-1a test vectors (public: RFC draft / reference implementations)
     vectors = {"": 2166136261, "a": 0xE40C292C, "foobar": 0xBF9CF968}
