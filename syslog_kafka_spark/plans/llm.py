@@ -2413,6 +2413,55 @@ _WINNOW_K = 8
 _WINNOW_W = 4
 
 
+def winnow_arrow_pairs(df: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, fp) winnowed-fingerprint pairs via a mapInArrow kernel:
+    hashlib-md5 60-bit k-gram hashes, numpy sliding-window min,
+    vectorized run-length dedup — bit-compatible with both the DuckDB
+    oracle and the pure-Python mirror the hypothesis property pins
+    (tests/test_winnowing_property.py). Chosen over the interpreted
+    transform/slice expression pipeline by the r6 measurement
+    (scripts/winnow_arrow_experiment.py, sf1 warm: 2.0 s vs 3.7 s, and
+    no ~8 s first-lambda-per-JVM warmup); the expression variant stays
+    there as the documented loser. Still embarrassingly parallel over
+    splits — only selected fingerprints reach the shuffle."""
+    import hashlib
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("_nt").to_pylist()
+            out_ids: list[int] = []
+            out_fps: list[int] = []
+            for d, t in zip(doc_ids, texts):
+                n = max(len(t) - (k - 1), 1)
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                if len(hs) >= w:
+                    mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+                else:
+                    mins = hs.min(keepdims=True)
+                keep = np.ones(len(mins), dtype=bool)
+                keep[1:] = mins[1:] != mins[:-1]
+                sel = mins[keep]
+                out_ids.extend([d] * len(sel))
+                out_fps.extend(int(x) for x in sel)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()), pa.array(out_fps, pa.int64())],
+                ["doc_id", "fp"],
+            )
+
+    return df.mapInArrow(kernel, "doc_id bigint, fp bigint")
+
+
 @query(
     "llm_winnowing_fingerprints",
     family="llm",
@@ -2455,54 +2504,19 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     global distinct) — so `n_occurrences` counts true selection runs (a
     passage repeated within one document fingerprints once per
     repetition) and the n_occurrences tiebreak carries signal, while
-    density stays ~2/(w+1). The k-gram hashing and window-min both run
-    as codegen'd array lambdas INSIDE the per-doc row (no explode until
-    the winnowed set), so the shuffle carries only selected
-    fingerprints — the same reason winnowing beats full k-gram inverted
-    indexes at 100 TB."""
+    density stays ~2/(w+1). The per-doc inner loops run in an Arrow
+    batch kernel (winnow_arrow_pairs — the r6-measured winner over the
+    interpreted array-lambda pipeline); only the winnowed ~2/(w+1)
+    fingerprint set reaches the shuffle, the same reason winnowing beats
+    full k-gram inverted indexes at 100 TB."""
     from syslog_kafka_spark.sources.readers import spread
 
-    k, w = _WINNOW_K, _WINNOW_W
     d = load_tables(spark, sf_dir).documents
     # Materialize the normalized text ONCE and spread the frame before
-    # the per-position hashing: referencing normalized() inside the
-    # position lambda re-evaluates its regex per k-gram (~150x per doc),
-    # and a single-file scan is one split, serializing the whole hash
-    # pass onto one core (19.3 s -> ~4 s at sf0.1 for the two fixes).
-    t = F.col("_nt")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
-        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
-            "bigint"
-        ),
-    )
-    with_h = spread(d.select("doc_id", normalized("text").alias("_nt"))).select(
-        "doc_id", hashes.alias("hs")
-    )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("hs") - (w - 1), F.lit(1))),
-        lambda p: F.array_min(F.slice("hs", p, F.lit(w))),
-    )
-    # Materialize `mins` before the run-length filter: the filter lambda
-    # references the array twice (element and predecessor), and an
-    # unmaterialized transform would re-evaluate per element.
-    fps = (
-        with_h.select("doc_id", mins.alias("_mins"))
-        .select(
-            "doc_id",
-            F.explode(
-                # Keep each selection RUN once: position 0, or value differs
-                # from the previous window's min. F.get is 0-based and
-                # NULL-safe out of bounds (element_at(_, 0) would raise
-                # under Spark 4's default ANSI mode at i = 0).
-                F.filter(
-                    "_mins",
-                    lambda x, i: (i == F.lit(0))
-                    | (x != F.get(F.col("_mins"), i - F.lit(1))),
-                )
-            ).alias("fp"),
-        )
-    )
+    # the per-position hashing: a single-file scan is one split, which
+    # would serialize the whole hash pass onto one core.
+    base = spread(d.select("doc_id", normalized("text").alias("_nt")))
+    fps = winnow_arrow_pairs(base, _WINNOW_K, _WINNOW_W)
     return (
         fps.groupBy("fp")
         .agg(

@@ -77,36 +77,24 @@ def test_density_bound(text):
 
 def test_mirror_matches_spark_engine(spark, sf_dir):
     """The pure-Python mirror computes the identical fingerprint multiset
-    as the Spark expression pipeline over real corpus docs — so the
-    hypothesis properties above speak for the gated query."""
+    as the gated Arrow-kernel pipeline (plans/llm.winnow_arrow_pairs)
+    over real corpus docs — so the hypothesis properties above speak for
+    the gated query. The interpreted-expression twin lives in
+    scripts/winnow_arrow_experiment.py and is cross-checked there."""
+    from collections import defaultdict
+
     import pyspark.sql.functions as F
 
     from syslog_kafka_spark.operators.dedup import normalized
+    from syslog_kafka_spark.plans.llm import winnow_arrow_pairs
     from syslog_kafka_spark.sources.readers import load_tables
 
     d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 30)
-    t = F.col("_nt")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (K - 1), F.lit(1))),
-        lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(K))), 1, 15), 16, 10).cast(
-            "bigint"
-        ),
-    )
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("hs") - (W - 1), F.lit(1))),
-        lambda p: F.array_min(F.slice("hs", p, F.lit(W))),
-    )
-    winnow = F.filter(
-        "_mins",
-        lambda x, i: (i == F.lit(0)) | (x != F.get(F.col("_mins"), i - F.lit(1))),
-    )
-    rows = (
-        d.select("doc_id", "text", normalized("text").alias("_nt"))
-        .select("doc_id", "text", hashes.alias("hs"))
-        .select("doc_id", "text", mins.alias("_mins"))
-        .select("doc_id", "text", winnow.alias("fps"))
-        .collect()
-    )
-    assert rows
-    for r in rows:
-        assert list(r.fps) == winnow_fingerprints(r.text), f"doc {r.doc_id}"
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    base = d.select("doc_id", normalized("text").alias("_nt"))
+    got = defaultdict(list)
+    for r in winnow_arrow_pairs(base, K, W).collect():
+        got[r.doc_id].append(r.fp)
+    assert texts
+    for doc_id, text in texts.items():
+        assert sorted(got[doc_id]) == sorted(winnow_fingerprints(text)), f"doc {doc_id}"
