@@ -319,26 +319,67 @@ def ivf_topk(
     return out
 
 
-def srp_buckets_frozen(vec_col: Column, planes: list[list[list[float]]]) -> Column:
-    """Multi-table SRP bucket ids from FROZEN hyperplanes, as a pure
-    Column expression: for table t, bucket = (t << n_planes) +
-    Σ_j [dot(vec, plane_tj) > 0] * 2^j. Each dot is a zip_with+aggregate
-    fold (sequential left-to-right double sum), which the DuckDB twin in
-    llm_ann_srp_topk's oracle reproduces with list_reduce — bit-identical
-    sign decisions, so the candidate set is deterministic across engines.
+# Frozen-structure arithmetic, the bit-parity story: the DuckDB oracle
+# twins evaluate dots as SEQUENTIAL left-associated double sums
+# (list_reduce / explicit chains). Three Spark forms reproduce that sum
+# bit-for-bit: the zip_with+aggregate fold, an explicit `+` chain, and a
+# numpy loop that accumulates ONE DIMENSION AT A TIME (vectorized over
+# rows). Measured at sf0.1 (r6): the interpreted fold costs ~4-5 s per
+# frozen ANN query; the explicit chain is far worse (Catalyst planning
+# is superlinear in expression-tree size — 2048-node trees took ~45 s);
+# the sequential-numpy pandas UDF is ~the r5 UDF constant. The UDFs
+# below therefore carry the hot path, with the dimension loop ordered
+# exactly like the fold so IEEE754 rounding matches the oracle.
+
+
+def srp_buckets_frozen_udf(planes: list[list[list[float]]]):
+    """Pandas UDF: multi-table SRP bucket ids from FROZEN hyperplanes —
+    for table t, bucket = (t << n_planes) + Σ_j [dot(vec, plane_tj) > 0]
+    * 2^j. Dots accumulate per-dimension sequentially (acc = acc +
+    v[i]*w[i], vectorized across the batch), which is bit-identical to
+    the DuckDB oracle's list_reduce fold — the sign decisions, and so
+    the candidate set, are deterministic across engines.
 
     This is the 100 TB deployment shape for LSH retrieval: planes drawn
     once offline (scripts/fit_ann_structures.py), applied everywhere as
-    data-independent constants — no UDF, no driver state."""
-    n_planes = len(planes[0])
-    buckets = []
-    for t, tbl in enumerate(planes):
-        acc: Column = F.lit(t << n_planes)
-        for j, p in enumerate(tbl):
-            d = dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in p]))
-            acc = acc + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        buckets.append(acc)
-    return F.array(*buckets)
+    data-independent constants — no driver state, one Arrow-batched
+    pass."""
+    P = np.asarray(planes, dtype=np.float64)  # (n_tables, n_planes, dim)
+    n_tables, n_planes, dim = P.shape
+
+    @pandas_udf("array<bigint>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        out = np.zeros((n_tables, mat.shape[0]), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(n_planes):
+                acc = np.zeros(mat.shape[0], dtype=np.float64)
+                for i in range(dim):  # sequential: matches the SQL fold
+                    acc = acc + mat[:, i] * P[t, j, i]
+                out[t] += (acc > 0).astype(np.int64) << j
+            out[t] += t << n_planes
+        return pd.Series([row.tolist() for row in out.T])
+
+    return buckets
+
+
+def frozen_sims_udf(centroids: list[list[float]]):
+    """Pandas UDF: per-centroid dot products (array<double>) against
+    FROZEN centroids, accumulated one dimension at a time so every sim
+    is bit-identical to frozen_cluster_sims_sql's explicit chains."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = C.shape
+
+    @pandas_udf("array<double>")
+    def sims(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((k, mat.shape[0]), dtype=np.float64)
+        for c in range(k):
+            for i in range(dim):  # sequential: matches the SQL chains
+                acc[c] = acc[c] + mat[:, i] * C[c, i]
+        return pd.Series([row.tolist() for row in acc.T])
+
+    return sims
 
 
 def srp_topk_frozen(
@@ -351,24 +392,27 @@ def srp_topk_frozen(
     vec_col: str = "embedding",
     round_to: int | None = 4,
 ) -> DataFrame:
-    """:func:`srp_lsh_topk` with FROZEN hyperplanes and expression-side
-    signatures — same plan shape (bucket join bounds the candidate set,
-    no Q x N scan), but the whole query is a pure function of the data,
-    so the correctness gate hash-compares candidates AND scores."""
+    """:func:`srp_lsh_topk` with FROZEN hyperplanes — same plan shape
+    (bucket join bounds the candidate set, no Q x N scan), but the whole
+    query is a pure function of the data, so the correctness gate
+    hash-compares candidates AND scores. Signatures come from the
+    sequential-accumulation pandas UDF (srp_buckets_frozen_udf), whose
+    sign decisions are bit-identical to the oracle's list_reduce fold."""
     from pyspark.sql import Window
 
+    buckets = srp_buckets_frozen_udf(planes)
     c = spread(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
             norm_expr(F.col(vec_col)).alias("_cn"),
         )
-    ).withColumn("_bucket", F.explode(srp_buckets_frozen(F.col("_cvec"), planes)))
+    ).withColumn("_bucket", F.explode(buckets(F.col("_cvec"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         norm_expr(F.col(vec_col)).alias("_qn"),
-    ).withColumn("_bucket", F.explode(srp_buckets_frozen(F.col("_qvec"), planes)))
+    ).withColumn("_bucket", F.explode(buckets(F.col("_qvec"))))
 
     candidates = (
         c.join(F.broadcast(q), "_bucket")
@@ -402,32 +446,41 @@ def ivf_topk_frozen(
     round_to: int | None = 4,
 ) -> DataFrame:
     """:func:`ivf_topk` with a PRETRAINED (frozen) coarse quantizer —
-    fit once offline (scripts/fit_ann_structures.py), applied as pure
-    Column expressions: corpus vectors argmax-assign to one list
-    (:func:`assign_frozen_cluster`), queries probe their ``n_probe``
-    best lists via a comparator sort over (sim DESC, index ASC) — the
-    numpy argsort tie order — so the probed lists, candidate set, and
-    re-ranked top-k are all deterministic and hash-gateable. The rescan
-    still touches ~n_probe/n_lists of the corpus; no driver-side fit in
-    the hot path, which is the warehouse deployment shape."""
+    fit once offline (scripts/fit_ann_structures.py): per-centroid sims
+    come from the sequential-accumulation pandas UDF (frozen_sims_udf,
+    bit-identical to the oracle's chains); corpus vectors argmax-assign
+    to one list (array_position of array_max — first-max ties, = numpy
+    argmax); queries probe their ``n_probe`` best lists via a comparator
+    sort over (sim DESC, index ASC) — the numpy argsort tie order. The
+    probed lists, candidate set, and re-ranked top-k are therefore all
+    deterministic and hash-gateable. The rescan still touches
+    ~n_probe/n_lists of the corpus; no driver-side fit in the hot path,
+    which is the warehouse deployment shape."""
     from pyspark.sql import Window
 
+    sims_udf = frozen_sims_udf(centroids)
     vec = F.col(vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        vec.alias("_cvec"),
-        norm_expr(vec).alias("_cn"),
-        assign_frozen_cluster(vec, centroids).alias("_list"),
-    )
-    dots = [
-        F.struct(
-            dot_expr(vec, F.array(*[F.lit(float(x)) for x in cen])).alias("s"),
-            F.lit(i).alias("i"),
+    argmax = (
+        F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1
+    ).cast("int")
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            vec.alias("_cvec"),
+            norm_expr(vec).alias("_cn"),
+            sims_udf(vec).alias("_sims"),
         )
-        for i, cen in enumerate(centroids)
-    ]
+        .withColumn("_list", argmax)
+        .drop("_sims")
+    )
+    entries = F.array(
+        *[
+            F.struct(F.get(F.col("_sims"), i).alias("s"), F.lit(i).alias("i"))
+            for i in range(len(centroids))
+        ]
+    )
     ranked_lists = F.array_sort(
-        F.array(*dots),
+        entries,
         lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
         .when(l["s"] < r["s"], F.lit(1))
         .when(l["i"] < r["i"], F.lit(-1))
@@ -435,11 +488,15 @@ def ivf_topk_frozen(
         .otherwise(F.lit(0)),
     )
     probes = F.transform(F.slice(ranked_lists, 1, n_probe), lambda x: x["i"])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        vec.alias("_qvec"),
-        norm_expr(vec).alias("_qn"),
-        F.explode(probes).alias("_list"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("_qvec"),
+            norm_expr(vec).alias("_qn"),
+            sims_udf(vec).alias("_sims"),
+        )
+        .withColumn("_list", F.explode(probes))
+        .drop("_sims")
     )
 
     scored = (
@@ -499,10 +556,11 @@ def assign_frozen_cluster(vec_col: Column, centroids: list[list[float]]) -> Colu
     Each dot is a zip_with+aggregate fold — a sequential left-to-right
     double sum, which the DuckDB twin (:func:`frozen_cluster_sims_sql`)
     reproduces term for term so both engines see bit-identical sims.
+    (An explicit per-term `+` chain is bitwise-equal too but was REJECTED
+    in r6: Catalyst planning is superlinear in expression-tree size, and
+    the 1024-node chains made llm_semantic_dedup ~5x slower.)
     """
-    sims = [
-        dot_expr(vec_col, F.array(*[F.lit(x) for x in c])) for c in centroids
-    ]
+    sims = [dot_expr(vec_col, F.array(*[F.lit(x) for x in c])) for c in centroids]
     arr = F.array(*sims)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
