@@ -59,6 +59,8 @@ def _prenorm_score(vec_a: Column, vec_b: Column, norm_a: Column, norm_b: Column)
     return dot_expr(vec_a, vec_b) / (norm_a * norm_b)
 
 
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -198,32 +200,60 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on ``label_col``
-    (e.g. a cluster/shard assignment) so the self-join never goes global."""
-    # spread() guards the small-file edge: per-row norm/dot folds on a
-    # single-split scan would otherwise run on one core.
-    df = spread(df)
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        F.col(label_col).alias("_blk"),
-        norm_expr(F.col(vec_col)).alias("_na"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        F.col(label_col).alias("_blk"),
-        norm_expr(F.col(vec_col)).alias("_nb"),
-    )
-    return (
-        a.join(b, "_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            _prenorm_score(F.col("vec_a"), F.col("vec_b"), F.col("_na"), F.col("_nb")),
+    (e.g. a cluster/shard assignment) so the pair scan never goes global.
+
+    The O(block²) scoring runs as a per-block applyInPandas kernel:
+    each vector crosses the Arrow boundary ONCE (traffic linear in
+    rows), and the block dot matrix accumulates one dimension at a time
+    — numpy outer products in the exact association order of the
+    zip_with+aggregate fold, so every cosine is bit-identical to the
+    expression form and the DuckDB oracles. Row-chunked so peak memory
+    is CHUNK x block, never block². Rounding stays JVM-side (F.round is
+    HALF_UP like the oracle; numpy rounds half-even). r6 measurements:
+    the interpreted per-pair fold cost ~1.4 µs/dot (llm_embedding_neardup
+    hit 23x on 10x data); a per-PAIR pandas UDF was no better because it
+    shipped both vectors per pair (O(pairs x dim) traffic); this
+    per-BLOCK kernel is the one that scales — at 100 TB you bound block
+    populations via the clustering fan-out, and the kernel's quadratic
+    term runs at numpy speed inside each task."""
+    dim_chunk = 1024
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n, dim = A.shape
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for i in range(dim):  # sequential: matches norm_expr's fold
+            nrm2 = nrm2 + A[:, i] * A[:, i]
+        nrm = np.sqrt(nrm2)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+        for lo in range(0, n, dim_chunk):
+            hi = min(lo + dim_chunk, n)
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for i in range(dim):  # sequential: matches dot_expr's fold
+                acc = acc + np.outer(A[lo:hi, i], A[:, i])
+            cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+            # upper triangle only (ids sorted, so index order == id order)
+            ri, ci = np.nonzero(cos >= threshold)
+            keep = (ri + lo) < ci
+            out_a.extend(ids[ri[keep] + lo].tolist())
+            out_b.extend(ids[ci[keep]].tolist())
+            out_c.extend(cos[ri[keep], ci[keep]].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    pairs = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+            F.col(label_col).alias("_blk"),
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .groupBy("_blk")
+        .applyInPandas(kernel, "id_a bigint, id_b bigint, cosine double")
     )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def _kmeans_centroids(samples: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:

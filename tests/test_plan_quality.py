@@ -362,13 +362,17 @@ def test_domain_mixture_totals_are_broadcast(spark, sf_dir):
 
 
 def test_winnowing_explodes_only_winnowed_set(spark, sf_dir):
-    """Winnowing: exactly ONE Generate (explode) node — the k-gram
-    hashing and window-min selection stay inside per-row array lambdas;
-    only the ~2/(w+1)-density fingerprint set ever becomes rows."""
+    """Winnowing: the k-gram hashing and window-min selection run inside
+    ONE Arrow batch kernel (mapInArrow, the r6-measured winner over the
+    interpreted-lambda pipeline) that emits only the ~2/(w+1)-density
+    fingerprint set as rows — so the plan has the single Arrow map node
+    and NO Generate (explode) at all; nothing wider than the winnowed
+    set ever becomes rows or reaches the shuffle."""
     import re
 
     plan = _plan(spark, sf_dir, "llm_winnowing_fingerprints")
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0
+    assert re.search(r"MapInArrow|PythonMapInArrow|ArrowEvalPython", plan), plan[:2000]
 
 
 def test_parquet_aggregate_pushdown_reaches_scan(spark, sf_dir):
