@@ -64,23 +64,26 @@ def query(
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
 # iteration order. Round-6 window = REGRESSION DEFENSE: with every oracled
-# query cumulatively driver-green after r5, the window now holds (a) the 3
+# query cumulatively driver-green after r5, the window now holds (a) the 4
 # queries needing a FRESH stamp — the two ANN queries newly hash-gated via
-# frozen structures (operators/ann_frozen.py) and winnowing, whose
-# selection semantics changed to paper-faithful run-length dedup — (b) one
+# frozen structures (operators/ann_frozen.py), winnowing (selection
+# semantics changed to paper-faithful run-length dedup) and semantic
+# dedup (pair scan moved to the per-block Arrow kernel) — (b) one
 # family-coverage pin per family otherwise absent (oldest stamp in each),
-# and (c) the 42 STALEST stamps (all 25 r1 + the 17 oldest r2), proving no
+# and (c) the 41 STALEST stamps (all 25 r1 + the 16 oldest r2), proving no
 # silent regression under five rounds of refactors (spread(), hashed
-# shingles, canonicalizer rewrite). The ~19 remaining r2 stamps
+# shingles, canonicalizer rewrite). The ~20 remaining r2 stamps
 # (scalar/tpch/window families) are the r7 rotation pool. Everything
 # rotated out keeps its stamp and stays covered every pytest run by
 # tests/test_inventory_oracle.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- fresh-stamp required: ANN hash-gated this round; winnowing
-    # selection semantics changed this round ---
+    # selection semantics changed this round; semantic dedup's pair scan
+    # moved to the per-block Arrow kernel this round ---
     "llm_ann_srp_topk",
     "llm_ann_ivf_topk",
     "llm_winnowing_fingerprints",
+    "llm_semantic_dedup",
     # --- family coverage (oldest stamp per otherwise-absent family) ---
     "kafka_decode_roundtrip",
     "scan_catalog_ctas",
@@ -117,7 +120,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # family representatives promoted over two later-alphabet scalars) ---
     "agg_collect_sorted",
     "agg_pricing_summary",
-    "join_not_in_subquery",
     "llm_decontamination",
     "llm_jaccard_neardup",
     "llm_media_features",
