@@ -428,3 +428,47 @@ def test_semantic_dedup_drops_planted_near_copies(spark):
     # everything else survives untouched
     dropped = [i for i, r in out.items() if r["is_dropped"]]
     assert sorted(dropped) == [100, 101]
+
+
+def test_frozen_structures_match_their_fit_scripts():
+    """The committed frozen literals (ann_frozen.py, semdedup_centroids.py)
+    must be exactly what their seeded offline fits produce — a hand-edit
+    or a drifted regeneration would silently invalidate every oracle
+    built on them. Re-derives both from the same seeds/data and compares
+    verbatim (repr-level, because the literals ARE the structure)."""
+    import numpy as np
+
+    from scripts.fit_ann_structures import (
+        DIM,
+        N_LISTS,
+        N_PLANES,
+        N_TABLES,
+        SEED,
+    )
+    from syslog_kafka_spark.operators.ann_frozen import (
+        IVF_CENTROIDS,
+        SRP_PLANES,
+    )
+    from syslog_kafka_spark.operators.semdedup_centroids import (
+        CENTROIDS as SD_CENTROIDS,
+    )
+    from syslog_kafka_spark.operators.similarity import _kmeans_centroids
+
+    rng = np.random.default_rng(SEED)
+    planes = np.round(rng.standard_normal((N_TABLES, N_PLANES, DIM)), 6)
+    assert [[list(map(float, p)) for p in tbl] for tbl in planes] == SRP_PLANES
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    # ann fit consumes the SAME rng after drawing planes (see the script)
+    ivf = _kmeans_centroids(mat[rng.permutation(len(mat))], N_LISTS, seed=SEED)
+    assert [list(map(float, c)) for c in ivf] == IVF_CENTROIDS
+
+    rng2 = np.random.default_rng(42)  # fit_semdedup_centroids.py's seed
+    sd = _kmeans_centroids(mat[rng2.permutation(len(mat))], 8, seed=42)
+    assert [list(map(float, c)) for c in sd] == SD_CENTROIDS
