@@ -94,6 +94,70 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
 
 
+def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
+    """(_id, _sh, _sig) per document via a mapInArrow kernel: distinct
+    60-bit shingle hashes (md5-derived, first-occurrence order) and the
+    MinHash signature, computed in hashlib/numpy — bit-identical to the
+    expression pipeline (hashed_shingles + minhash_signature_from_hashes)
+    and to the DuckDB oracle twins: same md5[:15] 60-bit values, same
+    31-bit mask, same (a*h+b) mod P affine family (all products < 2^62,
+    no int64 overflow), min over the same set. Adopted in r6 after the
+    winnowing kernel win: shingle+signature hashing is the most
+    per-row-expensive stage in the repo, and interpreted array lambdas
+    paid both a per-element cost and a per-JVM warmup; the kernel cut
+    the cold sf1 LSH base build ~4x. Expects (_id, _norm) input."""
+    import hashlib
+
+    from syslog_kafka_spark.functions.hashes import _MINHASH_P, _minhash_coeffs
+
+    coeffs = _minhash_coeffs(n_hashes)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)
+        B = np.array([b for _, b in coeffs], dtype=np.int64)
+        for batch in batches:
+            ids = batch.column("_id").to_pylist()
+            texts = batch.column("_norm").to_pylist()
+            out_sh: list[list[int] | None] = []
+            out_sig: list[list[int] | None] = []
+            for t in texts:
+                if t is None:
+                    out_sh.append(None)
+                    out_sig.append(None)
+                    continue
+                n = max(len(t) - (k - 1), 1)
+                # dict preserves first-occurrence order = array_distinct
+                grams = dict.fromkeys(t[i : i + k] for i in range(n))
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                hs = hs[np.sort(np.unique(hs, return_index=True)[1])]  # hash collisions
+                h31 = hs & 0x7FFFFFFF
+                sig = ((h31[:, None] * A[None, :] + B[None, :]) % _MINHASH_P).min(axis=0)
+                out_sh.append(hs.tolist())
+                out_sig.append(sig.tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(out_sh, pa.list_(pa.int64())),
+                    pa.array(out_sig, pa.list_(pa.int64())),
+                ],
+                ["_id", "_sh", "_sig"],
+            )
+
+    return df.mapInArrow(
+        kernel, "_id bigint, _sh array<bigint>, _sig array<bigint>"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -118,21 +182,19 @@ def lsh_candidate_pairs(
     # expensive columns (at warehouse scale this would be a checkpoint or
     # intermediate table). Carrying the shingle arrays through the join
     # means the verify stage never re-shingles a document.
-    # spread() first: a single-file scan is ONE split, and shingle+
-    # signature hashing is the most per-row-expensive stage in the repo —
-    # without the guard it runs on one core (sources/readers.spread).
-    base = (
+    # spread() first: a single-file scan is ONE split, and the per-doc
+    # hashing kernel parallelizes over splits — without the guard it runs
+    # on one core (sources/readers.spread).
+    base = lsh_base_arrow(
         spread(
             df.select(
                 F.col(id_col).alias("_id"),
                 normalized(text_col).alias("_norm"),
             )
-        )
-        .withColumn("_sh", hashed_shingles(F.col("_norm"), k))
-        .withColumn("_sig", minhash_signature_from_hashes(F.col("_sh"), n_hashes))
-        .select("_id", "_sh", "_sig")
-        .cache()
-    )
+        ),
+        k,
+        n_hashes,
+    ).cache()
 
     # band value = hash64 of the band's signature slice, exploded to
     # (band_idx, band_hash) rows: the LSH bucket key.

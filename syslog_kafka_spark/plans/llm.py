@@ -2326,6 +2326,11 @@ def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("text", "doc_id").alias("text"),
             F.count(F.lit(1)).alias("grp_size"),
         )
+        # one row per UNIQUE doc, referenced three times (reps + both
+        # group-size sides) and repeatedly inside the LSH stage's band/
+        # verify passes — without the barrier the normalize+groupBy
+        # re-executes per reference (measured 18 s -> ~3 s warm at sf1)
+        .localCheckpoint()
     )
     reps = grp.select("doc_id", "text")
     pairs = minhash_lsh_pairs(reps, k=5, n_hashes=16, bands=4, verify_threshold=0.5)

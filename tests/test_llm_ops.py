@@ -472,3 +472,35 @@ def test_frozen_structures_match_their_fit_scripts():
     rng2 = np.random.default_rng(42)  # fit_semdedup_centroids.py's seed
     sd = _kmeans_centroids(mat[rng2.permutation(len(mat))], 8, seed=42)
     assert [list(map(float, c)) for c in sd] == SD_CENTROIDS
+
+
+def test_lsh_base_kernel_matches_expression_pipeline(spark, sf_dir):
+    """The Arrow-kernel LSH base (operators/dedup.lsh_base_arrow) must
+    produce EXACTLY the shingle-hash arrays and MinHash signatures of
+    the expression pipeline (hashed_shingles +
+    minhash_signature_from_hashes) — every band bucket, candidate set,
+    and verify count downstream depends on this identity."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.functions.hashes import (
+        hashed_shingles,
+        minhash_signature_from_hashes,
+    )
+    from syslog_kafka_spark.operators.dedup import lsh_base_arrow, normalized
+
+    d = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 50)
+    inp = d.select(F.col("doc_id").alias("_id"), normalized("text").alias("_norm"))
+    expr = {
+        r._id: (list(r._sh), list(r._sig))
+        for r in inp.withColumn("_sh", hashed_shingles(F.col("_norm"), 5))
+        .withColumn("_sig", minhash_signature_from_hashes(F.col("_sh"), 16))
+        .select("_id", "_sh", "_sig")
+        .collect()
+    }
+    kern = {
+        r._id: (list(r._sh), list(r._sig))
+        for r in lsh_base_arrow(inp, 5, 16).collect()
+    }
+    assert expr.keys() == kern.keys()
+    for i in expr:
+        assert expr[i] == kern[i], f"doc {i}"
