@@ -504,3 +504,61 @@ def test_lsh_base_kernel_matches_expression_pipeline(spark, sf_dir):
     assert expr.keys() == kern.keys()
     for i in expr:
         assert expr[i] == kern[i], f"doc {i}"
+
+
+def _mirror_lsh_base(text: str, k: int = 5, n_hashes: int = 16):
+    """Pure-Python mirror of lsh_base_arrow / the expression pipeline."""
+    import hashlib
+
+    from syslog_kafka_spark.functions.hashes import _MINHASH_P, _minhash_coeffs
+
+    n = max(len(text) - (k - 1), 1)
+    grams = dict.fromkeys(text[i : i + k] for i in range(n))
+    hs = []
+    for g in grams:
+        h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        if h not in hs:
+            hs.append(h)
+    sig = [
+        min((((h & 0x7FFFFFFF) * a + b) % _MINHASH_P) for h in hs)
+        for a, b in _minhash_coeffs(n_hashes)
+    ]
+    return hs, sig
+
+
+def test_lsh_base_kernel_unicode_property(spark):
+    """Kernel-vs-expression parity on adversarial text: multi-byte
+    unicode (substr is CHARACTER-indexed in Spark, like Python slicing —
+    a byte-indexed kernel would diverge here), whitespace-only, shorter
+    than k, repeated grams. Checked against the pure-Python mirror AND
+    the Column-expression pipeline."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.functions.hashes import (
+        hashed_shingles,
+        minhash_signature_from_hashes,
+    )
+    from syslog_kafka_spark.operators.dedup import lsh_base_arrow
+
+    texts = [
+        "héllo wörld — ünïcode κόσμος 你好世界 🌍🌎🌏",
+        "aaaaaaaaaaaaaaaa",
+        "ab",
+        " ",
+        "tab\tand  spaces collapse",
+        "ドキュメント の 重複 検出 テスト だよ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["_id", "_norm"]
+    )
+    kern = {r._id: (list(r._sh), list(r._sig)) for r in lsh_base_arrow(df, 5, 16).collect()}
+    expr = {
+        r._id: (list(r._sh), list(r._sig))
+        for r in df.withColumn("_sh", hashed_shingles(F.col("_norm"), 5))
+        .withColumn("_sig", minhash_signature_from_hashes(F.col("_sh"), 16))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert kern[i] == expr[i], f"kernel != expression for {t!r}"
+        hs, sig = _mirror_lsh_base(t)
+        assert kern[i] == (hs, sig), f"kernel != mirror for {t!r}"
