@@ -18,6 +18,8 @@ contract: key BINARY, value BINARY, topic STRING [, partition INT].
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -88,7 +90,11 @@ def _logline_rows(
 # in pyspark.sql.avro.functions are thin wrappers over the EXTERNAL
 # spark-avro jar (org.apache.spark:spark-avro_2.13) — the import always
 # succeeds, so availability must be probed by evaluating one row.
-_JVM_AVRO: dict[int, bool] = {}
+# Weak-keyed by the session so a recycled id() can never inherit a dead
+# session's verdict. A failed probe pins the session to the Python
+# fallback — always CORRECT, just slower; deliberate, since re-probing a
+# genuinely jar-less cluster on every encode would be worse.
+_JVM_AVRO: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def jvm_avro_available(spark) -> bool:
@@ -100,20 +106,19 @@ def jvm_avro_available(spark) -> bool:
     fetch it), so this returns False here and avro_transform uses the
     Arrow-batched Python encoder. On any cluster with the connector
     (the normal production install), the JVM path engages automatically
-    and the parity test in tests/test_encode.py gates byte equality.
+    and the parity test in tests/test_encodings.py gates byte equality.
     """
-    key = id(spark)
-    if key not in _JVM_AVRO:
+    if spark not in _JVM_AVRO:
         try:
             from pyspark.sql.avro.functions import to_avro
 
             spark.range(1).select(
                 to_avro(F.struct(F.lit("x").alias("a"))).alias("b")
             ).collect()
-            _JVM_AVRO[key] = True
+            _JVM_AVRO[spark] = True
         except Exception:
-            _JVM_AVRO[key] = False
-    return _JVM_AVRO[key]
+            _JVM_AVRO[spark] = False
+    return _JVM_AVRO[spark]
 
 
 def avro_transform(

@@ -105,12 +105,14 @@ def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
     winnowing kernel win: shingle+signature hashing is the most
     per-row-expensive stage in the repo, and interpreted array lambdas
     paid both a per-element cost and a per-JVM warmup; the kernel cut
-    the cold sf1 LSH base build ~4x. Expects (_id, _norm) input."""
+    the cold sf1 LSH base build ~4x. Expects (_id, _norm) input; the id
+    column passes through untouched, so any caller id type works."""
     import hashlib
 
     from syslog_kafka_spark.functions.hashes import _MINHASH_P, _minhash_coeffs
 
     coeffs = _minhash_coeffs(n_hashes)
+    id_type = df.schema["_id"].dataType.simpleString()
 
     def kernel(batches):
         import numpy as np
@@ -119,7 +121,6 @@ def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
         A = np.array([a for a, _ in coeffs], dtype=np.int64)
         B = np.array([b for _, b in coeffs], dtype=np.int64)
         for batch in batches:
-            ids = batch.column("_id").to_pylist()
             texts = batch.column("_norm").to_pylist()
             out_sh: list[list[int] | None] = []
             out_sig: list[list[int] | None] = []
@@ -146,7 +147,7 @@ def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
                 out_sig.append(sig.tolist())
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
+                    batch.column("_id"),  # 1:1 rows — original type preserved
                     pa.array(out_sh, pa.list_(pa.int64())),
                     pa.array(out_sig, pa.list_(pa.int64())),
                 ],
@@ -154,7 +155,7 @@ def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
             )
 
     return df.mapInArrow(
-        kernel, "_id bigint, _sh array<bigint>, _sig array<bigint>"
+        kernel, f"_id {id_type}, _sh array<bigint>, _sig array<bigint>"
     )
 
 

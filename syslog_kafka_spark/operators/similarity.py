@@ -61,6 +61,25 @@ def _prenorm_score(vec_a: Column, vec_b: Column, norm_a: Column, norm_b: Column)
 
 
 
+def _rank_topk(scored: DataFrame, k: int, round_to: int | None) -> DataFrame:
+    """Shared top-k tail of every similarity search: per-query rank over
+    (score DESC, neighbor_id) with the rank filter pushed so Spark plans
+    a WindowGroupLimit, then optional HALF_UP rounding. One definition so
+    a tie-break or rounding change (the classic hash-gate bug class)
+    lands everywhere at once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_to))
+    return out
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -77,8 +96,6 @@ def cosine_topk(
     the final per-query top-k window over Q x N candidate rows (bounded by
     pushing the rank filter — Spark plans it as a WindowGroupLimit).
     """
-    from pyspark.sql import Window
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -97,15 +114,7 @@ def cosine_topk(
             _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out
+    return _rank_topk(scored, k, round_to)
 
 
 def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):
@@ -155,8 +164,6 @@ def srp_lsh_topk(
     (recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/pi), deduplicated
     before the exact cosine is computed. The bucket key bounds the join —
     no full Q x N scan; cost scales with bucket collision rate."""
-    from pyspark.sql import Window
-
     srp = srp_signature_udf(dim, n_planes, seed, n_tables)
     c = spread(
         corpus.select(
@@ -180,15 +187,7 @@ def srp_lsh_topk(
     scored = candidates.withColumn(
         "score", _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out
+    return _rank_topk(scored, k, round_to)
 
 
 def embedding_neardup_pairs(
@@ -215,7 +214,15 @@ def embedding_neardup_pairs(
     shipped both vectors per pair (O(pairs x dim) traffic); this
     per-BLOCK kernel is the one that scales — at 100 TB you bound block
     populations via the clustering fan-out, and the kernel's quadratic
-    term runs at numpy speed inside each task."""
+    term runs at numpy speed inside each task.
+
+    Semantics preserved from the self-join form: NULL-labeled rows never
+    pair (an inner join on the label drops them — filtered here before
+    the groupBy, matching the oracles' ``a.label = b.label``), the id
+    type is whatever the caller's ``id_col`` is (schema derived, not
+    hardcoded), and NaN cosines (zero-norm vectors) pass the threshold
+    exactly as Spark/DuckDB comparison semantics order NaN above every
+    number."""
     dim_chunk = 1024
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -227,31 +234,37 @@ def embedding_neardup_pairs(
         for i in range(dim):  # sequential: matches norm_expr's fold
             nrm2 = nrm2 + A[:, i] * A[:, i]
         nrm = np.sqrt(nrm2)
-        out_a: list[int] = []
-        out_b: list[int] = []
+        out_a: list = []
+        out_b: list = []
         out_c: list[float] = []
         for lo in range(0, n, dim_chunk):
             hi = min(lo + dim_chunk, n)
             acc = np.zeros((hi - lo, n), dtype=np.float64)
             for i in range(dim):  # sequential: matches dot_expr's fold
                 acc = acc + np.outer(A[lo:hi, i], A[:, i])
-            cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+            # numpy comparisons drop NaN, but Spark/DuckDB order NaN above
+            # all doubles, so a NaN cosine (zero-norm vector) passes the
+            # >= threshold filter on both engines — keep it here too
+            ri, ci = np.nonzero((cos >= threshold) | np.isnan(cos))
             # upper triangle only (ids sorted, so index order == id order)
-            ri, ci = np.nonzero(cos >= threshold)
             keep = (ri + lo) < ci
             out_a.extend(ids[ri[keep] + lo].tolist())
             out_b.extend(ids[ci[keep]].tolist())
             out_c.extend(cos[ri[keep], ci[keep]].tolist())
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
+    id_type = df.schema[id_col].dataType.simpleString()
     pairs = (
         df.select(
             F.col(id_col).alias(id_col),
             F.col(vec_col).alias(vec_col),
             F.col(label_col).alias("_blk"),
         )
+        .filter(F.col("_blk").isNotNull())  # inner-join-on-label semantics
         .groupBy("_blk")
-        .applyInPandas(kernel, "id_a bigint, id_b bigint, cosine double")
+        .applyInPandas(kernel, f"id_a {id_type}, id_b {id_type}, cosine double")
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
@@ -295,8 +308,6 @@ def ivf_topk(
     (one pandas-UDF pass); queries probe their ``n_probe`` nearest lists,
     so the exact-cosine rescan touches ~n_probe/n_lists of the corpus.
     """
-    from pyspark.sql import Window
-
     # Seeded uniform sample, not limit(): limit() takes the first partitions,
     # which at scale are one file's worth of (possibly clustered) vectors.
     # orderBy(rand)+limit compiles to TakeOrderedAndProject — each task keeps
@@ -338,15 +349,7 @@ def ivf_topk(
             _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out
+    return _rank_topk(scored, k, round_to)
 
 
 # Frozen-structure arithmetic, the bit-parity story: the DuckDB oracle
@@ -428,8 +431,6 @@ def srp_topk_frozen(
     hash-compares candidates AND scores. Signatures come from the
     sequential-accumulation pandas UDF (srp_buckets_frozen_udf), whose
     sign decisions are bit-identical to the oracle's list_reduce fold."""
-    from pyspark.sql import Window
-
     buckets = srp_buckets_frozen_udf(planes)
     c = spread(
         corpus.select(
@@ -453,15 +454,7 @@ def srp_topk_frozen(
     scored = candidates.withColumn(
         "score", _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out
+    return _rank_topk(scored, k, round_to)
 
 
 def ivf_topk_frozen(
@@ -486,8 +479,6 @@ def ivf_topk_frozen(
     deterministic and hash-gateable. The rescan still touches
     ~n_probe/n_lists of the corpus; no driver-side fit in the hot path,
     which is the warehouse deployment shape."""
-    from pyspark.sql import Window
-
     sims_udf = frozen_sims_udf(centroids)
     vec = F.col(vec_col)
     argmax = (
@@ -537,15 +528,7 @@ def ivf_topk_frozen(
             _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out
+    return _rank_topk(scored, k, round_to)
 
 
 def srp_buckets_sql(

@@ -2441,6 +2441,9 @@ def winnow_arrow_pairs(df: DataFrame, k: int, w: int) -> DataFrame:
             out_ids: list[int] = []
             out_fps: list[int] = []
             for d, t in zip(doc_ids, texts):
+                if t is None:
+                    continue  # null text contributes no fingerprints,
+                    # matching the expression pipeline's null propagation
                 n = max(len(t) - (k - 1), 1)
                 hs = np.fromiter(
                     (

@@ -696,9 +696,11 @@ def stream_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # awaitTermination returns False on timeout — the AvailableNow
         # drain would still be mid-run and the memory table would read as
-        # a plausible-but-incomplete result (silent wrong answer). Fail
-        # loudly instead; the finally-stop keeps no query leaked either way.
-        assert q.awaitTermination(120), "AvailableNow drain did not finish in 120s"
+        # a plausible-but-incomplete result (silent wrong answer). Raise
+        # explicitly (not assert: -O would strip it and silently restore
+        # the bug); the finally-stop keeps no query leaked either way.
+        if not q.awaitTermination(120):
+            raise RuntimeError("AvailableNow drain did not finish in 120s")
     finally:
         q.stop()
     return spark.table(name).filter(F.col("n_events") > 0).orderBy("day")

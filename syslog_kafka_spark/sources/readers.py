@@ -114,11 +114,14 @@ def read_json(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
-# spread() decision cache: (session id, sorted input files, target) ->
-# under-split?  The probe (`df.rdd.getNumPartitions()`) compiles a
+# spread() decision cache: session -> {(sorted input files, target):
+# under-split?}. The probe (`df.rdd.getNumPartitions()`) compiles a
 # separate RDD conversion plan per call, so hot paths that re-build the
 # same scan every run should pay it once per source, not per invocation.
-_SPREAD_CACHE: dict[tuple, bool] = {}
+# Weak-keyed by the SparkSession object, like _TABLE_CACHE above: entries
+# die with their session (an id()-keyed dict could serve a dead session's
+# verdict to a new one allocated at the recycled address).
+_SPREAD_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -142,15 +145,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     unneeded shuffle. The under-split decision is cached per (session,
     input-file set, target) so repeated builds of the same scan skip the
     RDD-conversion probe."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    session = df.sparkSession
+    target = min_partitions or session.sparkContext.defaultParallelism
     try:
         files = tuple(sorted(df.inputFiles()))
     except Exception:
         files = ()
-    key = (id(df.sparkSession), files, target)
-    under = _SPREAD_CACHE.get(key) if files else None
+    per_session = _SPREAD_CACHE.setdefault(session, {})
+    key = (files, target)
+    under = per_session.get(key) if files else None
     if under is None:
         under = df.rdd.getNumPartitions() < target
         if files:
-            _SPREAD_CACHE[key] = under
+            per_session[key] = under
     return df.repartition(target) if under else df
