@@ -562,3 +562,35 @@ def test_lsh_base_kernel_unicode_property(spark):
         assert kern[i] == expr[i], f"kernel != expression for {t!r}"
         hs, sig = _mirror_lsh_base(t)
         assert kern[i] == (hs, sig), f"kernel != mirror for {t!r}"
+
+
+def test_pair_scan_null_and_type_semantics(spark):
+    """The per-block pair-scan kernel preserves the old self-join
+    semantics on degenerate inputs: NULL-labeled rows never pair (inner
+    join on label), NULL text contributes no winnowing fingerprints, and
+    a non-bigint id type survives the kernel round trip."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [1.0, 0.0], 7),
+            (3, [1.0, 0.0], None),  # NULL label: must pair with nothing
+            (4, [1.0, 0.0], None),
+        ],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    pairs = embedding_neardup_pairs(emb, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].asDict()["id_a"] == 1  # int32 id survived (no bigint cast error)
+
+    from syslog_kafka_spark.plans.llm import winnow_arrow_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "some reasonable document text here"), (2, None)],
+        "doc_id BIGINT, _nt STRING",
+    )
+    got = winnow_arrow_pairs(docs, 8, 4).collect()
+    assert got and all(r.doc_id == 1 for r in got)  # null doc: zero rows
