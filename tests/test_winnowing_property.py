@@ -98,3 +98,48 @@ def test_mirror_matches_spark_engine(spark, sf_dir):
     assert texts
     for doc_id, text in texts.items():
         assert sorted(got[doc_id]) == sorted(winnow_fingerprints(text)), f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Bit-parity of the r6 kernels' accumulation scheme: every Arrow kernel
+# (pair scan, frozen-ANN signatures, frozen sims) claims its vectorized
+# per-dimension accumulation acc = acc + v[i]*w[i] reproduces the
+# sequential left-to-right double fold of the Spark expressions and the
+# DuckDB list_reduce/chain oracles BIT-FOR-BIT. That claim is the entire
+# basis for swapping kernels under hash gates — pin it as a property.
+
+_f32 = st.floats(
+    min_value=-10.0, max_value=10.0, allow_nan=False, width=32
+)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(_f32, min_size=4, max_size=8), min_size=2, max_size=6
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1)
+)
+@settings(max_examples=300, deadline=None)
+def test_perdim_accumulation_is_bitwise_the_sequential_fold(vecs):
+    import numpy as np
+
+    A = np.array(vecs, dtype=np.float32).astype(np.float64)
+    n, dim = A.shape
+    # kernel scheme: vectorized over rows, sequential over dimensions
+    acc = np.zeros((n, n), dtype=np.float64)
+    for i in range(dim):
+        acc = acc + np.outer(A[:, i], A[:, i])
+    nrm2 = np.zeros(n, dtype=np.float64)
+    for i in range(dim):
+        nrm2 = nrm2 + A[:, i] * A[:, i]
+    # mirror: the exact scalar fold Spark's aggregate/zip_with evaluates
+    # (0.0 + x1 + x2 + ...) and DuckDB's list_reduce reproduces
+    for a in range(n):
+        for b in range(n):
+            dot = 0.0
+            for i in range(dim):
+                dot = dot + float(A[a, i]) * float(A[b, i])
+            assert acc[a, b] == dot, (a, b)
+        s = 0.0
+        for i in range(dim):
+            s = s + float(A[a, i]) * float(A[a, i])
+        assert nrm2[a] == s
