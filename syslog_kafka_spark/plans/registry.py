@@ -63,77 +63,70 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-6 window = REGRESSION DEFENSE: with every oracled
-# query cumulatively driver-green after r5, the window now holds (a) the 4
-# queries needing a FRESH stamp — the two ANN queries newly hash-gated via
-# frozen structures (operators/ann_frozen.py), winnowing (selection
-# semantics changed to paper-faithful run-length dedup) and semantic
-# dedup (pair scan moved to the per-block Arrow kernel) — (b) one
-# family-coverage pin per family otherwise absent (oldest stamp in each),
-# and (c) the 41 STALEST stamps (all 25 r1 + the 16 oldest r2), proving no
-# silent regression under five rounds of refactors (spread(), hashed
-# shingles, canonicalizer rewrite). The ~20 remaining r2 stamps
-# (scalar/tpch/window families) are the r7 rotation pool. Everything
-# rotated out keeps its stamp and stays covered every pytest run by
-# tests/test_inventory_oracle.py.
+# iteration order. Round-7 window = the FINAL stale-stamp rotation: after
+# r6, the only stamps predating r3 are the 19 r2-stamped queries named by
+# the r6 verdict as the rotation pool — all 19 lead this window. Next come
+# one family-coverage pin per family the pool misses (the OLDEST stamp in
+# each: kafka/llm/scans/sorts/streaming/syslog), then the 25
+# alphabetically-first of the remaining 43 r3-stamped queries. After this
+# window goes green, no cumulative driver stamp predates r3, and the 18
+# leftover r3 stamps (stream/tpch/window tails) are the natural r8 pool.
+# Everything rotated out keeps its stamp and stays covered on every pytest
+# run by tests/test_inventory_oracle.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- fresh-stamp required: ANN hash-gated this round; winnowing
-    # selection semantics changed this round; semantic dedup's pair scan
-    # moved to the per-block Arrow kernel this round ---
-    "llm_ann_srp_topk",
-    "llm_ann_ivf_topk",
-    "llm_winnowing_fingerprints",
-    "llm_semantic_dedup",
-    # --- family coverage (oldest stamp per otherwise-absent family) ---
-    "kafka_decode_roundtrip",
-    "scan_catalog_ctas",
-    "sort_top_orders",
-    "stream_custom_state_profile",
-    "syslog_named_levels",
-    # --- stalest stamps: the full r1 cohort ---
-    "join_cross_region_nation",
-    "join_exists_correlated",
-    "join_full_outer_nation_counts",
-    "join_in_subquery_vip_orders",
-    "join_left_outer_order_counts",
-    "join_local_supplier_volume",
-    "join_range_error_burst",
-    "join_semi_active_customers",
-    "join_shipping_priority",
-    "llm_bpe_token_counts",
-    "llm_dedup_exact_stats",
-    "llm_dedup_groups",
-    "llm_embedding_neardup",
-    "llm_fingerprint_collisions",
-    "llm_langid_confusion",
-    "llm_quality_scores",
-    "llm_similarity_topk",
-    "llm_term_freq",
-    "llm_tfidf_rank",
-    "llm_token_stats",
-    "llm_word_bigrams",
-    "reshape_pivot_event_counts",
-    "reshape_unpivot_acctbal",
-    "scalar_from_json_struct",
-    "scalar_json_roundtrip",
-    # --- stalest stamps: the oldest r2 cohort (with setops/windows
-    # family representatives promoted over two later-alphabet scalars) ---
-    "agg_collect_sorted",
-    "agg_pricing_summary",
-    "llm_decontamination",
-    "llm_jaccard_neardup",
-    "llm_media_features",
-    "llm_minhash_estimate",
-    "llm_minhash_lsh_pairs",
-    "llm_pack_assignment",
-    "llm_quality_repetition",
-    "llm_simhash_neardup",
-    "llm_unigram_logprob",
-    "scalar_array_advanced",
-    "scalar_casts_conditionals",
-    "scalar_datetime_funcs",
-    "setop_except",
-    "window_first_last_value",
+    # --- the complete r2-stamp cohort (the r6 verdict's rotation pool) ---
+    "join_not_in_subquery",
+    "scalar_explode_tokens",
+    "scalar_json_funcs",
+    "scalar_math_funcs",
+    "scalar_regex_like",
+    "scalar_string_funcs",
+    "scalar_value_bucketing",
+    "setop_intersect",
+    "tpch_above_nation_average",
+    "tpch_min_cost_supplier",
+    "tpch_nation_volume_flow",
+    "tpch_order_count_distribution",
+    "tpch_profit_by_nation",
+    "tpch_scalar_subquery_filter",
+    "tpch_waiting_suppliers",
+    "window_rank_family",
+    "window_running_spend",
+    "window_top3_orders_per_cust",
+    "window_tumbling_batch_twin",
+    # --- family coverage (oldest stamp per family the pool misses) ---
+    "kafka_partitioner_histogram",
+    "llm_curation_pipeline",
+    "scan_json_lines",
+    "sort_nulls_ordering",
+    "stream_dedup_distinct_pairs",
+    "syslog_parse_corpus",
+    # --- stalest r3 stamps (alphabetically-first 25 of the remaining 43) ---
+    "agg_bool_bitwise",
+    "agg_key_skew_audit",
+    "agg_rollup_cascade",
+    "join_asof_next_signup",
+    "llm_dedup_components",
+    "llm_doc_chunks",
+    "llm_hash_split",
+    "llm_packing_efficiency",
+    "llm_pii_redaction",
+    "llm_simhash_multiprobe",
+    "llm_stratified_sample",
+    "llm_token_entropy",
+    "llm_url_extraction",
+    "llm_vocab_coverage",
+    "llm_weighted_sample",
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_edit_distance",
+    "scalar_map_funcs",
+    "scalar_posexplode_tokens",
+    "scalar_struct_funcs",
+    "scalar_trig_funcs",
+    "scalar_url_funcs",
+    "setop_multiset_all",
+    "stream_session_window_agg",
 )
 
 
