@@ -9,8 +9,7 @@ hash-compare.
 
 Two structures:
 - SRP_PLANES: signed-random-projection hyperplanes, shape
-  (N_TABLES, N_PLANES, DIM), drawn from the same seeded generator the
-  adaptive operator (operators/similarity.srp_signature_udf) uses, then
+  (N_TABLES, N_PLANES, DIM), drawn from a seeded generator and
   rounded to 6 decimals (the rounded literals ARE the frozen structure;
   both engines consume identical values, so rounding cannot diverge).
 - IVF_CENTROIDS: k-means coarse-quantizer centroids (N_LISTS x DIM),

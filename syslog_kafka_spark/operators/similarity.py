@@ -1,16 +1,24 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search + semantic dedup over embedding columns (array<float>).
 
 - cosine_topk: exact brute force — the correctness baseline. Queries are
   broadcast (they're the small side by construction); each executor scans
   its corpus partition once and a window takes top-k. Deterministic ties:
   (score DESC, vec_id ASC).
-- srp_lsh_topk: the scale path — signed-random-projection LSH buckets cut
-  the scanned corpus to colliding buckets only. Signatures are computed by
-  an Arrow-batched pandas UDF (numpy matmul), seeded deterministically.
+- srp_topk_frozen / ivf_topk_frozen: the scale paths — SRP-LSH buckets /
+  IVF lists cut the scanned corpus to colliding candidates only, using
+  FROZEN structures (hyperplanes / centroids) fit once offline by
+  scripts/fit_ann_structures.py. One implementation per operator since
+  round 7: the earlier seeded-random "fit inside the query" twins were
+  folded into these — at warehouse scale the structure is always a
+  data-independent constant shipped with the job, and a pure-function
+  query is what the correctness gate can hash end-to-end. The offline
+  fit itself (`_kmeans_centroids`) stays here for the fit scripts.
+- embedding_neardup_pairs / semantic_dedup_frozen: blocked cosine pair
+  scan (per-block Arrow kernel) and SemDeDup-style min-id survivorship.
 
 At 100 TB the brute force is O(Q x N) dot products spread across the
-cluster (embarrassingly parallel, no shuffle on the corpus side); SRP
-trades recall for a ~bucket-fraction scan.
+cluster (embarrassingly parallel, no shuffle on the corpus side); SRP/IVF
+trade recall for a ~bucket-fraction scan.
 """
 
 from __future__ import annotations
@@ -117,79 +125,6 @@ def cosine_topk(
     return _rank_topk(scored, k, round_to)
 
 
-def srp_signature_udf(dim: int, n_planes: int = 16, seed: int = 42, n_tables: int = 1):
-    """Pandas UDF computing signed-random-projection bucket ids for
-    ``n_tables`` independent hash tables (array<bigint>, one per table;
-    the table index is folded into the bucket id so buckets never collide
-    across tables).
-
-    The plane tensor is derived from a fixed seed on each executor —
-    deterministic across runs.
-    """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, dim, n_planes))
-
-    @pandas_udf("array<bigint>")
-    def srp(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
-        out = []
-        sigs = np.empty((n_tables, mat.shape[0]), dtype=np.int64)
-        for t in range(n_tables):
-            bits = (mat @ planes[t]) > 0  # (batch, n_planes)
-            sigs[t] = bits.astype(np.int64) @ weights + (t << n_planes)
-        for row in sigs.T:
-            out.append(row.tolist())
-        return pd.Series(out)
-
-    return srp
-
-
-def srp_lsh_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    *,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int,
-    n_planes: int = 12,
-    n_tables: int = 8,
-    seed: int = 42,
-    round_to: int | None = 4,
-) -> DataFrame:
-    """Approximate top-k cosine neighbors: multi-table SRP LSH.
-
-    Candidates are the union over ``n_tables`` independent bucket joins
-    (recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/pi), deduplicated
-    before the exact cosine is computed. The bucket key bounds the join —
-    no full Q x N scan; cost scales with bucket collision rate."""
-    srp = srp_signature_udf(dim, n_planes, seed, n_tables)
-    c = spread(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cvec"),
-            norm_expr(F.col(vec_col)).alias("_cn"),
-        )
-    ).withColumn("_bucket", F.explode(srp(F.col("_cvec"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qn"),
-    ).withColumn("_bucket", F.explode(srp(F.col("_qvec"))))
-
-    candidates = (
-        c.join(F.broadcast(q), "_bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_cvec", "_qvec", "_cn", "_qn")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = candidates.withColumn(
-        "score", _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn"))
-    )
-    return _rank_topk(scored, k, round_to)
-
-
 def embedding_neardup_pairs(
     df: DataFrame,
     *,
@@ -270,8 +205,11 @@ def embedding_neardup_pairs(
 
 
 def _kmeans_centroids(samples: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
-    """Tiny driver-side k-means (numpy, seeded) for the IVF coarse
-    quantizer. Runs on a bounded sample — never on the full corpus."""
+    """Tiny OFFLINE k-means (numpy, seeded) for the IVF / SemDeDup coarse
+    quantizers. Runs on a bounded sample — never on the full corpus — in
+    the fit scripts (scripts/fit_ann_structures.py,
+    scripts/fit_semdedup_centroids.py) whose outputs are the frozen
+    literals the production operators consume."""
     rng = np.random.default_rng(seed)
     centroids = samples[rng.choice(len(samples), size=k, replace=False)]
     for _ in range(iters):
@@ -285,71 +223,6 @@ def _kmeans_centroids(samples: np.ndarray, k: int, iters: int = 10, seed: int = 
         norms = np.linalg.norm(centroids, axis=1, keepdims=True)
         centroids = centroids / np.clip(norms, 1e-12, None)
     return centroids
-
-
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    *,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_lists: int = 16,
-    n_probe: int = 3,
-    sample_size: int = 2048,
-    seed: int = 42,
-    round_to: int | None = 4,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search.
-
-    Coarse quantizer: k-means centroids fit on a driver-side sample
-    (bounded; at warehouse scale this is the standard train-on-sample
-    pattern). Every corpus vector is assigned to its nearest centroid
-    (one pandas-UDF pass); queries probe their ``n_probe`` nearest lists,
-    so the exact-cosine rescan touches ~n_probe/n_lists of the corpus.
-    """
-    # Seeded uniform sample, not limit(): limit() takes the first partitions,
-    # which at scale are one file's worth of (possibly clustered) vectors.
-    # orderBy(rand)+limit compiles to TakeOrderedAndProject — each task keeps
-    # its own top-N, so there is no global sort and the driver only ever
-    # materializes sample_size rows.
-    sample_rows = (
-        corpus.select(vec_col).orderBy(F.rand(seed)).limit(sample_size).collect()
-    )
-    samples = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    samples = samples / np.clip(np.linalg.norm(samples, axis=1, keepdims=True), 1e-12, None)
-    centroids = _kmeans_centroids(samples, n_lists, seed=seed)
-
-    @pandas_udf("array<int>")
-    def nearest_lists(vecs: pd.Series, n: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        sims = mat @ centroids.T
-        out = []
-        for row, probe in zip(sims, n):
-            out.append(np.argsort(-row)[: int(probe)].astype(np.int32).tolist())
-        return pd.Series(out)
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm_expr(F.col(vec_col)).alias("_cn"),
-    ).withColumn("_list", F.element_at(nearest_lists(F.col("_cvec"), F.lit(1)), 1))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qn"),
-    ).withColumn("_list", F.explode(nearest_lists(F.col("_qvec"), F.lit(n_probe))))
-
-    scored = (
-        c.join(F.broadcast(q), "_list")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "score",
-            _prenorm_score(F.col("_cvec"), F.col("_qvec"), F.col("_cn"), F.col("_qn")),
-        )
-    )
-    return _rank_topk(scored, k, round_to)
 
 
 # Frozen-structure arithmetic, the bit-parity story: the DuckDB oracle
@@ -425,10 +298,13 @@ def srp_topk_frozen(
     vec_col: str = "embedding",
     round_to: int | None = 4,
 ) -> DataFrame:
-    """:func:`srp_lsh_topk` with FROZEN hyperplanes — same plan shape
-    (bucket join bounds the candidate set, no Q x N scan), but the whole
-    query is a pure function of the data, so the correctness gate
-    hash-compares candidates AND scores. Signatures come from the
+    """Approximate top-k cosine neighbors: multi-table SRP LSH with
+    FROZEN hyperplanes. Candidates are the union over the tables'
+    bucket joins (recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/pi),
+    deduplicated before the exact cosine is computed — the bucket key
+    bounds the join, no full Q x N scan. The whole query is a pure
+    function of the data, so the correctness gate hash-compares
+    candidates AND scores. Signatures come from the
     sequential-accumulation pandas UDF (srp_buckets_frozen_udf), whose
     sign decisions are bit-identical to the oracle's list_reduce fold."""
     buckets = srp_buckets_frozen_udf(planes)
@@ -468,7 +344,8 @@ def ivf_topk_frozen(
     vec_col: str = "embedding",
     round_to: int | None = 4,
 ) -> DataFrame:
-    """:func:`ivf_topk` with a PRETRAINED (frozen) coarse quantizer —
+    """IVF (inverted-file) approximate top-k cosine search with a
+    PRETRAINED (frozen) coarse quantizer —
     fit once offline (scripts/fit_ann_structures.py): per-centroid sims
     come from the sequential-accumulation pandas UDF (frozen_sims_udf,
     bit-identical to the oracle's chains); corpus vectors argmax-assign
@@ -619,12 +496,23 @@ def semantic_dedup_frozen(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """:func:`semantic_dedup` with a PRETRAINED (frozen) coarse quantizer —
-    the shape you actually run at 100 TB: the k-means fit happens once,
-    offline, on a bounded sample (scripts/fit_semdedup_centroids.py); the
-    production pass is then a pure function of the data, with no driver-side
-    collect at all. Same output contract as semantic_dedup; fully
-    SQL-expressible, so the correctness gate hash-compares it end to end.
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023) with a
+    PRETRAINED (frozen) coarse quantizer: cluster embeddings against the
+    frozen centroids, find within-cluster cosine pairs above
+    ``threshold``, keep the min-id representative of each duplicate
+    neighborhood. Returns one row per input with ``(id, cluster,
+    in_dup_group, is_dropped, kept_id)`` — ``kept_id`` is the smallest id
+    among the duplicates it matched (itself if unique); a row is dropped
+    when a smaller-id duplicate exists.
+
+    This is the shape you actually run at 100 TB: the k-means fit happens
+    once, offline, on a bounded sample (scripts/fit_semdedup_centroids.py);
+    the production pass is then a pure function of the data, with no
+    driver-side collect at all — fully SQL-expressible, so the correctness
+    gate hash-compares it end to end. The pair scan is blocked per
+    cluster, so the quadratic term is (corpus/n_clusters)² per task, never
+    corpus²; at 100 TB you raise n_clusters to keep cluster populations
+    bounded and the plan is unchanged.
     """
     labeled = df.select(
         F.col(id_col),
@@ -635,75 +523,6 @@ def semantic_dedup_frozen(
     pairs = embedding_neardup_pairs(
         labeled, id_col=id_col, vec_col=vec_col, label_col="cluster", threshold=threshold
     )
-    edges = pairs.select(
-        F.col("id_a").alias("_id"), F.col("id_b").alias("_peer")
-    ).unionByName(pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("_peer")))
-    reps = edges.groupBy("_id").agg(F.min("_peer").alias("_min_peer"))
-    return (
-        labeled.join(reps, labeled[id_col] == reps["_id"], "left")
-        .select(
-            F.col(id_col),
-            "cluster",
-            F.col("_min_peer").isNotNull().alias("in_dup_group"),
-            F.coalesce(F.col("_min_peer") < F.col(id_col), F.lit(False)).alias(
-                "is_dropped"
-            ),
-            F.least(F.coalesce("_min_peer", F.col(id_col)), F.col(id_col)).alias(
-                "kept_id"
-            ),
-        )
-    )
-
-
-def semantic_dedup(
-    df: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.95,
-    n_clusters: int = 16,
-    sample_size: int = 2048,
-    seed: int = 42,
-) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
-    embeddings with the IVF coarse quantizer, find within-cluster cosine
-    pairs above ``threshold``, keep the min-id representative of each
-    duplicate neighborhood.
-
-    Returns one row per input with ``(id, cluster, in_dup_group,
-    is_dropped, kept_id)`` — ``kept_id`` is the smallest id among the
-    duplicates it matched (itself if unique); a row is dropped when a
-    smaller-id duplicate exists.
-
-    Distributed shape: identical to IVF search — the k-means fit touches
-    a bounded driver-side sample, assignment is one Arrow-batched pass,
-    and the pair scan is blocked per cluster, so the quadratic term is
-    (corpus/n_clusters)^2 per task, never corpus^2. At 100 TB you raise
-    n_clusters to keep cluster populations bounded; the plan is unchanged.
-    """
-    # Seeded uniform sample (see ivf_topk): unbiased at scale, bounded on
-    # the driver, deterministic under the seed.
-    sample_rows = df.select(vec_col).orderBy(F.rand(seed)).limit(sample_size).collect()
-    samples = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    samples = samples / np.clip(np.linalg.norm(samples, axis=1, keepdims=True), 1e-12, None)
-    centroids = _kmeans_centroids(samples, n_clusters, seed=seed)
-
-    @pandas_udf("int")
-    def nearest_cluster(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        return pd.Series((mat @ centroids.T).argmax(axis=1).astype(np.int32))
-
-    labeled = df.select(
-        F.col(id_col), F.col(vec_col), nearest_cluster(F.col(vec_col)).alias("cluster")
-    ).cache()  # one assignment pass feeds both the pair scan and the output join
-
-    pairs = embedding_neardup_pairs(
-        labeled, id_col=id_col, vec_col=vec_col, label_col="cluster", threshold=threshold
-    )
-    # Neighborhood representative: the smallest id seen across all pairs
-    # touching this id (one-step min-label; full transitive closure is
-    # operators/dedup.py's connected-components path).
     edges = pairs.select(
         F.col("id_a").alias("_id"), F.col("id_b").alias("_peer")
     ).unionByName(pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("_peer")))

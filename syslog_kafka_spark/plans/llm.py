@@ -760,9 +760,8 @@ def llm_ann_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent 4-plane bucket tables, re-ranked by exact cosine — and
     because the planes are committed literals evaluated with the same
     left-associated folds on both engines, candidates AND scores
-    hash-gate end to end (the r4 SemDeDup pattern applied to ANN; the
-    adaptive seeded-UDF path stays in operators/similarity.srp_lsh_topk
-    with its recall floor tested in tests/test_llm_ops.py)."""
+    hash-gate end to end (the r4 SemDeDup pattern applied to ANN); the
+    recall floor vs brute force is pinned in tests/test_llm_ops.py."""
     from syslog_kafka_spark.operators.ann_frozen import SRP_PLANES
     from syslog_kafka_spark.operators.similarity import srp_topk_frozen
 
@@ -940,9 +939,8 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one inverted list, queries probe their 4 nearest lists, and the
     exact-cosine rescan touches ~n_probe/n_lists of the corpus. Frozen
     structure + fold-identical arithmetic on both engines makes the
-    probed lists, candidate set, and re-ranked top-k hash-gateable (the
-    adaptive driver-side-fit path stays in operators/similarity.ivf_topk
-    with its recall floor tested in tests/test_llm_ops.py)."""
+    probed lists, candidate set, and re-ranked top-k hash-gateable; the
+    recall floor vs brute force is pinned in tests/test_llm_ops.py."""
     from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
     from syslog_kafka_spark.operators.similarity import ivf_topk_frozen
 

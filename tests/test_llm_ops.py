@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 
 from syslog_kafka_spark.functions.hashes import fnv1a32, fnv1a32_partition
 from syslog_kafka_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash64
-from syslog_kafka_spark.operators.similarity import cosine_topk, srp_lsh_topk
+from syslog_kafka_spark.operators.similarity import cosine_topk
 from syslog_kafka_spark.sources.readers import load_tables
 
 
@@ -44,25 +44,6 @@ def test_simhash_close_for_neardups(spark):
     assert ham_close < ham_far
 
 
-def test_srp_recall_vs_bruteforce(spark, sf_dir):
-    emb = load_tables(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, queries, k=5).collect()
-    approx = srp_lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=16).collect()
-    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    # multi-table LSH: 16 tables x 4 planes reaches high recall even on
-    # near-orthogonal random vectors (measured 0.96 on this corpus)
-    assert recall >= 0.8, f"SRP recall collapsed: {recall}"
-    # and scores it does return are exact cosines (same formula)
-    approx_scores = {(r.query_id, r.neighbor_id): r.score for r in approx}
-    for r in exact:
-        key = (r.query_id, r.neighbor_id)
-        if key in approx_scores:
-            assert abs(approx_scores[key] - r.score) < 1e-9
-
-
 def test_frozen_ann_recall_vs_bruteforce(spark, sf_dir):
     """The hash-gated frozen-structure ANN paths must also stay GOOD
     retrievers: the gate pins their exact output, this pins their
@@ -73,22 +54,23 @@ def test_frozen_ann_recall_vs_bruteforce(spark, sf_dir):
 
     emb = load_tables(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id") < 10)
-    exact_set = {
-        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
-    }
-    srp_set = {
-        (r.query_id, r.neighbor_id)
-        for r in srp_topk_frozen(emb, queries, SRP_PLANES, k=5).collect()
-    }
-    ivf_set = {
-        (r.query_id, r.neighbor_id)
-        for r in ivf_topk_frozen(emb, queries, IVF_CENTROIDS, k=5, n_probe=4).collect()
-    }
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    exact_scores = {(r.query_id, r.neighbor_id): r.score for r in exact}
+    srp = srp_topk_frozen(emb, queries, SRP_PLANES, k=5).collect()
+    ivf = ivf_topk_frozen(emb, queries, IVF_CENTROIDS, k=5, n_probe=4).collect()
+    srp_set = {(r.query_id, r.neighbor_id) for r in srp}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
     # Random (near-orthogonal) vectors are the worst case for both
-    # structures; measured srp=0.68/ivf=0.46 at sf0.001 — floors mirror
-    # the adaptive-path thresholds above.
+    # structures; measured srp=0.68/ivf=0.46 at sf0.001.
     assert len(srp_set & exact_set) / len(exact_set) >= 0.5, "frozen SRP recall collapsed"
     assert len(ivf_set & exact_set) / len(exact_set) >= 0.4, "frozen IVF recall collapsed"
+    # scores the approximate paths do return are exact cosines (same
+    # prenormed formula as the brute force)
+    for r in [*srp, *ivf]:
+        want = exact_scores.get((r.query_id, r.neighbor_id))
+        if want is not None:
+            assert abs(r.score - want) < 1e-9
 
 
 def test_fnv1a32_reference_parity(spark):
@@ -193,27 +175,6 @@ def test_asof_tolerance_skips_null_valued_right_rows(spark):
         value_alias="val", tolerance_sec=5 * 60,
     ).collect()[0]
     assert narrow.val is None
-
-
-def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    from syslog_kafka_spark.operators.similarity import ivf_topk
-
-    emb = load_tables(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, queries, k=5).collect()
-    approx = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=3).collect()
-    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
-    recall = len(exact_set & approx_set) / len(exact_set)
-    # random (near-orthogonal) vectors are IVF's worst case; 3/16 lists
-    # probed still recovers a majority (measured 0.62)
-    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
-    # scores for returned pairs are exact cosines
-    approx_scores = {(r.query_id, r.neighbor_id): r.score for r in approx}
-    for r in exact:
-        key = (r.query_id, r.neighbor_id)
-        if key in approx_scores:
-            assert abs(approx_scores[key] - r.score) < 1e-9
 
 
 def test_pair_block_key_bounds_boilerplate_buckets(spark):
@@ -402,7 +363,10 @@ def test_connected_components_chain_and_clique(spark):
 def test_semantic_dedup_drops_planted_near_copies(spark):
     import numpy as np
 
-    from syslog_kafka_spark.operators.similarity import semantic_dedup
+    from syslog_kafka_spark.operators.similarity import (
+        _kmeans_centroids,
+        semantic_dedup_frozen,
+    )
 
     rng = np.random.default_rng(7)
     base = rng.normal(size=(40, 16))
@@ -414,10 +378,15 @@ def test_semantic_dedup_drops_planted_near_copies(spark):
         rows.append((dup_id, (v / np.linalg.norm(v)).tolist()))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
 
+    # The deployment shape: fit the coarse quantizer offline on a sample
+    # (here: the corpus itself), then run the pure-function frozen pass.
+    centroids = _kmeans_centroids(
+        np.array([v for _, v in rows], dtype=np.float64), 4, seed=42
+    )
     out = {
         r["vec_id"]: r
-        for r in semantic_dedup(
-            df, threshold=0.95, n_clusters=4, sample_size=64
+        for r in semantic_dedup_frozen(
+            df, [list(map(float, c)) for c in centroids], threshold=0.95
         ).collect()
     }
     assert len(out) == 42
