@@ -486,7 +486,17 @@ def stream_python_datasource_tail(spark: SparkSession, sf_dir: str) -> DataFrame
     — the classic custom-source bug — hash-fail. Admission control
     (`batchLines`) bounds per-batch work no matter how much data arrives,
     which is the property that keeps a production tail stable under
-    burst."""
+    burst.
+
+    Restart-guarantee tiers (sources/pyds.py, hypothesis-tested in
+    tests/test_pyds_restart_property.py): with a ``checkpointLocation``
+    read option (mirror of the sink's checkpoint dir) the durability
+    sidecar defaults ON at ``<dir>/_hwm`` and delivery is exactly-once
+    across ANY number of crash-restarts; ``hwmpath`` overrides the
+    sidecar location, ``hwmpath=off`` opts out; with neither option the
+    committed-offset clamp still guarantees a SINGLE restart, with
+    double-restart re-delivery the documented limitation. This gated
+    query drains in one incarnation, so it runs tier-agnostic."""
     from syslog_kafka_spark.sources import pyds
 
     pyds.register(spark)

@@ -59,7 +59,10 @@ class LineRange(InputPartition):
 class SyslogTextDataSource(DataSource):
     """``format("syslog_text")`` — options: ``path`` (required),
     ``splits`` (batch parallelism, default 4), ``batchLines`` (streaming
-    microbatch size, default 5)."""
+    microbatch size, default 5), ``checkpointLocation`` (mirror of the
+    sink's checkpoint dir; enables the default ``<dir>/_hwm`` durability
+    sidecar), ``hwmpath`` (explicit sidecar file, or ``off`` to opt
+    out)."""
 
     @classmethod
     def name(cls) -> str:
@@ -157,18 +160,26 @@ class SyslogTextStreamReader(DataSourceStreamReader):
         # regresses below the committed start, Spark records that
         # regressed end in its offset log, and if the query dies again
         # after the empty batch commits, the third incarnation resumes
-        # from the regressed offset and re-delivers. Passing
-        # ``.option("hwmpath", <file under the query's checkpoint dir>)``
-        # persists the committed high-water mark in a sidecar the fresh
-        # reader loads as its floor, so latestOffset() never regresses
-        # in the first place and exactly-once survives ANY restart
-        # count. The sidecar is per-query (keyed to its checkpoint), so
+        # from the regressed offset and re-delivers. The sidecar persists
+        # the committed high-water mark so a fresh reader loads it as its
+        # floor: latestOffset() never regresses in the first place and
+        # exactly-once survives ANY restart count.
+        #
+        # DEFAULT-ON since round 7: when the caller passes
+        # ``.option("checkpointLocation", <dir>)`` (mirror the sink's
+        # checkpoint dir — the read side cannot see sink options), the
+        # sidecar defaults to ``<dir>/_hwm`` with no further opt-in.
+        # An explicit ``.option("hwmpath", <file>)`` overrides the
+        # location; ``.option("hwmpath", "off")`` (or empty) opts out.
+        # The sidecar is per-query (keyed to its checkpoint), so
         # concurrent queries over the same file never share a floor.
-        # Without hwmpath the single-restart clamp applies and the
-        # double-restart window is a documented limitation.
+        # Guarantee tiers: no checkpoint dir and no hwmpath → the
+        # single-restart clamp only (double-restart re-delivery is the
+        # documented limitation); either option present → exactly-once
+        # across any number of restarts.
         self._current = 0
         self._floor = 0
-        self._hwm_path = options.get("hwmpath")
+        self._hwm_path = self._resolve_hwm_path(options)
         if self._hwm_path and os.path.exists(self._hwm_path):
             try:
                 with open(self._hwm_path) as f:
@@ -176,9 +187,24 @@ class SyslogTextStreamReader(DataSourceStreamReader):
             except (OSError, ValueError):
                 pass  # unreadable sidecar degrades to the clamp-only path
 
+    @staticmethod
+    def _resolve_hwm_path(options) -> str | None:
+        """Sidecar location: explicit ``hwmpath`` wins; ``off``/empty
+        disables; otherwise default to ``<checkpointLocation>/_hwm``."""
+        raw = options.get("hwmpath")
+        if raw is not None:
+            return None if raw.strip().lower() in ("", "off", "none", "false") else raw
+        ckpt = options.get("checkpointlocation")
+        return os.path.join(ckpt, "_hwm") if ckpt else None
+
     def _persist_floor(self) -> None:
         if not self._hwm_path:
             return
+        # The checkpoint dir may not exist yet on the first commit (the
+        # sink creates it on its own schedule).
+        parent = os.path.dirname(self._hwm_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         tmp = f"{self._hwm_path}.tmp"
         with open(tmp, "w") as f:
             f.write(str(self._floor))

@@ -57,20 +57,30 @@ def test_restart_delivers_exactly_the_uncommitted_suffix(
     committed=st.integers(min_value=1, max_value=N_LINES),
     batch_lines=st.integers(min_value=1, max_value=12),
     n_restarts=st.integers(min_value=2, max_value=4),
+    explicit_hwmpath=st.booleans(),
 )
 @settings(max_examples=80, deadline=None)
 def test_hwm_sidecar_survives_repeated_restarts(
-    tmp_path_factory, committed, batch_lines, n_restarts
+    tmp_path_factory, committed, batch_lines, n_restarts, explicit_hwmpath
 ):
-    """With `hwmpath`, exactly-once survives ANY restart count: the clamp
-    alone lets the first post-restart latestOffset() regress below the
-    committed start (Spark would persist that regressed end to its offset
-    log, so a SECOND crash resumes from it and re-delivers); the sidecar
-    floor makes latestOffset() monotone across incarnations."""
+    """The durability sidecar makes exactly-once survive ANY restart
+    count: the clamp alone lets the first post-restart latestOffset()
+    regress below the committed start (Spark would persist that regressed
+    end to its offset log, so a SECOND crash resumes from it and
+    re-delivers); the sidecar floor makes latestOffset() monotone across
+    incarnations. Exercised through BOTH contracts: the explicit
+    ``hwmpath`` option and the round-7 default path derived from
+    ``checkpointLocation`` (``<dir>/_hwm``)."""
     d = tmp_path_factory.mktemp("pyds_hwm")
     p = d / "f.log"
     p.write_bytes(b"".join(b"line %d\n" % i for i in range(N_LINES)))
-    opts = {"path": str(p), "batchlines": batch_lines, "hwmpath": str(d / "hwm")}
+    opts = {"path": str(p), "batchlines": batch_lines}
+    if explicit_hwmpath:
+        opts["hwmpath"] = str(d / "hwm")
+    else:
+        # Default-on tier: only the (read-side mirror of the) checkpoint
+        # dir is given; the sidecar must land at <dir>/_hwm on its own.
+        opts["checkpointlocation"] = str(d / "ckpt")
 
     # Incarnation 0 runs to `committed`, committing as it goes (writes hwm).
     reader = SyslogTextStreamReader(opts)
@@ -105,3 +115,18 @@ def test_hwm_sidecar_survives_repeated_restarts(
         reader.commit({"line": nxt})
         prev = nxt
     assert seen == list(range(N_LINES))
+    if not explicit_hwmpath:
+        assert (d / "ckpt" / "_hwm").exists(), "default sidecar not written"
+
+
+def test_hwm_option_resolution_tiers(tmp_path):
+    """Option algebra: explicit hwmpath wins over checkpointLocation;
+    'off'/empty disables even with a checkpoint dir; neither option →
+    clamp-only (no sidecar)."""
+    resolve = SyslogTextStreamReader._resolve_hwm_path
+    ckpt = str(tmp_path / "ck")
+    assert resolve({"checkpointlocation": ckpt}) == str(tmp_path / "ck" / "_hwm")
+    assert resolve({"hwmpath": "/x/hwm", "checkpointlocation": ckpt}) == "/x/hwm"
+    for off in ("off", "", "  ", "None", "FALSE"):
+        assert resolve({"hwmpath": off, "checkpointlocation": ckpt}) is None
+    assert resolve({}) is None
