@@ -110,6 +110,48 @@ def test_cap_line_fits_and_keeps_signal():
     assert json.loads(line) == small, "small payloads pass through uncapped"
 
 
+def test_previous_round_map_sf_guard(tmp_path):
+    """The r7 measurement protocol re-measures sweep regressions against
+    the newest archived BENCH_FULL_r*.json — but ONLY when that map was
+    taken at the same scale factor (a cross-scale delta is meaningless),
+    and the newest round must win when several are archived."""
+    import bench
+
+    (tmp_path / "BENCH_FULL_r06.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}})
+    )
+    (tmp_path / "BENCH_FULL_r07.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 2.0}})
+    )
+    assert bench.previous_round_map(str(tmp_path), 0.1) == {"q": 2.0}
+    assert bench.previous_round_map(str(tmp_path), 0.01) == {}  # sf mismatch
+    assert bench.previous_round_map(str(tmp_path / "empty"), 0.1) == {}
+    (tmp_path / "BENCH_FULL_r08.json").write_text("{not json")
+    assert bench.previous_round_map(str(tmp_path), 0.1) == {}  # unreadable -> no protocol
+
+
+def test_cap_line_preserves_deltas_isolated():
+    """deltas_isolated is the round's regression verdict — capping must
+    drop fast per-query timings, never the isolated re-measurements."""
+    import bench
+
+    payload = {
+        "metric": "inventory_wall_clock",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:03d}": 0.5 + i * 0.01 for i in range(150)},
+        "sf": 0.1,
+        "deltas_isolated": {
+            f"regressed_{i}": {"sweep": 9.0, "prev_sweep": 4.0, "isolated": 4.1}
+            for i in range(10)
+        },
+    }
+    line = bench.cap_line(payload, line_budget=1900)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert len(parsed["deltas_isolated"]) == 10, "capping must not touch deltas"
+
+
 def test_sf1_cipher_preserves_dup_structure():
     """The sf1 generator's per-replica Caesar cipher must (a) keep
     identical texts identical within a replica (dup groups scale exactly
