@@ -187,7 +187,16 @@ def lsh_candidate_pairs(
     string path at 36 s cold for 512k candidates at sf1 — verify-bound).
     Signatures/buckets are bit-identical to the string path, and the
     oracle hashes its shingle lists with the same md5 family, so verify
-    counts match exactly cross-engine."""
+    counts match exactly cross-engine.
+
+    Shuffle shape (r7): the band join and the pair dedup move IDS ONLY;
+    the shingle arrays are joined back from the cached base AFTER the
+    pair space has collapsed to distinct candidates. Carrying the arrays
+    through both shuffles (the pre-r7 shape) shipped ~3 KB per banded
+    row and again per candidate pair — measured 9.8 s warm at sf1 vs
+    5.7 s for the join-back shape, identical output. At 100 TB the gap
+    widens: arrays cross the wire once per matched document, not once
+    per band replica plus once per bucket collision."""
     rows_per_band = n_hashes // bands
     # cache() is a deliberate materialization barrier: the self-join below
     # references this frame twice, and shingles + signatures are the
@@ -207,12 +216,20 @@ def lsh_candidate_pairs(
         k,
         n_hashes,
     ).cache()
+    # Eager fill: the plan references base FOUR times (banded + two
+    # join-backs), and Spark submits those as concurrent map stages — on
+    # a cold cache each stage races to compute the kernel partitions
+    # (measured 36 s vs 16 s cold at sf1). One count() fills the cache in
+    # a single pass; the entry stays in the session CacheManager, so
+    # every same-plan query in the session (pairs, components,
+    # containment) still shares it.
+    base.count()
 
     # band value = hash64 of the band's signature slice, exploded to
-    # (band_idx, band_hash) rows: the LSH bucket key.
+    # (band_idx, band_hash) rows: the LSH bucket key. Ids only — the
+    # shingle arrays rejoin after the dedup (see docstring).
     banded = base.select(
         "_id",
-        "_sh",
         F.posexplode(
             F.array(
                 *[
@@ -223,18 +240,17 @@ def lsh_candidate_pairs(
         ).alias("_band", "_bucket"),
     )
 
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band", "_bucket"
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band", "_bucket"
-    )
-    return (
+    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    pairs = (
         left.join(right, ["_band", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return pairs.join(sh_a, "id_a").join(sh_b, "id_b")
 
 
 def containment_pairs(
