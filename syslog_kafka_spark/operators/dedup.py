@@ -19,16 +19,10 @@ none of these operators ever materializes the O(n^2) pair space.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 from syslog_kafka_spark.sources.readers import spread
-from syslog_kafka_spark.functions.hashes import (
-    char_shingles,
-    hash64,
-    hashed_shingles,
-    minhash_signature,
-    minhash_signature_from_hashes,
-)
+from syslog_kafka_spark.functions.hashes import hash64
 
 
 def normalized(text: Column | str) -> Column:

@@ -475,6 +475,31 @@ def test_lsh_base_kernel_matches_expression_pipeline(spark, sf_dir):
         assert expr[i] == kern[i], f"doc {i}"
 
 
+def test_lsh_pairs_degenerate_texts(spark):
+    """The r7 ids-only band join + array join-back must preserve the
+    degenerate-input semantics of the carry-arrays shape: NULL-text docs
+    (null shingles/signature — they collide in one bucket via
+    concat_ws's null-skip, then their null Jaccard fails the threshold),
+    empty and sub-k texts (one shingle, can still genuinely match), and
+    exact duplicates (jaccard 1.0)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, None),
+            (4, None),
+            (5, ""),
+            (6, "abc"),
+            (7, "zz"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(df, verify_threshold=0.5).collect()}
+    assert out.get((1, 2)) == 1.0, "exact duplicates must verify at 1.0"
+    for pair in out:
+        assert 3 not in pair and 4 not in pair, "null-text docs must never pair"
+
+
 def _mirror_lsh_base(text: str, k: int = 5, n_hashes: int = 16):
     """Pure-Python mirror of lsh_base_arrow / the expression pipeline."""
     import hashlib
