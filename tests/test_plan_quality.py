@@ -326,12 +326,15 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
 def test_degree_dist_single_lsh_execution(spark, sf_dir):
     # The endpoint stream is ONE explode pass over the pair frame; a
     # unionAll of two selections would show the LSH bucket self-join
-    # twice in the plan (measured 12x at sf1).
+    # twice in the plan (measured 12x at sf1). The r7 pair shape is
+    # exactly 3 joins — the ids-only band self-join plus the two
+    # shingle-array join-backs against the cached base — so a duplicated
+    # pipeline now shows ≥6.
     import re
 
     plan = _plan(spark, sf_dir, "llm_neardup_degree_dist")
     joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
-    assert joins <= 2, f"LSH pipeline appears duplicated: {joins} joins"
+    assert joins <= 3, f"LSH pipeline appears duplicated: {joins} joins"
 
 
 def test_lateral_dataframe_api_decorrelates_to_window_group_limit(spark, sf_dir):
