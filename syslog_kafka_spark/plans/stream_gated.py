@@ -840,3 +840,70 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+def _ivf_routing_oracle() -> str:
+    """Batch twin of the streaming IVF router: identical frozen-centroid
+    sims (the left-associated chains proven bit-identical on
+    llm_semantic_dedup / llm_ann_ivf_topk), argmax via list_position of
+    list_max (first max wins, = Spark's array_position(array_max))."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    return f"""
+        WITH a0 AS (
+          SELECT vec_id, {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims
+          FROM embeddings
+        ),
+        a AS (
+          SELECT vec_id,
+                 CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS list_id
+          FROM a0
+        )
+        SELECT list_id,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               min(vec_id) AS min_vec_id,
+               max(vec_id) AS max_vec_id
+        FROM a GROUP BY list_id ORDER BY list_id
+    """
+
+
+@query("stream_ivf_list_routing", family="streaming", oracle=_ivf_routing_oracle())
+def stream_ivf_list_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online IVF shard routing: embeddings arrive as a STREAM and are
+    assigned to their inverted list with the same frozen coarse
+    quantizer the batch ANN search uses (`ivf_topk_frozen`) — the
+    assignment is a pure Column expression (per-centroid zip_with +
+    aggregate folds, JVM-side), so it drops into a streaming plan
+    unchanged. This is how an ANN index stays fresh at 100 TB ingest
+    rates: route each arriving vector to its list shard as it lands, no
+    re-clustering, no driver state — the quantizer is a shipped
+    constant, identical on every executor and every microbatch. The
+    complete-mode per-list occupancy rollup is the index health metric
+    (hot lists = future probe-latency skew). The oracle recomputes the
+    routing as a batch over the same table, so a stream that dropped,
+    duplicated, or mis-assigned any vector hash-fails."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import assign_frozen_cluster
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file driver testdata: the file source wants a directory
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+        )
+    routed = raw.select(
+        "vec_id",
+        assign_frozen_cluster(F.col("embedding"), IVF_CENTROIDS).alias("list_id"),
+    )
+    occupancy = routed.groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+    return drain(occupancy, mode="complete").orderBy("list_id")
