@@ -145,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         kafka_roundtrip,
         llm,
+        llm_scale,
         mining,
         reshape,
         scalars,

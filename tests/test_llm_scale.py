@@ -1,0 +1,69 @@
+"""Semantics tests for the scale-path curation tier (plans/llm_scale).
+
+Exact value parity is the driver oracle's job (each query is
+hash-gated); these tests pin the *invariants* the oracle hash cannot
+express — weight normalization, Bloom one-sidedness, keep-first
+accounting — so a future refactor that stays self-consistent with a
+wrong recipe still fails loudly.
+"""
+
+from __future__ import annotations
+
+from syslog_kafka_spark.plans import llm_scale
+from syslog_kafka_spark.sources.readers import load_tables
+
+
+def test_temperature_mix_weights_normalize_and_flatten(spark, sf_dir):
+    """Each alpha column is a distribution (sums to 1), and alpha<1
+    flattens it: the heaviest domain's weight shrinks monotonically as
+    alpha drops, while a light domain's effective epochs exceed the
+    heavy domain's (the over-sampling the audit exists to expose)."""
+    rows = llm_scale.llm_domain_temperature_mix(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for col in ("w_a30", "w_a50", "w_a70"):
+        assert abs(sum(r[col] for r in rows) - 1.0) < 1e-3
+    heavy = max(rows, key=lambda r: r.sum_tokens)
+    light = min(rows, key=lambda r: r.sum_tokens)
+    if heavy.sum_tokens > light.sum_tokens:
+        assert heavy.w_a30 <= heavy.w_a50 <= heavy.w_a70
+        assert light.w_a30 >= light.w_a50 >= light.w_a70
+        assert light.epochs_a50 >= heavy.epochs_a50
+
+
+def test_embedding_dim_stats_covers_every_dim(spark, sf_dir):
+    """One row per dimension, each seeing every vector, with internally
+    consistent order statistics (rounding tolerance: mean is 4 dp)."""
+    n_vec = load_tables(spark, sf_dir).embeddings.count()
+    rows = llm_scale.llm_embedding_dim_stats(spark, sf_dir).collect()
+    assert [r.dim for r in rows] == list(range(64))
+    for r in rows:
+        assert r.n == n_vec
+        assert r.var_x >= 0.0
+        assert r.min_x - 1e-3 <= r.mean_x <= r.max_x + 1e-3
+
+
+def test_bloom_decontamination_is_one_sided(spark, sf_dir):
+    """A Bloom filter can false-positive but never false-negative:
+    every exact train-gram hit must also be a bloom hit, the
+    false-positive column is exactly the gap, and the flag fires iff
+    any gram hit the filter."""
+    rows = llm_scale.llm_bloom_decontamination(spark, sf_dir).collect()
+    assert rows, "sf0.001 must contain test-split documents"
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_exact_hits
+        assert r.n_false_pos == r.n_bloom_hits - r.n_exact_hits
+        assert r.flagged == (r.n_bloom_hits > 0)
+        assert r.n_test_grams >= r.n_bloom_hits
+
+
+def test_chunk_dedup_removal_keep_first_accounting(spark, sf_dir):
+    """Every document reports, dup counts are bounded by chunk counts,
+    and the keep-first rule leaves at least one survivor per corpus
+    (total dups strictly under total chunks)."""
+    n_docs = load_tables(spark, sf_dir).documents.count()
+    rows = llm_scale.llm_chunk_dedup_removal(spark, sf_dir).collect()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert (r.dup_tokens == 0) == (r.n_dup_chunks == 0) or r.dup_tokens >= 0
+    assert sum(r.n_dup_chunks for r in rows) < sum(r.n_chunks for r in rows)

@@ -417,3 +417,58 @@ def test_scd2_join_broadcasts_the_dimension(spark, sf_dir):
     # the one BroadcastNestedLoopJoin allowed is the deliberate 4-row
     # version-expansion cross join that BUILDS the dimension
     assert plan.count("(") and plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_bloom_decontamination_broadcasts_both_probes(spark, sf_dir):
+    """The scale-path decontamination exists to avoid shuffling the train
+    corpus: both the ≤m-row position-set probe and the held-out exact
+    probe must be broadcast hash joins, and the gram partial must feed
+    every consumer from the cache barrier (one tokenize+hash pass)."""
+    plan = _plan(spark, sf_dir, "llm_bloom_decontamination")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, "bloom/exact probes not broadcast:\n" + tree
+    assert "SortMergeJoin" not in tree, "train side shuffled:\n" + tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("InMemoryTableScan") >= 2, (
+        "gram partial re-derived instead of cached:\n" + tree
+    )
+
+
+def test_chunk_dedup_removal_is_two_exchanges_no_join(spark, sf_dir):
+    """Disjoint-stride chunk dedup is explode → window(chunk_hash) →
+    groupBy(doc_id): exactly the two hash-key shuffles, no join, no
+    Python in the hot path — the shape that holds at corpus scale."""
+    plan = _plan(spark, sf_dir, "llm_chunk_dedup_removal")
+    assert "Join" not in plan, "unexpected join:\n" + plan
+    assert "BatchEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 3, (
+        "more shuffles than explode→window→agg needs:\n" + tree
+    )
+
+
+def test_embedding_dim_stats_prunes_to_one_column(spark, sf_dir):
+    """The per-dimension audit reads only the vector column (ReadSchema
+    pruned) and aggregates with map-side partials — no join, no Python."""
+    plan = _plan(spark, sf_dir, "llm_embedding_dim_stats")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "embedding" in m.group(1) and "doc_id" not in m.group(1), (
+        "scan not pruned to the embedding column:\n" + plan
+    )
+
+
+def test_temperature_mix_window_runs_on_the_aggregate(spark, sf_dir):
+    """The α-sweep's unbounded window must sit ABOVE the per-source
+    aggregate (runs on ~#domains rows), never on the raw corpus."""
+    plan = _plan(spark, sf_dir, "llm_domain_temperature_mix")
+    tree = plan.split("\n\n")[0]
+    agg_pos = tree.find("HashAggregate")
+    win_pos = tree.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print leaves last: the window node appears before
+    # the aggregate in the tree text iff it consumes the aggregate
+    assert win_pos < agg_pos, "window not above the aggregate:\n" + tree
