@@ -1,6 +1,8 @@
 """Scale-path curation operators: the 100 TB-shaped variants of the
-curation tier — constant-memory Bloom decontamination, disjoint-chunk
-exact dedup, domain temperature mixing, and embedding-space audits.
+curation tier — constant-memory Bloom decontamination and count-min
+heavy hitters, disjoint-chunk exact dedup, domain temperature mixing
+and its hash-threshold subsampler, quality-ranked dedup selection, and
+embedding-space audits.
 
 Each query here exists because its naive sibling stops working at
 corpus scale: an exact-gram decontamination join needs the train gram
@@ -22,7 +24,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from syslog_kafka_spark.functions.hashes import hash64, hash64_sql
-from syslog_kafka_spark.functions.text import token_count
+from syslog_kafka_spark.functions.text import (
+    fingerprint,
+    fingerprint_sql,
+    quality_features,
+    token_count,
+    tokens,
+)
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
@@ -369,4 +377,301 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("bloom_hit").cast("long")) > 0).alias("flagged"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # sketch rows (independent hash salts)
+_CMS_W = 2048  # buckets per row
+_CMS_TOPK = 20
+
+
+def _cms_oracle() -> str:
+    bucket = {
+        r: f"({hash64_sql('term', salt=f'cms-r{r}')}) % {_CMS_W}" for r in range(_CMS_D)
+    }
+    rows = ",\n        ".join(
+        f"b{r} AS (SELECT {bucket[r]} AS b, CAST(sum(cnt) AS BIGINT) AS c{r}"
+        f" FROM tc GROUP BY 1)"
+        for r in range(_CMS_D)
+    )
+    joins = "\n          ".join(
+        f"JOIN b{r} ON ({bucket[r].replace('term', 't.term')}) = b{r}.b"
+        for r in range(_CMS_D)
+    )
+    least = "least(" + ", ".join(f"c{r}" for r in range(_CMS_D)) + ")"
+    return f"""
+        WITH tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS term FROM documents
+        ), tc AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+        ), {rows},
+        top AS (
+          SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT {_CMS_TOPK}
+        )
+        SELECT t.term, t.cnt AS exact_cnt,
+               {least} AS cms_est,
+               {least} - t.cnt AS overest,
+               ROUND(({least} - t.cnt) * 1.0 / t.cnt, 6) AS rel_overest
+        FROM top t
+          {joins}
+        ORDER BY exact_cnt DESC, term
+    """
+
+
+@query("llm_cms_heavy_hitters", family="llm", oracle=_cms_oracle())
+def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit: the corpus term stream folded
+    into a 4×2048 CMS (one salted hash64 per row), the top-20 exact terms
+    probed against it, and the sketch's overestimate priced per term.
+    CMS is deterministic given fixed hashes, so unlike sampling sketches
+    it is exactly oracle-checkable — and its one-sided error (est ≥
+    exact, always) is pinned by a test.
+
+    Why this is the scale path: exact term counting shuffles the full
+    vocabulary (hundreds of millions of keys at 100 TB); the sketch is
+    4×2048 counters REGARDLESS of vocabulary size, mergeable across
+    executors (counter-wise add), and each row's bucket table here is a
+    map-side-combinable groupBy producing ≤2048 rows that broadcast onto
+    the probe. The exact counts are computed alongside only because the
+    audit's point is measuring the sketch against ground truth.
+
+    Distributed shape: one corpus explode → vocab-keyed count (cached —
+    feeds the 4 bucket tables AND the top-k), 4 vocab→2048 aggregates,
+    one TakeOrdered top-k, broadcast joins only."""
+    d = load_tables(spark, sf_dir).documents
+    tc = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .cache()
+    )
+
+    def bucket(col: str, r: int):
+        return F.pmod(hash64(col, salt=f"cms-r{r}"), F.lit(_CMS_W))
+
+    probe = tc.orderBy(F.desc("cnt"), "term").limit(_CMS_TOPK)
+    for r in range(_CMS_D):
+        bt = tc.groupBy(bucket("term", r).alias(f"b{r}")).agg(
+            F.sum("cnt").cast("bigint").alias(f"c{r}")
+        )
+        probe = probe.withColumn(f"b{r}", bucket("term", r)).join(
+            F.broadcast(bt), f"b{r}"
+        )
+    est = F.least(*[F.col(f"c{r}") for r in range(_CMS_D)])
+    return probe.select(
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        est.alias("cms_est"),
+        (est - F.col("cnt")).alias("overest"),
+        F.round((est - F.col("cnt")) * 1.0 / F.col("cnt"), 6).alias("rel_overest"),
+    ).orderBy(F.desc("exact_cnt"), "term")
+
+
+# ---------------------------------------------------------------------------
+# Mixture subsampling (apply the temperature weights)
+# ---------------------------------------------------------------------------
+
+_SUB_ALPHA = 0.5  # temperature
+_SUB_BETA = 0.5  # token budget as a fraction of the corpus
+
+
+def _mixture_subsample_oracle() -> str:
+    thr = "least(1.0, w_target * {b} * total_tokens / greatest(n_tokens, 1))".format(
+        b=_SUB_BETA
+    )
+    doc_bucket = f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='mix-sub-v1')}) % 1000000"
+    return f"""
+        WITH doc AS (
+          SELECT doc_id, source, len({_TOKENS_SQL}) AS doc_tokens,
+                 {doc_bucket} AS bucket
+          FROM documents
+        ), per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(doc_tokens) AS BIGINT) AS n_tokens
+          FROM doc GROUP BY source
+        ), wgt AS (
+          SELECT source, n_docs, n_tokens,
+                 power(CAST(n_tokens AS DOUBLE), {_SUB_ALPHA})
+                   / sum(power(CAST(n_tokens AS DOUBLE), {_SUB_ALPHA})) OVER ()
+                   AS w_target,
+                 sum(n_tokens) OVER () AS total_tokens
+          FROM per
+        ), kept AS (
+          SELECT d.source,
+                 count(*) AS n_kept,
+                 CAST(sum(d.doc_tokens) AS BIGINT) AS kept_tokens
+          FROM doc d JOIN wgt USING (source)
+          WHERE d.bucket < ({thr}) * 1000000
+          GROUP BY d.source
+        )
+        SELECT w.source, w.n_docs, w.n_tokens,
+               coalesce(k.n_kept, 0) AS n_kept,
+               CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               ROUND(w.w_target, 6) AS w_target,
+               ROUND({thr.replace('n_tokens', 'w.n_tokens')
+                         .replace('w_target', 'w.w_target')
+                         .replace('total_tokens', 'w.total_tokens')}, 6) AS keep_prob,
+               ROUND(coalesce(k.kept_tokens, 0)
+                     / sum(coalesce(k.kept_tokens, 0)) OVER (), 6) AS achieved_share
+        FROM wgt w LEFT JOIN kept k USING (source)
+        ORDER BY w.source
+    """
+
+
+@query(
+    "llm_mixture_subsample", family="llm", oracle=_mixture_subsample_oracle()
+)
+def llm_mixture_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture subsampling: the α=0.5 temperature weights
+    (see llm_domain_temperature_mix) are APPLIED — each domain keeps
+    documents whose salted hash64 bucket falls under its keep
+    probability, sized so the kept corpus hits a β=0.5 token budget at
+    the target mixture. The audit reports, per domain, the target
+    weight, the keep probability, and the achieved share of the kept
+    token mass (which converges on w_target as the corpus grows —
+    hash-bucket sampling is the law of large numbers in action).
+
+    Down-sampling only (keep_prob capped at 1): domains whose target
+    exceeds their mass keep everything — the epochs>1 repeat factor is
+    a sampler-side concern this operator reports but cannot apply.
+
+    Distributed shape: pass 1 is the per-source token aggregate
+    (map-side combinable); the ~#domains weight table broadcasts back
+    onto the corpus for the hash-threshold filter (pure Column
+    expressions — no shuffle of document rows at all); pass 2 re-
+    aggregates the kept mass per source. Two corpus scans, zero
+    corpus-sized shuffles, at any scale."""
+    d = load_tables(spark, sf_dir).documents
+    doc = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("doc_tokens"),
+        F.pmod(
+            hash64(F.col("doc_id").cast("string"), salt="mix-sub-v1"), F.lit(1000000)
+        ).alias("bucket"),
+    )
+    per = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tok_d = F.col("n_tokens").cast("double")
+    wgt = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.pow(tok_d, F.lit(_SUB_ALPHA)) / F.sum(F.pow(tok_d, F.lit(_SUB_ALPHA))).over(w)).alias(
+            "w_target"
+        ),
+        F.sum("n_tokens").over(w).alias("total_tokens"),
+    )
+    keep_prob = F.least(
+        F.lit(1.0),
+        F.col("w_target")
+        * F.lit(_SUB_BETA)
+        * F.col("total_tokens")
+        / F.greatest(F.col("n_tokens"), F.lit(1)),
+    )
+    kept = (
+        doc.join(F.broadcast(wgt), "source")
+        .filter(F.col("bucket") < keep_prob * F.lit(1000000))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_tokens").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    out = (
+        wgt.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+            F.round("w_target", 6).alias("w_target"),
+            F.round(keep_prob, 6).alias("keep_prob"),
+        )
+    )
+    return out.withColumn(
+        "achieved_share",
+        F.round(
+            F.col("kept_tokens") / F.sum("kept_tokens").over(Window.partitionBy()), 6
+        ),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Keep-best fingerprint dedup
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, {fingerprint_sql('text')} AS fp,
+             CAST(round(len(list_distinct({_TOKENS_SQL}))
+                        / greatest(len({_TOKENS_SQL}), 1), 4) AS DOUBLE) AS score,
+             length(text) AS n_chars
+      FROM documents
+    ), r AS (
+      SELECT fp, doc_id, score,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY score DESC, n_chars DESC, doc_id) AS rk
+      FROM s
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+           max(CASE WHEN rk = 1 THEN score END) AS kept_score,
+           min(score) AS min_score
+    FROM r GROUP BY fp HAVING count(*) >= 2
+    ORDER BY fp
+"""
+
+
+@query("llm_dedup_keep_best", family="llm", oracle=_KEEP_BEST_ORACLE)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup representative selection: documents sharing a
+    rolling-hash fingerprint (near-identical heads — see
+    llm_fingerprint_collisions) collapse to the member with the highest
+    unique-token ratio (then longest, then smallest id), instead of the
+    arbitrary min-id the exact recipe keeps. Keep-best is the standard
+    production refinement: when a boilerplate family has one fuller
+    member, dropping it because its id is larger throws away the best
+    training signal in the group.
+
+    Distributed shape: score + fingerprint are pure per-row expressions
+    fused into the scan; ONE hash shuffle on fp serves both the ranking
+    window and the group aggregate (same key — Catalyst reuses the
+    partitioning, asserted in test_plan_quality), and only 8-byte
+    fingerprints + two small numbers shuffle, never text."""
+    d = load_tables(spark, sf_dir).documents
+    feats = quality_features("text")
+    s = d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        feats["uniq_token_ratio"].alias("score"),
+        F.length("text").alias("n_chars"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("fp").orderBy(
+            F.desc("score"), F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    r = s.withColumn("rk", rk)
+    return (
+        r.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("kept_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("score"))).alias("kept_score"),
+            F.min("score").alias("min_score"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("fp")
     )

@@ -118,15 +118,19 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_vocab_coverage",
     "llm_weighted_sample",
     "scalar_array_funcs",
-    "scalar_bitwise_funcs",
     "scalar_edit_distance",
-    "scalar_map_funcs",
-    "scalar_posexplode_tokens",
-    "scalar_struct_funcs",
-    "scalar_trig_funcs",
-    "scalar_url_funcs",
-    "setop_multiset_all",
-    "stream_session_window_agg",
+    # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
+    # scalar_bitwise_funcs, scalar_map_funcs, scalar_posexplode_tokens,
+    # scalar_struct_funcs, scalar_trig_funcs, scalar_url_funcs,
+    # setop_multiset_all, stream_session_window_agg) ---
+    "llm_bloom_decontamination",
+    "llm_chunk_dedup_removal",
+    "llm_cms_heavy_hitters",
+    "llm_dedup_keep_best",
+    "llm_domain_temperature_mix",
+    "llm_embedding_dim_stats",
+    "llm_mixture_subsample",
+    "stream_ivf_list_routing",
 )
 
 

@@ -67,3 +67,38 @@ def test_chunk_dedup_removal_keep_first_accounting(spark, sf_dir):
         assert 0 <= r.n_dup_chunks <= r.n_chunks
         assert (r.dup_tokens == 0) == (r.n_dup_chunks == 0) or r.dup_tokens >= 0
     assert sum(r.n_dup_chunks for r in rows) < sum(r.n_chunks for r in rows)
+
+
+def test_cms_error_is_one_sided(spark, sf_dir):
+    """Count-min never underestimates: est ≥ exact on every probe, and
+    the relative-error column is exactly the scaled gap."""
+    rows = llm_scale.llm_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt
+        assert r.overest == r.cms_est - r.exact_cnt
+        assert r.rel_overest >= 0.0
+
+
+def test_mixture_subsample_budget_and_bounds(spark, sf_dir):
+    """Keep probabilities are probabilities, kept mass never exceeds the
+    domain's mass, the achieved shares form a distribution, and at least
+    one domain is actually down-sampled (beta=0.5 guarantees the filter
+    bites somewhere)."""
+    rows = llm_scale.llm_mixture_subsample(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0.0 <= r.keep_prob <= 1.0
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.kept_tokens <= r.n_tokens
+    assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-3
+    assert any(r.n_kept < r.n_docs for r in rows)
+
+
+def test_keep_best_picks_a_maximal_member(spark, sf_dir):
+    """Every reported group is a real collision (≥2 docs) and the kept
+    member's score bounds the group's minimum."""
+    rows = llm_scale.llm_dedup_keep_best(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.kept_score >= r.min_score

@@ -323,18 +323,48 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     assert "HashJoin" in plan
 
 
+def _executed_join_count(tree: str) -> int:
+    """Joins this query would itself execute: tree-section join nodes
+    OUTSIDE InMemoryRelation dumps. A cached relation's stored plan is
+    printed inline (and, once executed under AQE, printed twice — Final
+    + Initial sections with renumbered node ids), so a raw regex count
+    over the whole explain string sees phantom joins whenever an earlier
+    query in the session left the frame cached. Dump content is strictly
+    deeper-indented than its InMemoryRelation line; skip until the
+    indent returns."""
+    import re
+
+    joins = 0
+    skip_depth: int | None = None
+    for line in tree.splitlines():
+        m = re.search(r"[A-Za-z=]", line)
+        if m is None:
+            continue
+        depth = m.start()
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        if re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", line):
+            joins += 1
+    return joins
+
+
 def test_degree_dist_single_lsh_execution(spark, sf_dir):
     # The endpoint stream is ONE explode pass over the pair frame; a
     # unionAll of two selections would show the LSH bucket self-join
     # twice in the plan (measured 12x at sf1). The r7 pair shape is
     # exactly 3 joins — the ids-only band self-join plus the two
     # shingle-array join-backs against the cached base — so a duplicated
-    # pipeline now shows ≥6.
-    import re
-
-    plan = _plan(spark, sf_dir, "llm_neardup_degree_dist")
-    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
-    assert joins <= 3, f"LSH pipeline appears duplicated: {joins} joins"
+    # pipeline shows ≥6. Counted over executed nodes only: if an earlier
+    # query in the session cached the pair frame, this plan serves it
+    # from an InMemoryTableScan and executes 0 joins — also acceptable.
+    tree = _plan(spark, sf_dir, "llm_neardup_degree_dist").split("\n\n")[0]
+    joins = _executed_join_count(tree)
+    assert joins <= 3, f"LSH pipeline appears duplicated: {joins} joins:\n{tree}"
 
 
 def test_lateral_dataframe_api_decorrelates_to_window_group_limit(spark, sf_dir):
@@ -472,3 +502,40 @@ def test_temperature_mix_window_runs_on_the_aggregate(spark, sf_dir):
     # formatted plans print leaves last: the window node appears before
     # the aggregate in the tree text iff it consumes the aggregate
     assert win_pos < agg_pos, "window not above the aggregate:\n" + tree
+
+
+def test_cms_bucket_tables_broadcast_onto_topk(spark, sf_dir):
+    """The 4 sketch-row bucket tables are ≤2048 rows each: all four
+    probe joins must broadcast, the top-k must be a TakeOrdered, and
+    the vocabulary aggregate must feed its 5 consumers from cache."""
+    plan = _plan(spark, sf_dir, "llm_cms_heavy_hitters")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 4, tree
+    assert "SortMergeJoin" not in tree
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("InMemoryTableScan") >= 4, (
+        "vocab counts re-derived instead of cached:\n" + tree
+    )
+
+
+def test_mixture_subsample_broadcasts_the_weight_table(spark, sf_dir):
+    """The ~#domains weight table joins back onto the corpus as a
+    broadcast — document rows are filtered in place, never shuffled
+    for the join."""
+    plan = _plan(spark, sf_dir, "llm_mixture_subsample")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_keep_best_shares_one_hash_exchange(spark, sf_dir):
+    """The ranking window and the group aggregate both key on fp: one
+    hash exchange serves both (plus the final presentation sort)."""
+    plan = _plan(spark, sf_dir, "llm_dedup_keep_best")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    # exactly two Exchange nodes: the shared hash(fp) one under the
+    # window (reused by both HashAggregates) + the final range sort
+    n_ex = tree.count("Exchange")
+    assert n_ex == 2, f"window+agg should share one fp exchange, saw {n_ex}:\n" + tree
