@@ -568,7 +568,8 @@ def llm_mixture_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_target"
         ),
         F.sum("n_tokens").over(w).alias("total_tokens"),
-    )
+    ).cache()
+    wgt.count()  # eager fill: 2 consumers would each re-run the corpus agg
     keep_prob = F.least(
         F.lit(1.0),
         F.col("w_target")
@@ -603,6 +604,343 @@ def llm_mixture_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kept_tokens") / F.sum("kept_tokens").over(Window.partitionBy()), 6
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling plan (apply the repeat factors)
+# ---------------------------------------------------------------------------
+
+_EPOCH_ALPHA = 0.5  # temperature (sqrt — IEEE-exact on both engines)
+
+
+def _epoch_upsample_oracle() -> str:
+    doc_bucket = (
+        f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='epoch-v1')}) % 1000000"
+    )
+    return f"""
+        WITH doc AS (
+          SELECT doc_id, source, len({_TOKENS_SQL}) AS doc_tokens,
+                 {doc_bucket} AS bucket
+          FROM documents
+        ), per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(doc_tokens) AS BIGINT) AS n_tokens
+          FROM doc GROUP BY source
+        ), wgt AS (
+          SELECT source, n_docs, n_tokens,
+                 round(sqrt(CAST(n_tokens AS DOUBLE))
+                         / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER ()
+                         * sum(n_tokens) OVER () / n_tokens, 6) AS epochs
+          FROM per
+        ), cp AS (
+          SELECT d.source, d.doc_tokens,
+                 CAST(floor(w.epochs) AS BIGINT)
+                   + CASE WHEN d.bucket
+                            < (w.epochs - floor(w.epochs)) * 1000000
+                          THEN 1 ELSE 0 END AS copies
+          FROM doc d JOIN wgt w USING (source)
+        ), emitted AS (
+          SELECT source,
+                 CAST(sum(copies) AS BIGINT) AS n_copies,
+                 CAST(sum(doc_tokens * copies) AS BIGINT) AS emitted_tokens
+          FROM cp GROUP BY source
+        )
+        SELECT w.source, w.n_docs, w.n_tokens, w.epochs,
+               e.n_copies, e.emitted_tokens,
+               ROUND(e.emitted_tokens
+                     / sum(e.emitted_tokens) OVER (), 6) AS achieved_share
+        FROM wgt w JOIN emitted e USING (source)
+        ORDER BY w.source
+    """
+
+
+@query("llm_epoch_upsample_plan", family="llm", oracle=_epoch_upsample_oracle())
+def llm_epoch_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch up-sampling APPLIED: each domain's α=0.5 repeat factor
+    (epochs — see llm_domain_temperature_mix's epochs_a50 column) is
+    realized as integer full copies plus one fractional copy kept by a
+    salted hash64 threshold, and the expanded stream is audited per
+    domain. This is the half llm_mixture_subsample cannot do: the
+    subsampler caps keep probability at 1 (down-sampling only), while
+    the trainer's mixture needs small domains REPEATED — floor(epochs)
+    deterministic replicas per document, the remainder a hash-bucket
+    lottery, so the emitted token mass converges on the temperature
+    target from both sides.
+
+    Bit-parity note: α=0.5 means sqrt, which IEEE 754 requires to be
+    correctly rounded on both engines (pow(x, 0.5) does not) — epochs
+    is then pinned at 6 dp before floor/fraction split so the window
+    sum's accumulation-order ulp cannot flip a copy count.
+
+    Distributed shape: pass 1 is the per-source token aggregate; the
+    ~#domains epoch table broadcasts back and the expansion is a
+    map-side explode of sequence(1, copies) — the row blowup is the
+    output itself (bounded by the epoch cap of the mixture), with no
+    shuffle between the corpus scan and the final per-source audit."""
+    d = load_tables(spark, sf_dir).documents
+    doc = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("doc_tokens"),
+        F.pmod(
+            hash64(F.col("doc_id").cast("string"), salt="epoch-v1"), F.lit(1000000)
+        ).alias("bucket"),
+    )
+    per = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    tok_d = F.col("n_tokens").cast("double")
+    wgt = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.sqrt(tok_d)
+            / F.sum(F.sqrt(tok_d)).over(w)
+            * F.sum("n_tokens").over(w)
+            / tok_d,
+            6,
+        ).alias("epochs"),
+    ).cache()
+    wgt.count()  # eager fill: 2 consumers would each re-run the corpus agg
+    copies = (
+        F.floor("epochs").cast("bigint")
+        + F.when(
+            F.col("bucket")
+            < (F.col("epochs") - F.floor("epochs")) * F.lit(1000000),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).alias("copies")
+    expanded = (
+        doc.join(F.broadcast(wgt.select("source", "epochs")), "source")
+        .select("source", "doc_tokens", copies)
+        .select(
+            "source",
+            "doc_tokens",
+            F.explode(
+                F.when(
+                    F.col("copies") >= 1, F.sequence(F.lit(1), F.col("copies"))
+                ).otherwise(F.array())
+            ).alias("copy_idx"),
+        )
+    )
+    emitted = expanded.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.sum("doc_tokens").cast("bigint").alias("emitted_tokens"),
+    )
+    return (
+        wgt.join(emitted, "source")
+        .withColumn(
+            "achieved_share",
+            F.round(
+                F.col("emitted_tokens")
+                / F.sum("emitted_tokens").over(Window.partitionBy()),
+                6,
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "epochs",
+            "n_copies",
+            "emitted_tokens",
+            "achieved_share",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard shuffle
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+def _shard_shuffle_oracle() -> str:
+    shard = f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='shard-v1')}) % {_N_SHARDS}"
+    okey = f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='shard-order-v1')})"
+    return f"""
+        WITH doc AS (
+          SELECT doc_id, len({_TOKENS_SQL}) AS doc_tokens,
+                 {shard} AS shard, {okey} AS pos_key
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, doc_tokens, shard,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY pos_key, doc_id) AS position
+          FROM doc
+        ), agg AS (
+          SELECT shard, count(*) AS n_docs,
+                 CAST(sum(doc_tokens) AS BIGINT) AS shard_tokens,
+                 CAST(max(CASE WHEN position = 1 THEN doc_id END) AS BIGINT)
+                   AS head_doc_id
+          FROM pos GROUP BY shard
+        )
+        SELECT shard, n_docs, shard_tokens, head_doc_id,
+               ROUND(n_docs * {_N_SHARDS} * 1.0
+                     / sum(n_docs) OVER (), 4) AS balance_ratio
+        FROM agg ORDER BY shard
+    """
+
+
+@query("llm_shard_shuffle_assignment", family="llm", oracle=_shard_shuffle_oracle())
+def llm_shard_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a shard (salted hash64 mod 64) and a position within its shard
+    (ranked by a SECOND independent salted hash — the shuffle order),
+    and the audit reports each shard's document count, token mass, head
+    document, and balance ratio (n_docs / expected — 1.0 is perfectly
+    uniform). This is how a training pipeline materializes "globally
+    shuffled" data without any RNG state: the order is a pure function
+    of doc_id, so any worker can reproduce any shard independently, and
+    adding documents never reorders existing ones within a shard prefix.
+
+    Distributed shape: exactly the real write's plan — one hash exchange
+    on shard (the physical partitionBy), within-shard sort for position,
+    and the audit aggregate reuses that same partitioning (one Exchange
+    serves window + groupBy, same shape as llm_dedup_keep_best). Only
+    (doc_id, two 8-byte hashes, token count) shuffle — never text."""
+    d = load_tables(spark, sf_dir).documents
+    doc = d.select(
+        "doc_id",
+        token_count("text").alias("doc_tokens"),
+        F.pmod(
+            hash64(F.col("doc_id").cast("string"), salt="shard-v1"), F.lit(_N_SHARDS)
+        ).alias("shard"),
+        hash64(F.col("doc_id").cast("string"), salt="shard-order-v1").alias("pos_key"),
+    )
+    pos = doc.withColumn(
+        "position",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+        ),
+    )
+    agg = pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_tokens").cast("bigint").alias("shard_tokens"),
+        F.max(F.when(F.col("position") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("head_doc_id"),
+    )
+    return agg.withColumn(
+        "balance_ratio",
+        F.round(
+            F.col("n_docs") * F.lit(_N_SHARDS) * 1.0
+            / F.sum("n_docs").over(Window.partitionBy()),
+            4,
+        ),
+    ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+_OVERLAP_N = 8
+
+
+def _source_overlap_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import ngram_hashes_sql
+
+    gram_expr, unnest = ngram_hashes_sql("toks", n=_OVERLAP_N, salt="overlap-v1")
+    return f"""
+        WITH d AS (
+          SELECT source, {_TOKENS_SQL} AS toks FROM documents
+        ), g AS (
+          SELECT DISTINCT source, {gram_expr} AS gram_hash
+          FROM d, {unnest}
+          WHERE len(toks) >= {_OVERLAP_N}
+        ), c AS (
+          SELECT source, count(*) AS n_grams FROM g GROUP BY source
+        ), sh AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS shared
+          FROM g a JOIN g b
+            ON a.gram_hash = b.gram_hash AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT ca.source AS source_a, cb.source AS source_b,
+               ca.n_grams AS grams_a, cb.n_grams AS grams_b,
+               CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams,
+               ROUND(coalesce(sh.shared, 0) * 1.0
+                     / (ca.n_grams + cb.n_grams - coalesce(sh.shared, 0)), 6)
+                 AS jaccard,
+               ROUND(coalesce(sh.shared, 0) * 1.0
+                     / least(ca.n_grams, cb.n_grams), 6) AS containment
+        FROM c ca JOIN c cb ON ca.source < cb.source
+        LEFT JOIN sh ON sh.source_a = ca.source AND sh.source_b = cb.source
+        ORDER BY source_a, source_b
+    """
+
+
+@query("llm_source_overlap_matrix", family="llm", oracle=_source_overlap_oracle())
+def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise domain contamination matrix: for every pair of sources,
+    the Jaccard and containment (shared / smaller set) of their distinct
+    8-gram hash sets — the corpus-composition audit that tells a
+    curation run which "distinct" domains are actually mirrors of each
+    other before mixture weights treat them as independent mass.
+
+    Distributed shape: ONE tokenize+gram pass feeds a (source, gram)
+    distinct (gram-keyed, uniform 8-byte — the same shuffle any
+    decontamination pays), cached and eagerly filled because three
+    consumers reference it (per-source counts + both sides of the
+    gram-keyed self-join; a cold cache races N-ways — the r7 LSH
+    lesson). Per-gram join fan-out is bounded by #sources, the pair
+    frame is #sources² rows, and the count joins are broadcast — so
+    corpus size only ever enters through the one distinct."""
+    from syslog_kafka_spark.operators.curation import ngram_hashes
+
+    d = load_tables(spark, sf_dir).documents
+    g = (
+        ngram_hashes(d, n=_OVERLAP_N, salt="overlap-v1", carry=("source",))
+        .select("source", "gram_hash")
+        .distinct()
+        .cache()
+    )
+    g.count()  # eager fill: 3 consumers below would race a cold cache
+    c = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams")).cache()
+    a, b = g.alias("a"), g.alias("b")
+    sh = (
+        a.join(
+            b,
+            (F.col("a.gram_hash") == F.col("b.gram_hash"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca, cb = c.alias("ca"), c.alias("cb")
+    pairs = ca.join(cb, F.col("ca.source") < F.col("cb.source")).select(
+        F.col("ca.source").alias("source_a"),
+        F.col("cb.source").alias("source_b"),
+        F.col("ca.n_grams").alias("grams_a"),
+        F.col("cb.n_grams").alias("grams_b"),
+    )
+    shared = F.coalesce("shared", F.lit(0))
+    return (
+        pairs.join(F.broadcast(sh), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            shared.cast("bigint").alias("shared_grams"),
+            F.round(
+                shared * 1.0 / (F.col("grams_a") + F.col("grams_b") - shared), 6
+            ).alias("jaccard"),
+            F.round(shared * 1.0 / F.least("grams_a", "grams_b"), 6).alias(
+                "containment"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -116,13 +116,14 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_token_entropy",
     "llm_url_extraction",
     "llm_vocab_coverage",
-    "llm_weighted_sample",
-    "scalar_array_funcs",
-    "scalar_edit_distance",
     # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
-    # scalar_bitwise_funcs, scalar_map_funcs, scalar_posexplode_tokens,
+    # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
+    # scalar_edit_distance, scalar_map_funcs, scalar_posexplode_tokens,
     # scalar_struct_funcs, scalar_trig_funcs, scalar_url_funcs,
     # setop_multiset_all, stream_session_window_agg) ---
+    "llm_epoch_upsample_plan",
+    "llm_shard_shuffle_assignment",
+    "llm_source_overlap_matrix",
     "llm_bloom_decontamination",
     "llm_chunk_dedup_removal",
     "llm_cms_heavy_hitters",

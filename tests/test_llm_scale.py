@@ -95,6 +95,51 @@ def test_mixture_subsample_budget_and_bounds(spark, sf_dir):
     assert any(r.n_kept < r.n_docs for r in rows)
 
 
+def test_epoch_upsample_realizes_the_temperature_target(spark, sf_dir):
+    """Copy counts are non-negative integers consistent with epochs
+    (every domain emits between floor(epochs)*n_docs and
+    ceil(epochs)*n_docs copies), at least one domain is genuinely
+    up-sampled (epochs > 1 emits more copies than docs), and the
+    achieved shares form a distribution."""
+    import math
+
+    rows = llm_scale.llm_epoch_upsample_plan(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        lo = math.floor(r.epochs) * r.n_docs
+        hi = math.ceil(r.epochs) * r.n_docs
+        assert lo <= r.n_copies <= hi, r
+        assert r.emitted_tokens >= 0
+    assert any(r.epochs > 1 and r.n_copies > r.n_docs for r in rows)
+    assert abs(sum(r.achieved_share for r in rows) - 1.0) < 1e-3
+
+
+def test_shard_shuffle_is_deterministic_and_covers_the_corpus(spark, sf_dir):
+    """Same assignment on every run, every document lands in exactly one
+    shard, and the balance ratios center on 1."""
+    df1 = llm_scale.llm_shard_shuffle_assignment(spark, sf_dir).collect()
+    df2 = llm_scale.llm_shard_shuffle_assignment(spark, sf_dir).collect()
+    assert df1 == df2
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    n_docs = load_tables(spark, sf_dir).documents.count()
+    assert sum(r.n_docs for r in df1) == n_docs
+    mean_ratio = sum(r.balance_ratio for r in df1) / len(df1)
+    assert 0.5 < mean_ratio < 1.5
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    """Full pair matrix (k choose 2 rows), jaccard/containment in [0,1],
+    jaccard never exceeds containment, shared never exceeds the smaller
+    set."""
+    rows = llm_scale.llm_source_overlap_matrix(spark, sf_dir).collect()
+    k = len({r.source_a for r in rows} | {r.source_b for r in rows})
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert 0 <= r.shared_grams <= min(r.grams_a, r.grams_b)
+        assert 0.0 <= r.jaccard <= r.containment <= 1.0
+
+
 def test_keep_best_picks_a_maximal_member(spark, sf_dir):
     """Every reported group is a real collision (≥2 docs) and the kept
     member's score bounds the group's minimum."""

@@ -19,6 +19,37 @@ def _plan(spark, sf_dir, name: str) -> str:
     return jexec.explainString(mode)
 
 
+def _executed_op_counts(spark, sf_dir, name: str) -> dict[str, int]:
+    """Physical operators this query would itself execute, by JVM class
+    name — walked from the executedPlan TREE, never descending into an
+    InMemoryTableScan (a cached relation's stored plan is the cache
+    fill's business, not this query's). String-parsing the formatted
+    explain is unreliable here: cache dumps print Final+Initial sections
+    whose indentation restarts relative to the outer tree, so nested
+    dumps (a cached table inside a cached frame) leak phantom nodes into
+    any indent-based scan of the text."""
+    df = load_all()[name].build(spark, sf_dir)
+    counts: dict[str, int] = {}
+
+    def walk(p) -> None:
+        cls = p.getClass().getSimpleName()
+        counts[cls] = counts.get(cls, 0) + 1
+        if cls.startswith("InMemoryTableScan"):
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(p.plan())
+            return
+        it = p.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return counts
+
+
 def test_q1_pushdown_and_pruning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in plan  # predicate reaches parquet
@@ -323,34 +354,15 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     assert "HashJoin" in plan
 
 
-def _executed_join_count(tree: str) -> int:
-    """Joins this query would itself execute: tree-section join nodes
-    OUTSIDE InMemoryRelation dumps. A cached relation's stored plan is
-    printed inline (and, once executed under AQE, printed twice — Final
-    + Initial sections with renumbered node ids), so a raw regex count
-    over the whole explain string sees phantom joins whenever an earlier
-    query in the session left the frame cached. Dump content is strictly
-    deeper-indented than its InMemoryRelation line; skip until the
-    indent returns."""
-    import re
-
-    joins = 0
-    skip_depth: int | None = None
-    for line in tree.splitlines():
-        m = re.search(r"[A-Za-z=]", line)
-        if m is None:
-            continue
-        depth = m.start()
-        if skip_depth is not None:
-            if depth > skip_depth:
-                continue
-            skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = depth
-            continue
-        if re.search(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", line):
-            joins += 1
-    return joins
+def _executed_join_count(spark, sf_dir, name: str) -> int:
+    ops = _executed_op_counts(spark, sf_dir, name)
+    return sum(
+        n
+        for cls, n in ops.items()
+        if cls.startswith(
+            ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+    )
 
 
 def test_degree_dist_single_lsh_execution(spark, sf_dir):
@@ -362,9 +374,8 @@ def test_degree_dist_single_lsh_execution(spark, sf_dir):
     # pipeline shows ≥6. Counted over executed nodes only: if an earlier
     # query in the session cached the pair frame, this plan serves it
     # from an InMemoryTableScan and executes 0 joins — also acceptable.
-    tree = _plan(spark, sf_dir, "llm_neardup_degree_dist").split("\n\n")[0]
-    joins = _executed_join_count(tree)
-    assert joins <= 3, f"LSH pipeline appears duplicated: {joins} joins:\n{tree}"
+    joins = _executed_join_count(spark, sf_dir, "llm_neardup_degree_dist")
+    assert joins <= 3, f"LSH pipeline appears duplicated: {joins} joins"
 
 
 def test_lateral_dataframe_api_decorrelates_to_window_group_limit(spark, sf_dir):
@@ -527,6 +538,42 @@ def test_mixture_subsample_broadcasts_the_weight_table(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_epoch_upsample_expansion_is_mapside(spark, sf_dir):
+    """The epoch table broadcasts onto the corpus and the copy explosion
+    is a Generate directly over that broadcast join — no shuffle between
+    the corpus scan and the per-source audit aggregate's partials."""
+    plan = _plan(spark, sf_dir, "llm_epoch_upsample_plan")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert tree.count("BroadcastHashJoin") >= 2, tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_shard_shuffle_shares_one_hash_exchange(spark, sf_dir):
+    """The within-shard position window and the shard audit aggregate
+    both key on shard: one hash exchange serves both, plus only the
+    single-partition exchange for the global balance window (the final
+    sort rides that single partition for free)."""
+    plan = _plan(spark, sf_dir, "llm_shard_shuffle_assignment")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    n_ex = tree.count("Exchange")
+    assert n_ex == 2, f"window+agg should share one shard exchange, saw {n_ex}:\n{tree}"
+
+
+def test_source_overlap_feeds_consumers_from_cache(spark, sf_dir):
+    """The (source, gram) distinct is cached and eagerly filled; every
+    downstream consumer (per-source counts + both self-join sides) reads
+    the InMemoryRelation instead of re-running the tokenize+gram pass."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_source_overlap_matrix")
+    assert ops.get("InMemoryTableScanExec", 0) >= 3, ops
+    assert "CartesianProductExec" not in ops
+    # the counts + the self-join never re-scan parquet: the only file
+    # scans live inside the cache fill, which already ran at build time
+    assert ops.get("FileSourceScanExec", 0) == 0, ops
 
 
 def test_keep_best_shares_one_hash_exchange(spark, sf_dir):
