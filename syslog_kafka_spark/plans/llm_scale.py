@@ -607,6 +607,389 @@ def llm_mixture_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog vocabulary cardinality
+# ---------------------------------------------------------------------------
+
+_HLL_P = 10  # register-index bits
+_HLL_M = 1 << _HLL_P  # 1024 registers
+_HLL_WBITS = 60 - _HLL_P  # rho window: remaining hash bits
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard bias constant
+
+
+def _hll_oracle() -> str:
+    h = hash64_sql("term", salt="hll-v1")
+    z = f"(z_used + ({_HLL_M} - used))"  # absent registers contribute 2^0
+    # CAST: a bare float literal is DECIMAL in DuckDB (overflows on *m*m,
+    # and decimal arithmetic is exact where Spark's double is not)
+    raw = f"(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} / {z})"
+    return f"""
+        WITH tok AS (
+          SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents
+        ), hh AS (
+          SELECT source, ({h}) % {_HLL_M} AS reg, ({h}) // {_HLL_M} AS w
+          FROM tok
+        ), reg AS (
+          SELECT source, reg,
+                 max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                          ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS rho
+          FROM hh GROUP BY source, reg
+        ), sk AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS used,
+                 sum(power(2.0, -rho)) AS z_used
+          FROM reg GROUP BY source
+        ), ex AS (
+          SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+          FROM tok GROUP BY source
+        )
+        SELECT s.source, e.exact_distinct, s.used AS used_registers,
+               ROUND({raw}, 2) AS hll_raw,
+               CASE WHEN s.used < {_HLL_M}
+                    THEN ROUND({_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - s.used)), 2)
+               END AS hll_linear,
+               ROUND(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND s.used < {_HLL_M}
+                          THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - s.used))
+                          ELSE {raw} END, 2) AS hll_est,
+               ROUND(abs(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND s.used < {_HLL_M}
+                              THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - s.used))
+                              ELSE {raw} END - e.exact_distinct)
+                     / e.exact_distinct, 4) AS rel_err
+        FROM sk s JOIN ex e USING (source)
+        ORDER BY s.source
+    """
+
+
+@query("llm_hll_vocab_cardinality", family="llm", oracle=_hll_oracle())
+def llm_hll_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality per source, hand-rolled on
+    the house hash64 so — unlike Spark's approx_count_distinct, whose
+    HLL++ internals no other engine reproduces — the whole sketch is
+    deterministic and exactly oracle-checkable: register = low 10 hash
+    bits, rho = leading-zero rank of the remaining 50 bits (computed by
+    exact integer bit-length via binary-string length — floating log2
+    misrounds at power-of-two boundaries), estimate = α·m²/Σ2^-M_j with
+    the linear-counting variant reported alongside whenever any register
+    is empty. Exact distinct counts computed next to it price the
+    sketch's error against ground truth.
+
+    Why this is the scale path: exact per-source vocabulary needs a
+    corpus-wide distinct on (source, term) — hundreds of millions of
+    keys at 100 TB; the sketch reduces map-side to ≤1024 registers per
+    source (counter-wise max-mergeable across executors, the same
+    merge the groupBy's partial aggregation performs here), so only
+    #sources × 1024 fixed-width rows ever shuffle. The exact side
+    exists because the audit's point is measuring the sketch.
+
+    Bit-parity: 2^-rho terms are exact powers of two but their sum is
+    accumulation-order-sensitive at the 61-bit span, and ln() is libm;
+    estimates are reported at 2 dp where a last-ulp slip cannot flip
+    the rounding."""
+    d = load_tables(spark, sf_dir).documents
+    tok = d.select("source", F.explode(tokens("text")).alias("term"))
+    hh = tok.select(
+        "source", hash64("term", salt="hll-v1").alias("h")
+    ).select(
+        "source",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("reg"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    bitlen = F.length(F.conv(F.col("w"), 10, 2))
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - bitlen
+    )
+    reg = hh.groupBy("source", "reg").agg(F.max(rho).alias("rho"))
+    sk = reg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_used"),
+    )
+    ex = tok.groupBy("source").agg(
+        F.countDistinct("term").cast("bigint").alias("exact_distinct")
+    )
+    z = F.col("z_used") + (F.lit(_HLL_M) - F.col("used"))
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / z
+    linear = F.lit(float(_HLL_M)) * F.log(
+        F.lit(_HLL_M) * 1.0 / (F.lit(_HLL_M) - F.col("used"))
+    )
+    # the standard regime rule: linear counting below 2.5m (where the raw
+    # estimator is biased), raw above (where V→0 starves linear counting)
+    est = F.when(
+        (raw <= F.lit(2.5) * _HLL_M) & (F.col("used") < _HLL_M), linear
+    ).otherwise(raw)
+    return (
+        sk.join(ex, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.col("used").alias("used_registers"),
+            F.round(raw, 2).alias("hll_raw"),
+            F.when(F.col("used") < _HLL_M, F.round(linear, 2)).alias("hll_linear"),
+            F.round(est, 2).alias("hll_est"),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+_QSK_WIDTH = 16  # tokens per histogram bucket
+_QSK_BUCKETS = 128
+_QSK_PS = (0.5, 0.9, 0.99)
+
+
+def _quantile_sketch_oracle() -> str:
+    # CAST: bare float literals are DECIMAL in DuckDB, and DECIMAL
+    # 0.99*total is exact where Spark's double 0.99*total is not — at a
+    # cum boundary that flips which bucket the probe selects
+    ps = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in _QSK_PS)
+    return f"""
+        WITH d AS (
+          SELECT len({_TOKENS_SQL}) AS n FROM documents
+        ), hist AS (
+          SELECT least(CAST(n // {_QSK_WIDTH} AS BIGINT), {_QSK_BUCKETS - 1})
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM d GROUP BY 1
+        ), cum AS (
+          SELECT bucket, cnt,
+                 sum(cnt) OVER (ORDER BY bucket) AS cum,
+                 sum(cnt) OVER () AS total
+          FROM hist
+        ), hit AS (
+          SELECT p.p, c.bucket, c.cnt, c.cum - c.cnt AS cum_prev, c.total,
+                 row_number() OVER (PARTITION BY p.p ORDER BY c.bucket) AS rk
+          FROM (SELECT unnest([{ps}]) AS p) p
+          JOIN cum c ON c.cum >= p.p * c.total
+        ), ex AS (
+          SELECT quantile_cont(n, [{ps}]) AS qs FROM d
+        )
+        SELECT h.p,
+               ROUND(ex.qs[h.rk0] * 1.0, 4) AS exact_q,
+               ROUND(h.bucket * {_QSK_WIDTH}
+                     + (h.p * h.total - h.cum_prev) / h.cnt * {_QSK_WIDTH}, 4)
+                 AS approx_q,
+               ROUND(abs(h.bucket * {_QSK_WIDTH}
+                         + (h.p * h.total - h.cum_prev) / h.cnt * {_QSK_WIDTH}
+                         - ex.qs[h.rk0]), 4) AS abs_err
+        FROM (SELECT *, row_number() OVER (ORDER BY p) AS rk0
+              FROM hit WHERE rk = 1) h
+        CROSS JOIN ex
+        ORDER BY h.p
+    """
+
+
+@query("llm_length_quantile_sketch", family="llm", oracle=_quantile_sketch_oracle())
+def llm_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch of document token lengths: a fixed
+    128-bucket equi-width histogram (16 tokens/bucket) interpolated at
+    p50/p90/p99, priced against the exact percentile computed alongside.
+    The packing planner consumes these quantiles (sequence-length
+    budgets, padding ceilings); at corpus scale it reads the sketch, not
+    a global sort.
+
+    Why this is the scale path: exact percentiles need a corpus-wide
+    sort (or Spark's approx_percentile, whose internal G-K sketch no
+    other engine reproduces); the histogram is 128 counters,
+    counter-wise mergeable across executors with map-side combine —
+    #partitions × 128 rows shuffle, then the interpolation runs on a
+    128-row frame. The exact side exists to price the sketch's error.
+
+    Parity: bucket index is integer floor-div (no floats), the
+    interpolation is one division rounded at 4 dp, and Spark's exact
+    percentile() and DuckDB's quantile_cont share the (n-1)p linear
+    interpolation rule (verified on this corpus)."""
+    d = load_tables(spark, sf_dir).documents
+    n = d.select(token_count("text").alias("n"))
+    hist = n.groupBy(
+        F.least(
+            F.floor(F.col("n") / _QSK_WIDTH).cast("bigint"),
+            F.lit(_QSK_BUCKETS - 1),
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    ps = F.explode(F.array(*[F.lit(p) for p in _QSK_PS])).alias("p")
+    hit = (
+        n.sparkSession.range(1)
+        .select(ps)
+        .join(cum, F.col("cum") >= F.col("p") * F.col("total"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("p").orderBy("bucket")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    approx = (
+        F.col("bucket") * _QSK_WIDTH
+        + (F.col("p") * F.col("total") - (F.col("cum") - F.col("cnt")))
+        / F.col("cnt")
+        * _QSK_WIDTH
+    )
+    ex = n.agg(
+        *[F.percentile("n", p).alias(f"_q{i}") for i, p in enumerate(_QSK_PS)]
+    )
+    exact = F.array(*[F.col(f"_q{i}") for i in range(len(_QSK_PS))])[
+        F.row_number().over(Window.partitionBy().orderBy("p")) - 1
+    ]
+    return (
+        hit.join(F.broadcast(ex))
+        .select(
+            "p",
+            F.round(exact * 1.0, 4).alias("exact_q"),
+            F.round(approx, 4).alias("approx_q"),
+            F.round(F.abs(approx - exact), 4).alias("abs_err"),
+        )
+        .orderBy("p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (IVF-bucketed embedding leakage scan)
+# ---------------------------------------------------------------------------
+
+_SEMDECON_TAU = 0.3
+
+
+def _semantic_decontamination_oracle() -> str:
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.curation import hash_split_sql
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    return f"""
+        WITH a0 AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims,
+                 {hash_split_sql('vec_id')} AS split
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id, v, split,
+                 CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS lst,
+                 sqrt(list_dot_product(v, v)) AS nrm
+          FROM a0 WHERE split != 'val'
+        ), pairs AS (
+          SELECT q.vec_id AS test_id, t.vec_id AS train_id,
+                 list_dot_product(t.v, q.v) / (t.nrm * q.nrm) AS score
+          FROM c q JOIN c t ON q.lst = t.lst
+          WHERE q.split = 'test' AND t.split = 'train'
+        ), ranked AS (
+          SELECT test_id, train_id, score,
+                 row_number() OVER (PARTITION BY test_id
+                                    ORDER BY score DESC, train_id) AS rk,
+                 count(*) OVER (PARTITION BY test_id) AS n_candidates
+          FROM pairs
+        )
+        SELECT test_id, CAST(n_candidates AS BIGINT) AS n_candidates,
+               train_id AS best_train_id,
+               CAST(round(score, 4) AS DOUBLE) AS best_cosine,
+               round(score, 4) >= {_SEMDECON_TAU} AS flagged
+        FROM ranked WHERE rk = 1
+        ORDER BY test_id
+    """
+
+
+@query(
+    "llm_semantic_decontamination",
+    family="llm",
+    oracle=_semantic_decontamination_oracle(),
+)
+def llm_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: for every held-out vector, the
+    nearest TRAIN vector by cosine — candidates restricted to the test
+    vector's frozen IVF list (the index both ANN queries probe) — with
+    the flag raised when best-cosine ≥ τ=0.3. Catches the paraphrased /
+    re-encoded leakage that exact and Bloom n-gram decontamination
+    (llm_decontamination, llm_bloom_decontamination) can never see,
+    completing the engine's decontamination ladder: exact grams → Bloom
+    grams → embedding space.
+
+    Distributed shape: one pass assigns split + IVF list + norm (cached,
+    eagerly filled — the train and test sides both read it, and a cold
+    cache races N-ways); the bipartite join is keyed on the list id so
+    each test vector meets ~1/n_lists of the train split, never the
+    whole corpus. The 16 frozen lists are sized for the gate corpus — at
+    100 TB nlist grows ~√N (the FAISS rule), keeping per-list occupancy
+    (and so join fan-out AND key parallelism) bounded; the shape is
+    unchanged. Scores ride the ANN tier's bit-parity: the frozen-sims
+    pandas UDF for assignment, fold-identical dots for scoring, 4 dp
+    rounding (the llm_ann_* precedent), flag compared on the ROUNDED
+    score so a last-ulp slip cannot flip it."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.curation import hash_split
+    from syslog_kafka_spark.operators.similarity import (
+        _prenorm_score,
+        frozen_sims_udf,
+        norm_expr,
+    )
+
+    emb = load_tables(spark, sf_dir).embeddings
+    sims = frozen_sims_udf(IVF_CENTROIDS)
+    assigned = (
+        emb.select(
+            "vec_id", "embedding", hash_split(F.col("vec_id")).alias("split")
+        )
+        .filter(F.col("split") != "val")
+        .withColumn("_sims", sims(F.col("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            "split",
+            (F.array_position("_sims", F.array_max("_sims")) - 1)
+            .cast("int")
+            .alias("lst"),
+            norm_expr(F.col("embedding")).alias("nrm"),
+        )
+        .cache()
+    )
+    assigned.count()  # eager fill: train + test consumers race a cold cache
+    train = assigned.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("_tv"),
+        F.col("nrm").alias("_tn"),
+        "lst",
+    )
+    test = assigned.filter(F.col("split") == "test").select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("nrm").alias("_qn"),
+        "lst",
+    )
+    pairs = test.join(train, "lst").select(
+        "test_id",
+        "train_id",
+        _prenorm_score(F.col("_tv"), F.col("_qv"), F.col("_tn"), F.col("_qn")).alias(
+            "score"
+        ),
+    )
+    wr = Window.partitionBy("test_id").orderBy(F.desc("score"), F.asc("train_id"))
+    wc = Window.partitionBy("test_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "test_id",
+            "n_candidates",
+            F.col("train_id").alias("best_train_id"),
+            F.round("score", 4).alias("best_cosine"),
+            (F.round("score", 4) >= F.lit(_SEMDECON_TAU)).alias("flagged"),
+        )
+        .orderBy("test_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Epoch up-sampling plan (apply the repeat factors)
 # ---------------------------------------------------------------------------
 

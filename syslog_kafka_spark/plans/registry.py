@@ -113,14 +113,15 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_pii_redaction",
     "llm_simhash_multiprobe",
     "llm_stratified_sample",
-    "llm_token_entropy",
-    "llm_url_extraction",
-    "llm_vocab_coverage",
     # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
+    # llm_token_entropy, llm_url_extraction, llm_vocab_coverage,
     # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
     # scalar_edit_distance, scalar_map_funcs, scalar_posexplode_tokens,
     # scalar_struct_funcs, scalar_trig_funcs, scalar_url_funcs,
     # setop_multiset_all, stream_session_window_agg) ---
+    "llm_hll_vocab_cardinality",
+    "llm_length_quantile_sketch",
+    "llm_semantic_decontamination",
     "llm_epoch_upsample_plan",
     "llm_shard_shuffle_assignment",
     "llm_source_overlap_matrix",

@@ -140,6 +140,48 @@ def test_source_overlap_matrix_bounds(spark, sf_dir):
         assert 0.0 <= r.jaccard <= r.containment <= 1.0
 
 
+def test_hll_estimate_within_sketch_error(spark, sf_dir):
+    """1024 registers give a ~3.25% standard error; assert a loose 5x
+    envelope per source plus structural register bounds."""
+    rows = llm_scale.llm_hll_vocab_cardinality(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 < r.used_registers <= 1024
+        assert r.hll_raw > 0
+        # the combined estimator (regime rule applied) carries the bound;
+        # raw alone is biased high at small cardinalities by design
+        assert r.rel_err <= 0.17, r
+        assert r.hll_est in (r.hll_raw, r.hll_linear)
+        if r.used_registers == 1024:
+            assert r.hll_linear is None
+        else:
+            assert r.hll_linear > 0
+
+
+def test_quantile_sketch_error_bounded_by_bucket_width(spark, sf_dir):
+    """Histogram interpolation can never miss by more than one bucket
+    width, and the approximations are monotone in p."""
+    rows = llm_scale.llm_length_quantile_sketch(spark, sf_dir).collect()
+    assert [r.p for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r.abs_err <= 16.0, r
+    qs = [r.approx_q for r in rows]
+    assert qs == sorted(qs)
+
+
+def test_semantic_decontamination_flags_consistently(spark, sf_dir):
+    """Every test vector gets a verdict, the flag is exactly the rounded
+    threshold comparison, cosines are cosines, and tau separates the
+    population (both flag states occur)."""
+    rows = llm_scale.llm_semantic_decontamination(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_candidates >= 1
+        assert -1.0001 <= r.best_cosine <= 1.0001
+        assert r.flagged == (r.best_cosine >= 0.3)
+    assert any(r.flagged for r in rows) and any(not r.flagged for r in rows)
+
+
 def test_keep_best_picks_a_maximal_member(spark, sf_dir):
     """Every reported group is a real collision (≥2 docs) and the kept
     member's score bounds the group's minimum."""

@@ -576,6 +576,27 @@ def test_source_overlap_feeds_consumers_from_cache(spark, sf_dir):
     assert ops.get("FileSourceScanExec", 0) == 0, ops
 
 
+def test_semantic_decontamination_serves_both_sides_from_cache(spark, sf_dir):
+    """The assign pass (split + IVF list + norm) is cached and eagerly
+    filled; the train and test sides of the list-keyed join both read
+    the InMemoryRelation — the pandas-UDF assignment never runs twice."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_semantic_decontamination")
+    assert ops.get("InMemoryTableScanExec", 0) >= 2, ops
+    assert ops.get("FileSourceScanExec", 0) == 0, ops
+    assert "CartesianProductExec" not in ops
+
+
+def test_hll_shuffles_only_registers(spark, sf_dir):
+    """The sketch side's shuffle is (source, register) keyed — bounded at
+    1024·#sources rows — and the sketch↔exact source join is tiny, never
+    a cartesian."""
+    plan = _plan(spark, sf_dir, "llm_hll_vocab_cardinality")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # map-side partial aggregation on both the register and exact paths
+    assert tree.count("HashAggregate") >= 4, tree
+
+
 def test_keep_best_shares_one_hash_exchange(spark, sf_dir):
     """The ranking window and the group aggregate both key on fp: one
     hash exchange serves both (plus the final presentation sort)."""
