@@ -112,8 +112,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_packing_efficiency",
     "llm_pii_redaction",
     "llm_simhash_multiprobe",
-    "llm_stratified_sample",
     # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
+    # llm_stratified_sample,
     # llm_token_entropy, llm_url_extraction, llm_vocab_coverage,
     # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
     # scalar_edit_distance, scalar_map_funcs, scalar_posexplode_tokens,
@@ -132,6 +132,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_domain_temperature_mix",
     "llm_embedding_dim_stats",
     "llm_mixture_subsample",
+    "stream_cms_sketch_build",
     "stream_ivf_list_routing",
 )
 

@@ -907,3 +907,71 @@ def stream_ivf_list_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("vec_id").alias("max_vec_id"),
     )
     return drain(occupancy, mode="complete").orderBy("list_id")
+
+
+def _stream_cms_oracle() -> str:
+    from syslog_kafka_spark.functions.hashes import hash64_sql
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    rows = "\n          UNION ALL\n          ".join(
+        f"SELECT {r} AS r, ({hash64_sql('term', salt=f'cms-r{r}')}) % 2048 AS b"
+        f" FROM tok"
+        for r in range(4)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT unnest({toks}) AS term FROM documents
+        ), cells AS (
+          {rows}
+        )
+        SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY r, b ORDER BY r, b
+    """
+
+
+@query("stream_cms_sketch_build", family="streaming", oracle=_stream_cms_oracle())
+def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online count-min sketch maintenance: the document stream's tokens
+    fold into the same 4×2048 CMS the batch heavy-hitter audit probes
+    (`llm_cms_heavy_hitters`) — each arriving token emits its 4 (row,
+    bucket) cells as pure Column expressions and ONE streaming aggregate
+    keeps the counters. This is why CMS is THE streaming frequency
+    structure: exact per-term state grows with the live vocabulary
+    (unbounded at 100 TB ingest), while the sketch's state is ≤8192
+    counters FOREVER, counter-wise mergeable across executors and
+    microbatches by the aggregate's own partial merge. The batch-twin
+    oracle recomputes the cells over the same corpus, so a stream that
+    dropped, duplicated, or mis-hashed any token hash-fails."""
+    from syslog_kafka_spark.functions.hashes import hash64
+    from syslog_kafka_spark.functions.text import tokens
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    term = raw.select(F.explode(tokens("text")).alias("term"))
+    cells = term.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(hash64("term", salt=f"cms-r{r}"), F.lit(2048)).alias(
+                            "b"
+                        ),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.b")
+    sketch = cells.groupBy("r", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return drain(sketch, mode="complete").orderBy("r", "b")

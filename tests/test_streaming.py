@@ -414,3 +414,22 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     # The finalized first window counts only the two on-time rows — the
     # late u4 row did not resurrect or re-emit it.
     assert rows.get("10:00") == 2, rows
+
+
+def test_stream_cms_state_is_bounded_and_mass_preserving(spark, sf_dir):
+    """The streamed sketch holds ≤4×2048 cells regardless of stream
+    size, and each of the 4 rows conserves total token mass (every
+    token increments exactly one bucket per row)."""
+    from syslog_kafka_spark.functions.text import token_count
+    from syslog_kafka_spark.plans.stream_gated import stream_cms_sketch_build
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    rows = stream_cms_sketch_build(spark, sf_dir).collect()
+    assert len(rows) <= 4 * 2048
+    n_tokens = (
+        load_tables(spark, sf_dir)
+        .documents.agg(F.sum(token_count("text")))
+        .collect()[0][0]
+    )
+    for r in range(4):
+        assert sum(x.cnt for x in rows if x.r == r) == n_tokens
