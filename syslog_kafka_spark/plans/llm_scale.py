@@ -1327,6 +1327,177 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale-curation funnel (the tier composed end-to-end)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_MIN_SCORE = 0.35
+_FUNNEL_MIN_TOKENS = 16
+_FUNNEL_BETA = 0.5
+
+
+def _curation_funnel_oracle() -> str:
+    doc_bucket = (
+        f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='funnel-mix-v1')}) % 1000000"
+    )
+    thr = (
+        "least(1.0, w_target * {b} * total_tokens / greatest(src_tokens, 1))"
+        .format(b=_FUNNEL_BETA)
+    )
+    stage_agg = (
+        "SELECT {i} AS stage, '{name}' AS stage_name,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM {src}"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 len({_TOKENS_SQL}) AS n_tokens,
+                 CAST(round(len(list_distinct({_TOKENS_SQL}))
+                            / greatest(len({_TOKENS_SQL}), 1), 4) AS DOUBLE)
+                   AS score,
+                 length(text) AS n_chars,
+                 {fingerprint_sql('text')} AS fp,
+                 {doc_bucket} AS bucket
+          FROM documents
+        ), s2 AS (
+          SELECT * FROM base
+          WHERE score >= {_FUNNEL_MIN_SCORE} AND n_tokens >= {_FUNNEL_MIN_TOKENS}
+        ), s3 AS (
+          SELECT doc_id, source, n_tokens, bucket FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp
+                       ORDER BY score DESC, n_chars DESC, doc_id) AS rk
+            FROM s2
+          ) WHERE rk = 1
+        ), per AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM s3 GROUP BY source
+        ), wgt AS (
+          SELECT source, src_tokens,
+                 sqrt(CAST(src_tokens AS DOUBLE))
+                   / sum(sqrt(CAST(src_tokens AS DOUBLE))) OVER () AS w_target,
+                 sum(src_tokens) OVER () AS total_tokens
+          FROM per
+        ), s4 AS (
+          SELECT s3.* FROM s3 JOIN wgt USING (source)
+          WHERE bucket < ({thr}) * 1000000
+        ), funnel AS (
+          {stage_agg.format(i=1, name='input', src='base')}
+          UNION ALL {stage_agg.format(i=2, name='quality', src='s2')}
+          UNION ALL {stage_agg.format(i=3, name='dedup', src='s3')}
+          UNION ALL {stage_agg.format(i=4, name='mixture', src='s4')}
+        )
+        SELECT stage, stage_name, n_docs, sum_tokens,
+               ROUND(n_docs * 1.0
+                     / max(CASE WHEN stage = 1 THEN n_docs END) OVER (), 4)
+                 AS pct_docs,
+               ROUND(sum_tokens * 1.0
+                     / max(CASE WHEN stage = 1 THEN sum_tokens END) OVER (), 4)
+                 AS pct_tokens
+        FROM funnel ORDER BY stage
+    """
+
+
+@query("llm_scale_curation_funnel", family="llm", oracle=_curation_funnel_oracle())
+def llm_scale_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale tier composed end-to-end: quality gate (uniq-token
+    ratio + length floor) → keep-best fingerprint dedup → temperature
+    mixture subsampling, with per-stage survivor accounting — the
+    funnel report every production curation run publishes. Each stage
+    reuses the exact semantics of its standalone query
+    (llm_dedup_keep_best's ranking rule, llm_mixture_subsample's
+    hash-threshold sampler recomputed over the POST-dedup masses), so
+    the composite is as oracle-checkable as its parts.
+
+    Distributed shape: one projection computes every per-row signal
+    (score, fingerprint, token count, sample bucket) in the scan; the
+    post-dedup survivor frame — id-width columns only, never text — is
+    cached and eagerly filled because three consumers read it (its own
+    stage aggregate, the per-source masses, the mixture filter); the
+    weight table broadcasts back. Stages 1–2 are map-side-combinable
+    aggregates over the same scan, the dedup stage is the one hash(fp)
+    exchange, and the funnel itself is a union of four ≤1-row frames."""
+    d = load_tables(spark, sf_dir).documents
+    feats = quality_features("text")
+    base = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        feats["uniq_token_ratio"].alias("score"),
+        F.length("text").alias("n_chars"),
+        fingerprint("text").alias("fp"),
+        F.pmod(
+            hash64(F.col("doc_id").cast("string"), salt="funnel-mix-v1"),
+            F.lit(1000000),
+        ).alias("bucket"),
+    )
+    s2 = base.filter(
+        (F.col("score") >= _FUNNEL_MIN_SCORE)
+        & (F.col("n_tokens") >= _FUNNEL_MIN_TOKENS)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("fp").orderBy(
+            F.desc("score"), F.desc("n_chars"), F.asc("doc_id")
+        )
+    )
+    s3 = (
+        s2.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_tokens", "bucket")
+        .cache()
+    )
+    s3.count()  # eager fill: stage agg + masses + mixture filter consume it
+    per = s3.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    w = Window.partitionBy()
+    tok_d = F.col("src_tokens").cast("double")
+    wgt = per.select(
+        "source",
+        "src_tokens",
+        (F.sqrt(tok_d) / F.sum(F.sqrt(tok_d)).over(w)).alias("w_target"),
+        F.sum("src_tokens").over(w).alias("total_tokens"),
+    )
+    keep_prob = F.least(
+        F.lit(1.0),
+        F.col("w_target")
+        * F.lit(_FUNNEL_BETA)
+        * F.col("total_tokens")
+        / F.greatest(F.col("src_tokens"), F.lit(1)),
+    )
+    s4 = s3.join(F.broadcast(wgt), "source").filter(
+        F.col("bucket") < keep_prob * F.lit(1000000)
+    )
+
+    def stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        ).select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs",
+            "sum_tokens",
+        )
+
+    funnel = (
+        stage(base, 1, "input")
+        .unionAll(stage(s2, 2, "quality"))
+        .unionAll(stage(s3, 3, "dedup"))
+        .unionAll(stage(s4, 4, "mixture"))
+    )
+    input_docs = F.max(F.when(F.col("stage") == 1, F.col("n_docs"))).over(w)
+    input_tokens = F.max(F.when(F.col("stage") == 1, F.col("sum_tokens"))).over(w)
+    return funnel.select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("n_docs") * 1.0 / input_docs, 4).alias("pct_docs"),
+        F.round(F.col("sum_tokens") * 1.0 / input_tokens, 4).alias("pct_tokens"),
+    ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
 # Keep-best fingerprint dedup
 # ---------------------------------------------------------------------------
 

@@ -182,6 +182,19 @@ def test_semantic_decontamination_flags_consistently(spark, sf_dir):
     assert any(r.flagged for r in rows) and any(not r.flagged for r in rows)
 
 
+def test_curation_funnel_is_monotone(spark, sf_dir):
+    """Survivor counts never rise through the funnel, the input row is
+    the full corpus at 100%, and every gate actually bites on this
+    corpus (each stage strictly drops documents)."""
+    rows = llm_scale.llm_scale_curation_funnel(spark, sf_dir).collect()
+    assert [r.stage_name for r in rows] == ["input", "quality", "dedup", "mixture"]
+    assert rows[0].pct_docs == 1.0 and rows[0].pct_tokens == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs < prev.n_docs, (prev, cur)
+        assert cur.sum_tokens <= prev.sum_tokens
+        assert 0.0 <= cur.pct_docs <= 1.0
+
+
 def test_keep_best_picks_a_maximal_member(spark, sf_dir):
     """Every reported group is a real collision (≥2 docs) and the kept
     member's score bounds the group's minimum."""
