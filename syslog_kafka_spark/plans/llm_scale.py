@@ -449,6 +449,7 @@ def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .cache()
     )
+    tc.count()  # eager fill: 5 consumers (top-k + 4 bucket tables) race cold
 
     def bucket(col: str, r: int):
         return F.pmod(hash64(col, salt=f"cms-r{r}"), F.lit(_CMS_W))
