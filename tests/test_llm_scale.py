@@ -202,3 +202,39 @@ def test_keep_best_picks_a_maximal_member(spark, sf_dir):
     for r in rows:
         assert r.n_docs >= 2
         assert r.kept_score >= r.min_score
+
+
+def test_hll_rho_bitlength_trick_three_way(spark):
+    """The rho computation (51 - bit length of the 50-bit hash remainder,
+    via binary-string length) must agree between Spark's conv(), DuckDB's
+    bin(), and Python's int.bit_length() on every boundary shape: zero,
+    exact powers of two (where floating log2 misrounds), their
+    neighbours, the domain max, and a seeded random sample."""
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    vals = {0, 1, 2, 3, (1 << 50) - 1}
+    for k in range(1, 50):
+        vals.update({1 << k, (1 << k) - 1, (1 << k) + 1})
+    rng = random.Random(7)
+    vals.update(rng.randrange(1 << 50) for _ in range(200))
+    vals = sorted(vals)
+    expected = [51 - v.bit_length() for v in vals]
+
+    df = spark.createDataFrame([(v,) for v in vals], "w LONG")
+    bitlen = F.length(F.conv(F.col("w"), 10, 2))
+    rho = F.when(F.col("w") == 0, F.lit(51)).otherwise(F.lit(51) - bitlen)
+    got_spark = [r[0] for r in df.select(rho).collect()]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT CASE WHEN {v} = 0 THEN 51"
+            f" ELSE 51 - length(bin(CAST({v} AS BIGINT))) END"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_duck == expected
