@@ -1328,6 +1328,120 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session-transcript assembly (logs → training documents)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPT_GAP_US = 1_800_000_000  # 30-minute session gap
+
+
+def _session_transcripts_oracle() -> str:
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > {_TRANSCRIPT_GAP_US}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS session_id
+          FROM flagged
+        ), tokd AS (
+          SELECT user_id, session_id, ts, event_id,
+                 event_type || ':' ||
+                 CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS tok
+          FROM sess
+        ), doc AS (
+          SELECT user_id, session_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                   AS span_secs,
+                 string_agg(tok, ' ' ORDER BY ts, event_id) AS transcript
+          FROM tokd GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_id, n_events, span_secs,
+               length(transcript) AS n_chars,
+               {hash64_sql('transcript', salt='transcript-v1')} AS transcript_hash
+        FROM doc ORDER BY user_id, session_id
+    """
+
+
+@query(
+    "llm_session_transcripts", family="llm", oracle=_session_transcripts_oracle()
+)
+def llm_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-to-training-document assembly: each user's event stream is
+    sessionized (the 30-minute lag-gap recipe window_sessionize_30min
+    pins) and every session becomes one ordered transcript — events
+    rendered as `type:cents` tokens, joined in (ts, event_id) order —
+    the step that turns interaction logs / chat histories into training
+    documents. The gate compares the transcript's hash64, so one
+    misordered, dropped, or misrendered event anywhere fails.
+
+    Determinism: the double `value` never renders as a float string
+    (engines format doubles differently); it is scaled to integer cents
+    with the shared HALF-UP rounding. Ordering inside collect_list is
+    non-deterministic, so the struct array is array_sort'd on
+    (ts, event_id) before joining — the oracle's `ORDER BY` inside
+    string_agg.
+
+    Distributed shape: ONE hash(user_id) exchange serves the
+    sessionization window AND the (user, session) transcript aggregate
+    (hash(user) clusters every (user, session) group). Transcript size
+    is bounded by session length — the collect_list never sees more
+    than one session."""
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > _TRANSCRIPT_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        new_session.alias("_ns"),
+    ).withColumn("session_id", F.sum("_ns").over(wrun).cast("bigint"))
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+    )
+    doc = (
+        sess.select("user_id", "session_id", "ts", "event_id", tok.alias("tok"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("_min_ts"),
+            F.max("ts").alias("_max_ts"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("transcript"),
+        )
+    )
+    return doc.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.expr("(unix_micros(_max_ts) - unix_micros(_min_ts)) div 1000000").alias(
+            "span_secs"
+        ),
+        F.length("transcript").alias("n_chars"),
+        hash64("transcript", salt="transcript-v1").alias("transcript_hash"),
+    ).orderBy("user_id", "session_id")
+
+
+# ---------------------------------------------------------------------------
 # Scale-curation funnel (the tier composed end-to-end)
 # ---------------------------------------------------------------------------
 

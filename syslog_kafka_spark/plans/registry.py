@@ -110,9 +110,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_doc_chunks",
     "llm_hash_split",
     "llm_packing_efficiency",
-    "llm_pii_redaction",
     # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
-    # llm_simhash_multiprobe, llm_stratified_sample,
+    # llm_pii_redaction, llm_simhash_multiprobe, llm_stratified_sample,
     # llm_token_entropy, llm_url_extraction, llm_vocab_coverage,
     # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
     # scalar_edit_distance, scalar_map_funcs, scalar_posexplode_tokens,
@@ -132,6 +131,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_embedding_dim_stats",
     "llm_mixture_subsample",
     "llm_scale_curation_funnel",
+    "llm_session_transcripts",
     "stream_cms_sketch_build",
     "stream_ivf_list_routing",
 )

@@ -182,6 +182,22 @@ def test_semantic_decontamination_flags_consistently(spark, sf_dir):
     assert any(r.flagged for r in rows) and any(not r.flagged for r in rows)
 
 
+def test_session_transcripts_cover_every_event_once(spark, sf_dir):
+    """Transcript assembly is a partition of the event stream: session
+    event counts sum to the corpus total, session ids are 1-based and
+    contiguous per user, and spans are non-negative."""
+    rows = llm_scale.llm_session_transcripts(spark, sf_dir).collect()
+    n_events = load_tables(spark, sf_dir).events.count()
+    assert sum(r.n_events for r in rows) == n_events
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        assert r.span_secs >= 0
+        assert r.n_chars > 0
+        by_user.setdefault(r.user_id, []).append(r.session_id)
+    for sids in by_user.values():
+        assert sorted(sids) == list(range(1, len(sids) + 1))
+
+
 def test_curation_funnel_is_monotone(spark, sf_dir):
     """Survivor counts never rise through the funnel, the input row is
     the full corpus at 100%, and every gate actually bites on this

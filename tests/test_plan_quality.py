@@ -597,6 +597,17 @@ def test_hll_shuffles_only_registers(spark, sf_dir):
     assert tree.count("HashAggregate") >= 4, tree
 
 
+def test_session_transcripts_share_the_user_exchange(spark, sf_dir):
+    """hash(user_id) clusters every (user, session) group, so the
+    sessionization window and the transcript aggregate share ONE
+    exchange; only the presentation sort adds a second."""
+    plan = _plan(spark, sf_dir, "llm_session_transcripts")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    n_ex = tree.count("Exchange")
+    assert n_ex == 2, f"window+agg should share one user exchange, saw {n_ex}:\n{tree}"
+
+
 def test_keep_best_shares_one_hash_exchange(spark, sf_dir):
     """The ranking window and the group aggregate both key on fp: one
     hash exchange serves both (plus the final presentation sort)."""
