@@ -105,16 +105,18 @@ def llm_domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-space audit
 # ---------------------------------------------------------------------------
 
+# the + 0.0 normalizes signed zero: a mean of -2e-5 rounds to -0.0 in
+# DuckDB but +0.0 in Spark, and the driver canon reprs them differently
 _DIM_STATS_ORACLE = """
     WITH v AS (
       SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS _t(i)
     )
     SELECT dim, count(*) AS n,
-           ROUND(avg(x), 4) AS mean_x,
-           ROUND(var_pop(x), 4) AS var_x,
-           ROUND(min(x), 6) AS min_x,
-           ROUND(max(x), 6) AS max_x
+           ROUND(avg(x), 4) + 0.0 AS mean_x,
+           ROUND(var_pop(x), 4) + 0.0 AS var_x,
+           ROUND(min(x), 6) + 0.0 AS min_x,
+           ROUND(max(x), 6) + 0.0 AS max_x
     FROM v GROUP BY dim ORDER BY dim
 """
 
@@ -140,10 +142,10 @@ def llm_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("x"), 4).alias("mean_x"),
-            F.round(F.var_pop("x"), 4).alias("var_x"),
-            F.round(F.min("x"), 6).alias("min_x"),
-            F.round(F.max("x"), 6).alias("max_x"),
+            (F.round(F.avg("x"), 4) + 0.0).alias("mean_x"),
+            (F.round(F.var_pop("x"), 4) + 0.0).alias("var_x"),
+            (F.round(F.min("x"), 6) + 0.0).alias("min_x"),
+            (F.round(F.max("x"), 6) + 0.0).alias("max_x"),
         )
         .orderBy("dim")
     )

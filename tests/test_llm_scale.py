@@ -254,3 +254,29 @@ def test_hll_rho_bitlength_trick_three_way(spark):
         for v in vals
     ]
     assert got_duck == expected
+
+
+def test_signed_zero_normalization_trick(spark):
+    """round() of a tiny negative yields -0.0 (DuckDB keeps the sign,
+    Spark may not) and the driver canon reprs -0.0 != 0.0 — the
+    `round(x, n) + 0.0` form must normalize it on BOTH engines while
+    leaving every other value untouched."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    row = spark.range(1).select(
+        (F.round(F.lit(-2e-05), 4) + 0.0).alias("z"),
+        (F.round(F.lit(-0.12344999), 4) + 0.0).alias("nz"),
+    ).collect()[0]
+    assert repr(row.z) == "0.0"
+    assert repr(row.nz) == "-0.1234"
+
+    con = duckdb.connect()
+    z, nz = con.execute(
+        "SELECT ROUND(-0.00002::DOUBLE, 4) + 0.0, ROUND(-0.12344999::DOUBLE, 4) + 0.0"
+    ).fetchone()
+    assert repr(z) == "0.0" and repr(nz) == "-0.1234"
+    # and WITHOUT the + 0.0 DuckDB really does keep the sign (the hazard)
+    raw = con.execute("SELECT ROUND(-0.00002::DOUBLE, 4)").fetchone()[0]
+    assert repr(raw) == "-0.0"
