@@ -109,8 +109,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_dedup_components",
     "llm_doc_chunks",
     "llm_hash_split",
-    "llm_packing_efficiency",
     # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
+    # llm_packing_efficiency,
     # llm_pii_redaction, llm_simhash_multiprobe, llm_stratified_sample,
     # llm_token_entropy, llm_url_extraction, llm_vocab_coverage,
     # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
@@ -134,6 +134,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "llm_session_transcripts",
     "stream_cms_sketch_build",
     "stream_ivf_list_routing",
+    "stream_session_transcripts",
 )
 
 

@@ -975,3 +975,93 @@ def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     return drain(sketch, mode="complete").orderBy("r", "b")
+
+
+def _stream_transcripts_oracle() -> str:
+    from syslog_kafka_spark.functions.hashes import hash64_sql
+
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id < 40
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS sid
+          FROM flagged
+        ), tokd AS (
+          SELECT user_id, sid, ts, event_id,
+                 event_type || ':' ||
+                 CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) AS tok
+          FROM sess
+        ), doc AS (
+          SELECT user_id, min(ts) AS session_start,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 string_agg(tok, ' ' ORDER BY ts, event_id) AS transcript
+          FROM tokd GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, n_events,
+               length(transcript) AS n_chars,
+               {hash64_sql('transcript', salt='transcript-v1')} AS transcript_hash
+        FROM doc ORDER BY user_id, session_start
+    """
+
+
+@query(
+    "stream_session_transcripts",
+    family="streaming",
+    oracle=_stream_transcripts_oracle(),
+)
+def stream_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE transcript assembly: the streaming twin of
+    llm_session_transcripts — events arrive as a stream, Spark's
+    session_window state merges them into 30-minute-gap sessions, and
+    each session aggregates its ordered `type:cents` transcript as it
+    closes. This is the shape a chat-ingest pipeline runs at 100 TB:
+    transcripts materialize incrementally with bounded per-session
+    state, no batch re-sessionization. collect_list order is
+    arrival-dependent under streaming, so the struct array is
+    array_sort'd on (ts, event_id) AFTER the aggregate — without it
+    this query is nondeterministic and the gate proves it isn't. The
+    oracle rebuilds the same sessions with the batch lag-gap recipe
+    (session_window ≡ gap sessionization, pinned by
+    stream_session_window_agg) and hashes every transcript."""
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 40)
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+    )
+    sessions = (
+        ev.select("user_id", "ts", "event_id", tok.alias("tok"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.collect_list(F.struct("ts", "event_id", "tok")).alias("_lst"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            F.array_join(
+                F.transform(F.array_sort("_lst"), lambda x: x["tok"]), " "
+            ).alias("transcript"),
+        )
+    )
+    drained = drain(sessions, mode="complete")
+    from syslog_kafka_spark.functions.hashes import hash64
+
+    return drained.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.length("transcript").alias("n_chars"),
+        hash64("transcript", salt="transcript-v1").alias("transcript_hash"),
+    ).orderBy("user_id", "session_start")
