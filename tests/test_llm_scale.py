@@ -280,3 +280,37 @@ def test_signed_zero_normalization_trick(spark):
     # and WITHOUT the + 0.0 DuckDB really does keep the sign (the hazard)
     raw = con.execute("SELECT ROUND(-0.00002::DOUBLE, 4)").fetchone()[0]
     assert repr(raw) == "-0.0"
+
+
+def test_float_stats_are_parallelism_invariant(spark, sf_dir):
+    """Results must not depend on partition count: re-running the most
+    accumulation-order-sensitive queries (zero-centered float stats,
+    sketch sums, weight normalizations) under shuffle.partitions=7 with
+    AQE off must produce byte-identical canon rows to the session
+    default (32 + AQE). A failure here means the result would differ on
+    a real cluster whenever the partitioning changes — the signed-zero
+    class writ large. (A full-inventory sweep of this check passed for
+    all 224 oracled queries at sf0.01 in r7.)"""
+    from scripts.driver_sim import canon_rows
+
+    names = [
+        "llm_embedding_dim_stats",
+        "llm_domain_temperature_mix",
+        "llm_hll_vocab_cardinality",
+        "llm_length_quantile_sketch",
+        "llm_mixture_subsample",
+    ]
+    base = {
+        n: canon_rows(getattr(llm_scale, n)(spark, sf_dir).toPandas()) for n in names
+    }
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for n in names:
+            got = canon_rows(getattr(llm_scale, n)(spark, sf_dir).toPandas())
+            assert got == base[n], f"{n} drifted under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
