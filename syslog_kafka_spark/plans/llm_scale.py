@@ -736,6 +736,177 @@ def llm_hll_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SCALE = float(1 << 60)  # hash64 domain upper bound
+
+
+def _kmv_oracle() -> str:
+    h = hash64_sql("term", salt="kmv-v1")
+    merged = "list_slice(list_sort(list_distinct(list_concat(a.ks, b.ks))), 1, {k})".format(
+        k=_KMV_K
+    )
+    return f"""
+        WITH tok AS (
+          SELECT DISTINCT source, ({h}) AS h
+          FROM (SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents)
+        ), rk AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS r
+          FROM tok
+        ), ks AS (
+          SELECT source,
+                 list_sort(list(h ORDER BY h)) AS ks,
+                 CAST(max(r) AS BIGINT) AS n_kept
+          FROM rk WHERE r <= {_KMV_K} GROUP BY source
+        ), ex AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM tok GROUP BY source
+        ), inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS exact_inter
+          FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 ea.n_exact AS exact_a, eb.n_exact AS exact_b,
+                 {merged} AS merged,
+                 a.ks AS ka, b.ks AS kb
+          FROM ks a JOIN ks b ON a.source < b.source
+          JOIN ex ea ON ea.source = a.source
+          JOIN ex eb ON eb.source = b.source
+        ), est AS (
+          SELECT source_a, source_b, exact_a, exact_b, merged, ka, kb,
+                 len(merged) AS m,
+                 CASE WHEN len(merged) < {_KMV_K}
+                      THEN CAST(len(merged) AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_KMV_SCALE!r}
+                           / CAST(merged[{_KMV_K}] AS DOUBLE) END AS union_est,
+                 len(list_intersect(list_intersect(merged, ka), kb)) AS n_both
+          FROM pairs
+        )
+        SELECT e.source_a, e.source_b, e.exact_a, e.exact_b,
+               coalesce(i.exact_inter, 0) AS exact_inter,
+               ROUND(e.union_est, 2) AS kmv_union_est,
+               ROUND(e.n_both * 1.0 / e.m, 4) AS kmv_jaccard_est,
+               ROUND(e.n_both * 1.0 / e.m * e.union_est, 2) AS kmv_inter_est,
+               ROUND(abs(e.union_est
+                         - (e.exact_a + e.exact_b - coalesce(i.exact_inter, 0)))
+                     / (e.exact_a + e.exact_b - coalesce(i.exact_inter, 0)), 4)
+                 AS union_rel_err
+        FROM est e
+        LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+        ORDER BY e.source_a, e.source_b
+    """
+
+
+@query("llm_kmv_source_overlap", family="llm", oracle=_kmv_oracle())
+def llm_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k, k=256) distinct sketches per source with SET
+    OPERATIONS — the capability HLL lacks: merging two sketches' bottom
+    values estimates the union, and the fraction of merged values
+    present in BOTH input sketches estimates Jaccard, hence the
+    intersection (the Theta-sketch recipe). Exact pairwise
+    intersections are computed alongside to price the estimates.
+    Bottom-k of a salted hash is a pure SET property — independent of
+    order, duplicates, and partitioning — so unlike Misra-Gries-style
+    stream summaries (order-dependent, not gateable) the whole sketch
+    is hash-oracle-checkable.
+
+    Why this is the scale path: per-source distinct vocabularies never
+    co-shuffle — each source keeps 256 hashes (one window pass over the
+    distinct frame), and every pairwise union/intersection estimate is
+    list arithmetic on 256-element arrays broadcast in a #sources²
+    frame. The exact intersection join exists only as the audit's
+    ground truth.
+
+    Distributed shape: ONE (source, term-hash) distinct (cached, eager
+    — bottom-k, exact counts, and both exact-join sides consume it),
+    a per-source window for the bottom-k, then everything downstream
+    operates on ≤#sources×256 values."""
+    d = load_tables(spark, sf_dir).documents
+    tok = (
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .select("source", hash64("term", salt="kmv-v1").alias("h"))
+        .distinct()
+        .cache()
+    )
+    tok.count()  # eager fill: 4 consumers race a cold cache
+    rk = tok.withColumn(
+        "r", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    )
+    ks = (
+        rk.filter(F.col("r") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("ks"))
+    )
+    ex = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    a, b = tok.alias("ia"), tok.alias("ib")
+    inter = (
+        a.join(
+            b,
+            (F.col("ia.h") == F.col("ib.h")) & (F.col("ia.source") < F.col("ib.source")),
+        )
+        .groupBy(
+            F.col("ia.source").alias("source_a"), F.col("ib.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    ksa = ks.select(F.col("source").alias("source_a"), F.col("ks").alias("ka"))
+    ksb = ks.select(F.col("source").alias("source_b"), F.col("ks").alias("kb"))
+    exa = ex.select(F.col("source").alias("source_a"), F.col("n_exact").alias("exact_a"))
+    exb = ex.select(F.col("source").alias("source_b"), F.col("n_exact").alias("exact_b"))
+    pairs = (
+        ksa.join(ksb, F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(exa), "source_a")
+        .join(F.broadcast(exb), "source_b")
+        .withColumn(
+            "merged",
+            F.slice(F.array_sort(F.array_union("ka", "kb")), 1, _KMV_K),
+        )
+    )
+    m = F.size("merged")
+    union_est = F.when(m < _KMV_K, m.cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(_KMV_SCALE)
+        / F.element_at("merged", _KMV_K).cast("double")
+    )
+    n_both = F.size(F.array_intersect(F.array_intersect(F.col("merged"), F.col("ka")), F.col("kb")))
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        "exact_a",
+        "exact_b",
+        m.alias("m"),
+        union_est.alias("union_est"),
+        n_both.alias("n_both"),
+    )
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.coalesce("exact_inter", F.lit(0))
+    )
+    return (
+        est.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+            F.round("union_est", 2).alias("kmv_union_est"),
+            F.round(F.col("n_both") * 1.0 / F.col("m"), 4).alias("kmv_jaccard_est"),
+            F.round(F.col("n_both") * 1.0 / F.col("m") * F.col("union_est"), 2).alias(
+                "kmv_inter_est"
+            ),
+            F.round(F.abs(F.col("union_est") - exact_union) / exact_union, 4).alias(
+                "union_rel_err"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Histogram quantile sketch
 # ---------------------------------------------------------------------------
 

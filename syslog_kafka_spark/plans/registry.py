@@ -108,9 +108,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "join_asof_next_signup",
     "llm_dedup_components",
     "llm_doc_chunks",
-    "llm_hash_split",
     # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
-    # llm_packing_efficiency,
+    # llm_hash_split, llm_packing_efficiency,
     # llm_pii_redaction, llm_simhash_multiprobe, llm_stratified_sample,
     # llm_token_entropy, llm_url_extraction, llm_vocab_coverage,
     # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
@@ -118,6 +117,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # scalar_struct_funcs, scalar_trig_funcs, scalar_url_funcs,
     # setop_multiset_all, stream_session_window_agg) ---
     "llm_hll_vocab_cardinality",
+    "llm_kmv_source_overlap",
     "llm_length_quantile_sketch",
     "llm_semantic_decontamination",
     "llm_epoch_upsample_plan",

@@ -314,3 +314,22 @@ def test_float_stats_are_parallelism_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_kmv_estimates_are_exact_below_k_and_bounded_above(spark, sf_dir):
+    """A KMV sketch holding fewer than k values IS the exact set: pairs
+    whose true union is under k must estimate it exactly. Larger pairs
+    must stay inside a loose 4-sigma envelope (k=256 → ~6.3% std err),
+    and the jaccard/intersection estimates must be internally
+    consistent."""
+    rows = llm_scale.llm_kmv_source_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact_union = r.exact_a + r.exact_b - r.exact_inter
+        assert 0 <= r.exact_inter <= min(r.exact_a, r.exact_b)
+        assert 0.0 <= r.kmv_jaccard_est <= 1.0
+        assert r.kmv_inter_est >= 0.0
+        if exact_union < 256:
+            assert r.union_rel_err == 0.0, r
+        else:
+            assert r.union_rel_err <= 0.25, r
