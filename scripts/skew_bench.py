@@ -45,10 +45,18 @@ SKEW_PATH = os.path.join(SKEW_DIR, "events_skewed.parquet")
 
 
 def build_skewed_events(spark, replicas: int) -> None:
-    """Materialize the skewed replica once (idempotent per replica count)."""
+    """Materialize the skewed replica once (idempotent per replica count).
+
+    Markers from OTHER replica counts are removed on rebuild: the data
+    path is shared, so a stale marker from an earlier count would
+    otherwise skip the rebuild and benchmark mislabeled data."""
+    import glob as _glob
+
     marker = os.path.join(SKEW_DIR, f"_built_r{replicas}")
     if os.path.exists(marker):
         return
+    for stale in _glob.glob(os.path.join(SKEW_DIR, "_built_r*")):
+        os.remove(stale)
     src = os.path.join(REPO, ".bench", "sf1", "events.parquet")
     base = spark.read.parquet(src).select("event_id", "user_id", "event_type", "value")
     n = base.count()
@@ -159,9 +167,25 @@ def main() -> None:
             restore_confs(spark)
         print(f"{variant}: {times} median={statistics.median(times)}")
 
-    assert answers["plain"] == answers["salted"] == answers["aqe"], (
-        "variants disagree — salting/AQE must be semantics-preserving"
-    )
+    # Semantics-preservation check with a float tolerance: the three
+    # variants accumulate double sums under different physical plans, so
+    # exact equality of 4-dp-rounded values can spuriously fail at a
+    # rounding boundary (the parallelism-invariance hazard class).
+    def _rows_close(a, b):
+        if len(a) != len(b):
+            return False
+        for ra, rb in zip(a, b):
+            for va, vb in zip(ra, rb):
+                if isinstance(va, float):
+                    if abs(va - vb) > 1e-3:
+                        return False
+                elif va != vb:
+                    return False
+        return True
+
+    assert _rows_close(answers["plain"], answers["salted"]) and _rows_close(
+        answers["plain"], answers["aqe"]
+    ), "variants disagree — salting/AQE must be semantics-preserving"
     print("\n| variant | runs (s) | median (s) |")
     print("|---|---|---|")
     for variant, times in results.items():

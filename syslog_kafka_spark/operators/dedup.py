@@ -119,13 +119,18 @@ def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
         # (measured 2k distinct 5-grams across 1M per-doc occurrences at
         # sf0.1), so memoizing turns ~1M md5 calls into ~2k per task.
         # Values are exactly the md5-derived ints — output is unchanged.
+        # Capped: on adversarial high-entropy text (hex dumps, random ids)
+        # distinct grams approach occurrence counts and an unbounded dict
+        # would hold GBs per task; past the cap new grams hash uncached.
         memo: dict[str, int] = {}
+        MEMO_CAP = 1 << 20
 
         def gram_hash(g: str) -> int:
             h = memo.get(g)
             if h is None:
                 h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                memo[g] = h
+                if len(memo) < MEMO_CAP:
+                    memo[g] = h
             return h
 
         for batch in batches:

@@ -328,6 +328,7 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split") != "val"
     )
     grams = ngram_hashes(labeled, n=_BLOOM_N, salt="bloom-v1", carry=("split",)).cache()
+    grams.count()  # eager fill: 4 consumers (2 position sets + exact join sides)
     h = F.col("gram_hash")
     h1 = F.pmod(h, F.lit(m))
     h2 = F.pmod(F.expr(f"gram_hash div {m}"), F.lit(m))
@@ -483,9 +484,9 @@ _SUB_BETA = 0.5  # token budget as a fraction of the corpus
 
 
 def _mixture_subsample_oracle() -> str:
-    thr = "least(1.0, w_target * {b} * total_tokens / greatest(n_tokens, 1))".format(
-        b=_SUB_BETA
-    )
+    # sqrt (IEEE-exact, unlike pow(x, 0.5)) and keep_prob PINNED at 6 dp
+    # before the bucket threshold, so a last-ulp slip in the window sum
+    # cannot flip a document's keep decision on one engine only
     doc_bucket = f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='mix-sub-v1')}) % 1000000"
     return f"""
         WITH doc AS (
@@ -498,29 +499,31 @@ def _mixture_subsample_oracle() -> str:
           FROM doc GROUP BY source
         ), wgt AS (
           SELECT source, n_docs, n_tokens,
-                 power(CAST(n_tokens AS DOUBLE), {_SUB_ALPHA})
-                   / sum(power(CAST(n_tokens AS DOUBLE), {_SUB_ALPHA})) OVER ()
-                   AS w_target,
+                 sqrt(CAST(n_tokens AS DOUBLE))
+                   / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS w_target,
                  sum(n_tokens) OVER () AS total_tokens
           FROM per
+        ), wgt2 AS (
+          SELECT source, n_docs, n_tokens, w_target,
+                 round(least(1.0, w_target * {_SUB_BETA} * total_tokens
+                                  / greatest(n_tokens, 1)), 6) AS keep_prob
+          FROM wgt
         ), kept AS (
           SELECT d.source,
                  count(*) AS n_kept,
                  CAST(sum(d.doc_tokens) AS BIGINT) AS kept_tokens
-          FROM doc d JOIN wgt USING (source)
-          WHERE d.bucket < ({thr}) * 1000000
+          FROM doc d JOIN wgt2 USING (source)
+          WHERE d.bucket < keep_prob * 1000000
           GROUP BY d.source
         )
         SELECT w.source, w.n_docs, w.n_tokens,
                coalesce(k.n_kept, 0) AS n_kept,
                CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
                ROUND(w.w_target, 6) AS w_target,
-               ROUND({thr.replace('n_tokens', 'w.n_tokens')
-                         .replace('w_target', 'w.w_target')
-                         .replace('total_tokens', 'w.total_tokens')}, 6) AS keep_prob,
+               w.keep_prob,
                ROUND(coalesce(k.kept_tokens, 0)
                      / sum(coalesce(k.kept_tokens, 0)) OVER (), 6) AS achieved_share
-        FROM wgt w LEFT JOIN kept k USING (source)
+        FROM wgt2 w LEFT JOIN kept k USING (source)
         ORDER BY w.source
     """
 
@@ -567,22 +570,28 @@ def llm_mixture_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        (F.pow(tok_d, F.lit(_SUB_ALPHA)) / F.sum(F.pow(tok_d, F.lit(_SUB_ALPHA))).over(w)).alias(
-            "w_target"
-        ),
+        (F.sqrt(tok_d) / F.sum(F.sqrt(tok_d)).over(w)).alias("w_target"),
         F.sum("n_tokens").over(w).alias("total_tokens"),
+    ).withColumn(
+        # sqrt is IEEE-exact (pow(x, 0.5) is not), and the keep
+        # probability is PINNED at 6 dp before the threshold so a
+        # last-ulp slip in the window sum cannot flip a keep decision
+        "keep_prob",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("w_target")
+                * F.lit(_SUB_BETA)
+                * F.col("total_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+            ),
+            6,
+        ),
     ).cache()
     wgt.count()  # eager fill: 2 consumers would each re-run the corpus agg
-    keep_prob = F.least(
-        F.lit(1.0),
-        F.col("w_target")
-        * F.lit(_SUB_BETA)
-        * F.col("total_tokens")
-        / F.greatest(F.col("n_tokens"), F.lit(1)),
-    )
     kept = (
         doc.join(F.broadcast(wgt), "source")
-        .filter(F.col("bucket") < keep_prob * F.lit(1000000))
+        .filter(F.col("bucket") < F.col("keep_prob") * F.lit(1000000))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
@@ -598,7 +607,7 @@ def llm_mixture_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
             F.round("w_target", 6).alias("w_target"),
-            F.round(keep_prob, 6).alias("keep_prob"),
+            "keep_prob",
         )
     )
     return out.withColumn(
@@ -1288,7 +1297,14 @@ def llm_epoch_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_tokens").cast("bigint").alias("emitted_tokens"),
     )
     return (
-        wgt.join(emitted, "source")
+        # LEFT join: a source whose every document lost the fractional
+        # lottery emits no expanded rows, but the oracle's aggregate keeps
+        # it with zero copies — an inner join would silently drop the row
+        wgt.join(emitted, "source", "left")
+        .withColumn("n_copies", F.coalesce("n_copies", F.lit(0)))
+        .withColumn(
+            "emitted_tokens", F.coalesce("emitted_tokens", F.lit(0)).cast("bigint")
+        )
         .withColumn(
             "achieved_share",
             F.round(
@@ -1628,8 +1644,8 @@ def _curation_funnel_oracle() -> str:
         f"({hash64_sql('CAST(doc_id AS VARCHAR)', salt='funnel-mix-v1')}) % 1000000"
     )
     thr = (
-        "least(1.0, w_target * {b} * total_tokens / greatest(src_tokens, 1))"
-        .format(b=_FUNNEL_BETA)
+        "round(least(1.0, w_target * {b} * total_tokens"
+        " / greatest(src_tokens, 1)), 6)".format(b=_FUNNEL_BETA)
     )
     stage_agg = (
         "SELECT {i} AS stage, '{name}' AS stage_name,"
@@ -1745,12 +1761,17 @@ def llm_scale_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sqrt(tok_d) / F.sum(F.sqrt(tok_d)).over(w)).alias("w_target"),
         F.sum("src_tokens").over(w).alias("total_tokens"),
     )
-    keep_prob = F.least(
-        F.lit(1.0),
-        F.col("w_target")
-        * F.lit(_FUNNEL_BETA)
-        * F.col("total_tokens")
-        / F.greatest(F.col("src_tokens"), F.lit(1)),
+    # pinned at 6 dp before the threshold (the mixture-subsample rule):
+    # the window sum's accumulation order must not flip a keep decision
+    keep_prob = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("w_target")
+            * F.lit(_FUNNEL_BETA)
+            * F.col("total_tokens")
+            / F.greatest(F.col("src_tokens"), F.lit(1)),
+        ),
+        6,
     )
     s4 = s3.join(F.broadcast(wgt), "source").filter(
         F.col("bucket") < keep_prob * F.lit(1000000)

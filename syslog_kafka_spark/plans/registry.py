@@ -63,14 +63,13 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-7 window = the FINAL stale-stamp rotation: after
-# r6, the only stamps predating r3 are the 19 r2-stamped queries named by
-# the r6 verdict as the rotation pool — all 19 lead this window. Next come
-# one family-coverage pin per family the pool misses (the OLDEST stamp in
-# each: kafka/llm/scans/sorts/streaming/syslog), then the 25
-# alphabetically-first of the remaining 43 r3-stamped queries. After this
-# window goes green, no cumulative driver stamp predates r3, and the 18
-# leftover r3 stamps (stream/tpch/window tails) are the natural r8 pool.
+# iteration order. Round-7 window: the 19 r2-stamped queries named by the
+# r6 verdict as the rotation pool lead, then one family-coverage pin per
+# family the pool misses (the OLDEST stamp in each:
+# kafka/llm/scans/sorts/streaming/syslog), then the 6 stalest remaining r3
+# stamps, then the 19 queries ADDED in round 7 taking first stamps (each
+# displacement recorded in the inline comment below — the displaced r3
+# re-stamps plus the r3/stream/tpch/window tails form the r8 pool).
 # Everything rotated out keeps its stamp and stays covered on every pytest
 # run by tests/test_inventory_oracle.py.
 WINDOW_PRIORITY: tuple[str, ...] = (

@@ -65,7 +65,12 @@ def test_chunk_dedup_removal_keep_first_accounting(spark, sf_dir):
     assert len(rows) == n_docs
     for r in rows:
         assert 0 <= r.n_dup_chunks <= r.n_chunks
-        assert (r.dup_tokens == 0) == (r.n_dup_chunks == 0) or r.dup_tokens >= 0
+        # dup tokens exist only where dup chunks do, and never exceed the
+        # 32-token stride times the dup-chunk count (the reverse implication
+        # is NOT universal: two empty docs share a zero-token dup chunk)
+        assert 0 <= r.dup_tokens <= r.n_dup_chunks * 32
+        if r.dup_tokens > 0:
+            assert r.n_dup_chunks > 0
     assert sum(r.n_dup_chunks for r in rows) < sum(r.n_chunks for r in rows)
 
 
