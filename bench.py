@@ -56,9 +56,18 @@ def previous_round_map(here: str, sf: float | None) -> dict[str, float]:
     the isolated number, not the sweep number.
     """
     override = os.environ.get("SPARK_GRAFT_BENCH_PREV")
-    candidates = (
-        [override] if override else sorted(glob.glob(os.path.join(here, "BENCH_FULL_r*.json")))
-    )
+    if override:
+        candidates = [override]
+    else:
+        # Sort by the parsed round number, not the filename — lexicographic
+        # order breaks once rounds outgrow the zero padding (r100 < r99).
+        def round_no(path: str) -> int:
+            m2 = re.search(r"BENCH_FULL_r(\d+)\.json$", path)
+            return int(m2.group(1)) if m2 else -1
+
+        candidates = sorted(
+            glob.glob(os.path.join(here, "BENCH_FULL_r*.json")), key=round_no
+        )
     if not candidates:
         return {}
     try:

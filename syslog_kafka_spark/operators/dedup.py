@@ -74,11 +74,18 @@ def minhash_lsh_pairs(
     id_a < id_b; ``verify_threshold`` filters by exact shingle Jaccard
     (None skips verification and returns jaccard = null).
     """
+    if verify_threshold is None:
+        # No verify stage → the shingle arrays would be dead columns, but
+        # Catalyst cannot prune the join-backs that produce them (no
+        # unique-key constraint), so skip them at construction.
+        pairs = lsh_candidate_pairs(
+            df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands,
+            with_shingles=False,
+        )
+        return pairs.select("id_a", "id_b", F.lit(None).cast("double").alias("jaccard"))
     pairs = lsh_candidate_pairs(
         df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands
     )
-    if verify_threshold is None:
-        return pairs.select("id_a", "id_b", F.lit(None).cast("double").alias("jaccard"))
     # |A ∪ B| = |A| + |B| - |A ∩ B|: one intersect, no array_union pass
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -177,9 +184,23 @@ def lsh_candidate_pairs(
     k: int = 5,
     n_hashes: int = 16,
     bands: int = 4,
+    with_shingles: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) carrying both shingle-HASH sets
     — the shared front half of every verify stage (Jaccard, containment).
+    ``with_shingles=False`` returns ids only, skipping both join-backs —
+    for callers that want candidates without a verify stage.
+
+    EAGER by construction: building this frame executes the full LSH base
+    job (kernel shingling + signatures) to fill the cache before the
+    banded self-join references it four ways — N concurrent map stages
+    racing a COLD cache each recompute it (measured 36 s vs 16 s at sf1).
+    The cache entry is keyed by plan and lives for the session, shared by
+    every same-parameter dedup query (pairs, components, containment,
+    dedup_then_lsh) — a deliberate session-level working set (~signature
+    + shingle arrays per doc, bounded by corpus size, the same budget a
+    warehouse materialized intermediate would hold). Callers that need a
+    lazy plan (explain-only tooling) should call lsh_base_arrow directly.
 
     Shingles ride as distinct 60-bit ints, not strings: ~2.5x smaller
     pair shuffle and integer intersects in the verify stage (measured the
@@ -247,6 +268,8 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not with_shingles:
+        return pairs
     sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return pairs.join(sh_a, "id_a").join(sh_b, "id_b")

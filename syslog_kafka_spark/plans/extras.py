@@ -110,11 +110,17 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", family="aggregation", oracle=None)
+@query(
+    "approx_distinct_users",
+    family="aggregation",
+    oracle=None,
+    gated_twin="llm_hll_vocab_cardinality",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approx_count_distinct next to the exact count — tolerance is
     asserted in unit tests (approx results are engine-specific, so no
-    hash gate by design)."""
+    hash gate by design; the hand-rolled HLL twin
+    llm_hll_vocab_cardinality hash-gates the same sketch mechanism)."""
     e = load_tables(spark, sf_dir).events
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
@@ -122,10 +128,17 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-@query("approx_percentiles", family="aggregation", oracle=None)
+@query(
+    "approx_percentiles",
+    family="aggregation",
+    oracle=None,
+    gated_twin="llm_length_quantile_sketch",
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx over order prices (engine-specific sketch — unit
-    tests bound the error against exact percentiles). Quantiles are
+    tests bound the error against exact percentiles; the hash-gated twin
+    llm_length_quantile_sketch covers the quantile-sketch mechanism
+    cross-engine). Quantiles are
     projected to scalar columns so the rows-only driver check can hash
     the output (array cells crash its canonicalizer)."""
     o = load_tables(spark, sf_dir).orders
@@ -158,7 +171,13 @@ def replay_line_count() -> int:
     return len(SYSLOG_CORPUS) * REPLAY_COPIES
 
 
-@query("stream_replay_throughput", family="streaming", oracle=None, bench=True)
+@query(
+    "stream_replay_throughput",
+    family="streaming",
+    oracle=None,
+    bench=True,
+    gated_twin="tests/test_bench_contract.py::test_replay_throughput_meets_streaming_floor",
+)
 def stream_replay_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest probe: replay the syslog corpus (510k lines)
     through a file-source microbatch stream with full RFC parsing, count

@@ -2,9 +2,13 @@
 SimHash / n-gram Jaccard / embedding cosine), similarity search, text
 analysis (lang-ID, quality, token counts, fingerprints).
 
-Deterministic ops carry DuckDB oracles (portable md5-based hashing makes
-even MinHash cross-checkable). The pandas-UDF ANN path and the full LSH
-pipelines are rows-only checks (driver records the weaker gate).
+Every query here carries a DuckDB oracle: portable md5-based hashing
+makes even MinHash/LSH cross-checkable, and the ANN paths hash-gate via
+frozen SRP planes / IVF centroids shipped as literals to both engines
+(operators/ann_frozen.py, r6). The only rows-only checks left in the
+inventory are the two Spark-internal approx sketches and the replay
+throughput gate — each annotated with its hash-gated twin (gated_twin
+in the registry).
 """
 
 from __future__ import annotations

@@ -659,10 +659,15 @@ def _hll_oracle() -> str:
                CASE WHEN s.used < {_HLL_M}
                     THEN ROUND({_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - s.used)), 2)
                END AS hll_linear,
-               ROUND(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND s.used < {_HLL_M}
+               -- regime rule compares the PINNED (2-dp) raw estimator:
+               -- z_used is accumulation-order-sensitive, and an unrounded
+               -- comparison exactly at 2.5m could pick linear on one
+               -- engine and raw on the other (same rule as the 6-dp
+               -- keep_prob pinning elsewhere in this module)
+               ROUND(CASE WHEN ROUND({raw}, 2) <= 2.5 * {_HLL_M} AND s.used < {_HLL_M}
                           THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - s.used))
                           ELSE {raw} END, 2) AS hll_est,
-               ROUND(abs(CASE WHEN {raw} <= 2.5 * {_HLL_M} AND s.used < {_HLL_M}
+               ROUND(abs(CASE WHEN ROUND({raw}, 2) <= 2.5 * {_HLL_M} AND s.used < {_HLL_M}
                               THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - s.used))
                               ELSE {raw} END - e.exact_distinct)
                      / e.exact_distinct, 4) AS rel_err
@@ -723,9 +728,13 @@ def llm_hll_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HLL_M) * 1.0 / (F.lit(_HLL_M) - F.col("used"))
     )
     # the standard regime rule: linear counting below 2.5m (where the raw
-    # estimator is biased), raw above (where V→0 starves linear counting)
+    # estimator is biased), raw above (where V→0 starves linear counting).
+    # The comparison uses the PINNED (2-dp) raw value: z_used is
+    # accumulation-order-sensitive, so an unrounded comparison exactly at
+    # the 2.5m boundary could select different regimes per engine — the
+    # same pinning rule the mixture keep_prob thresholds follow.
     est = F.when(
-        (raw <= F.lit(2.5) * _HLL_M) & (F.col("used") < _HLL_M), linear
+        (F.round(raw, 2) <= F.lit(2.5) * _HLL_M) & (F.col("used") < _HLL_M), linear
     ).otherwise(raw)
     return (
         sk.join(ex, "source")

@@ -30,6 +30,12 @@ class QuerySpec:
     oracle: str | None = None
     doc: str = ""
     bench: bool = True  # include in bench.py's headline timing run
+    # Required on every oracle=None query: the hash-gated counterpart that
+    # covers the same mechanism — either another registry query (checked to
+    # carry an oracle) or a "file.py::test_name" pytest node for floors the
+    # registry can't express. Turns "ungated by design" into a pointer at
+    # the gate that does exist (tests/test_registry_window.py enforces it).
+    gated_twin: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -40,11 +46,13 @@ def query(
     family: str,
     oracle: str | None = None,
     bench: bool = True,
+    gated_twin: str | None = None,
 ) -> Callable[[Builder], Builder]:
     """Register a query builder under ``name``.
 
     ``oracle`` is ANSI/DuckDB SQL equivalent to the Spark plan; ``None``
-    marks a non-SQL-expressible op (driver falls back to rows-only check).
+    marks a non-SQL-expressible op (driver falls back to rows-only check)
+    and requires ``gated_twin`` to name its hash-gated counterpart.
     """
 
     def deco(fn: Builder) -> Builder:
@@ -56,6 +64,7 @@ def query(
             build=fn,
             oracle=oracle,
             doc=(fn.__doc__ or "").strip(),
+            gated_twin=gated_twin,
         )
         return fn
 

@@ -30,3 +30,31 @@ def test_window_leads_with_oracle_gated_queries():
     # every window entry is hash-oracled since r4: SemDeDup (the last
     # rows-only holdout) gained a frozen-centroid oracle
     assert rows_only == set()
+
+
+def test_every_no_oracle_query_names_a_hash_gated_twin():
+    """The 3 by-design rows-only queries (engine-specific approx sketches
+    + the replay throughput probe) each point at the hash-gated query —
+    or pinned pytest floor — that covers the same mechanism, so 'ungated'
+    is a documented pairing, not an asterisk."""
+    import os
+
+    inventory = load_all()
+    for name, spec in inventory.items():
+        if spec.oracle is not None:
+            assert spec.gated_twin is None, f"{name}: twin on an oracled query"
+            continue
+        twin = spec.gated_twin
+        assert twin, f"{name}: oracle=None requires gated_twin"
+        if "::" in twin:
+            path, test_name = twin.split("::", 1)
+            assert os.path.exists(path), f"{name}: twin file {path} missing"
+            with open(path) as fh:
+                assert f"def {test_name}(" in fh.read(), (
+                    f"{name}: twin test {twin} not found"
+                )
+        else:
+            assert twin in inventory, f"{name}: twin query {twin} unregistered"
+            assert inventory[twin].oracle is not None, (
+                f"{name}: twin {twin} is not hash-gated"
+            )
