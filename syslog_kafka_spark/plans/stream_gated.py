@@ -44,6 +44,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
+    return normalize_event_ts(raw)
+
+
+def normalize_event_ts(raw: DataFrame) -> DataFrame:
+    """ns→µs / NTZ→TIMESTAMP normalization for the events `ts` column —
+    shared by the gate source and the multi-batch replay tests so both
+    read the same values the batch loader produces."""
     dtype = raw.schema["ts"].dataType
     if isinstance(dtype, LongType):
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -883,9 +890,6 @@ def stream_ivf_list_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot lists = future probe-latency skew). The oracle recomputes the
     routing as a batch over the same table, so a stream that dropped,
     duplicated, or mis-assigned any vector hash-fails."""
-    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
-    from syslog_kafka_spark.operators.similarity import assign_frozen_cluster
-
     path = os.path.join(sf_dir, "embeddings.parquet")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -897,16 +901,26 @@ def stream_ivf_list_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "embeddings.parquet")
             .parquet(sf_dir)
         )
+    return drain(ivf_occupancy_frame(raw), mode="complete").orderBy("list_id")
+
+
+def ivf_occupancy_frame(raw: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_ivf_list_routing: frozen-quantizer routing
+    + complete-mode occupancy rollup. Takes any (vec_id, embedding)
+    streaming frame so the multi-batch replay test drives the IDENTICAL
+    plan through maxFilesPerTrigger=1."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import assign_frozen_cluster
+
     routed = raw.select(
         "vec_id",
         assign_frozen_cluster(F.col("embedding"), IVF_CENTROIDS).alias("list_id"),
     )
-    occupancy = routed.groupBy("list_id").agg(
+    return routed.groupBy("list_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
         F.max("vec_id").alias("max_vec_id"),
     )
-    return drain(occupancy, mode="complete").orderBy("list_id")
 
 
 def _stream_cms_oracle() -> str:
@@ -942,9 +956,6 @@ def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     microbatches by the aggregate's own partial merge. The batch-twin
     oracle recomputes the cells over the same corpus, so a stream that
     dropped, duplicated, or mis-hashed any token hash-fails."""
-    from syslog_kafka_spark.functions.hashes import hash64
-    from syslog_kafka_spark.functions.text import tokens
-
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -955,6 +966,17 @@ def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
+    return drain(cms_sketch_frame(raw), mode="complete").orderBy("r", "b")
+
+
+def cms_sketch_frame(raw: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_cms_sketch_build: token → 4×(row, bucket)
+    cells → ONE streaming aggregate holding ≤8192 counters. Takes any
+    (text, ...) streaming frame so the multi-batch replay test drives
+    the IDENTICAL plan with the corpus split across triggers."""
+    from syslog_kafka_spark.functions.hashes import hash64
+    from syslog_kafka_spark.functions.text import tokens
+
     term = raw.select(F.explode(tokens("text")).alias("term"))
     cells = term.select(
         F.explode(
@@ -971,10 +993,9 @@ def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell")
     ).select("cell.r", "cell.b")
-    sketch = cells.groupBy("r", "b").agg(
+    return cells.groupBy("r", "b").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    return drain(sketch, mode="complete").orderBy("r", "b")
 
 
 def _stream_transcripts_oracle() -> str:
@@ -1033,12 +1054,22 @@ def stream_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_window ≡ gap sessionization, pinned by
     stream_session_window_agg) and hashes every transcript."""
     ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 40)
+    drained = drain(session_transcript_frame(ev), mode="complete")
+    return transcript_digest(drained)
+
+
+def session_transcript_frame(ev: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_session_transcripts: session_window state
+    merge + ordered transcript assembly. Takes any (user_id, ts,
+    event_id, event_type, value) streaming frame so the multi-batch
+    replay test drives the IDENTICAL plan with sessions straddling
+    trigger boundaries."""
     tok = F.concat(
         F.col("event_type"),
         F.lit(":"),
         F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
     )
-    sessions = (
+    return (
         ev.select("user_id", "ts", "event_id", tok.alias("tok"))
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -1055,7 +1086,11 @@ def stream_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transcript"),
         )
     )
-    drained = drain(sessions, mode="complete")
+
+
+def transcript_digest(drained: DataFrame) -> DataFrame:
+    """Post-drain projection of stream_session_transcripts: per-transcript
+    length + salted hash, ordered for the gate compare."""
     from syslog_kafka_spark.functions.hashes import hash64
 
     return drained.select(

@@ -1,0 +1,179 @@
+"""Incremental-state proofs for the r7 streaming gates.
+
+The driver gates run stream_cms_sketch_build, stream_session_transcripts
+and stream_ivf_list_routing over SINGLE-file fixtures — one microbatch —
+so their cross-batch claims (CMS partial merge, session_window state
+merge across triggers, routing under incremental arrival) were asserted,
+not exercised. Each test here splits the gate's input into ≥3 files,
+replays them one-per-trigger (maxFilesPerTrigger=1), asserts ≥3
+microbatches actually ran (and, for sessions, that at least one session
+STRADDLES a trigger boundary), and hash-compares the drained result
+against the SAME DuckDB oracle the driver gate uses — the exact pre-drain
+plan, imported from the gate module, not a re-implementation.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from syslog_kafka_spark.plans.registry import load_all
+from syslog_kafka_spark.plans.stream_gated import (
+    cms_sketch_frame,
+    ivf_occupancy_frame,
+    normalize_event_ts,
+    session_transcript_frame,
+    transcript_digest,
+)
+from tests.conftest import assert_matches_oracle
+
+
+def _split_parquet(src: str, dst_dir: str, n: int, sort_keys: list[str]):
+    """Write ``src`` as ``n`` single-file chunks, contiguous in
+    ``sort_keys`` order, into ``dst_dir``. Returns (sorted pyarrow table,
+    cut offsets) so tests can reason about which rows land in which
+    trigger."""
+    t = pq.read_table(src).sort_by([(k, "ascending") for k in sort_keys])
+    cuts = [round(i * t.num_rows / n) for i in range(n + 1)]
+    for i in range(n):
+        pq.write_table(
+            t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(dst_dir, f"f{i:02d}.parquet"),
+        )
+    return t, cuts
+
+
+def _drain_counted(frame, mode: str):
+    """Memory-sink drain that also reports how many microbatches ran."""
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = frame.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try:
+        q.processAllAvailable()
+        batch_ids = [p["batchId"] for p in q.recentProgress]
+        n_batches = (max(batch_ids) + 1) if batch_ids else 0
+    finally:
+        q.stop()
+    return frame.sparkSession.table(name), n_batches
+
+
+def test_stream_cms_multibatch_partial_merge(spark, sf_dir, duck, tmp_path):
+    """The CMS counters must merge across ≥3 microbatches to the same
+    4×2048 table one batch produces — the aggregate's partial merge IS
+    the sketch's counter-wise merge, and the oracle hash proves no token
+    was dropped, duplicated, or mis-hashed at any trigger boundary."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    result, n_batches = _drain_counted(cms_sketch_frame(raw), "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_cms_sketch_build"].oracle
+    assert_matches_oracle(
+        result.orderBy("r", "b"), duck, oracle, name="cms multibatch"
+    )
+
+
+def test_stream_ivf_routing_multibatch(spark, sf_dir, duck, tmp_path):
+    """Occupancy counts/min/max per IVF list must accumulate across ≥3
+    arrival batches to exactly the batch-twin oracle: every vector routed
+    once, to the same list, regardless of which trigger delivered it."""
+    d = tmp_path / "embs"
+    d.mkdir()
+    _split_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), str(d), 3, ["vec_id"]
+    )
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    result, n_batches = _drain_counted(ivf_occupancy_frame(raw), "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_ivf_list_routing"].oracle
+    assert_matches_oracle(
+        result.orderBy("list_id"), duck, oracle, name="ivf multibatch"
+    )
+
+
+def test_stream_session_transcripts_multibatch_state_merge(
+    spark, sf_dir, duck, tmp_path
+):
+    """session_window state must MERGE across triggers: events arrive in
+    ts order over ≥4 microbatches, sessions straddle the trigger cuts
+    (asserted from the data, not assumed), and every assembled transcript
+    still hashes equal to the batch lag-gap oracle — extension of an open
+    session and in-order token assembly across batch boundaries both
+    proven, not asserted."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tmp_path / "events"
+    d.mkdir()
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+
+    # Replay the oracle's own sessionization in pandas and pick the three
+    # trigger-cut positions INSIDE the longest gated sessions, so the cut
+    # demonstrably splits open sessions across microbatches.
+    df = t.to_pandas()
+    df["row"] = np.arange(len(df))
+    sub = df[df["user_id"] < 40].sort_values(["user_id", "ts", "event_id"])
+    ts = sub["ts"]
+    gap = (
+        1_800_000_000_000
+        if np.issubdtype(ts.dtype, np.integer)
+        else pd.Timedelta(minutes=30)
+    )
+    new_sess = (sub["user_id"].diff() != 0) | (ts.diff() > gap)
+    sub = sub.assign(sid=new_sess.cumsum())
+    spans = sub.groupby("sid")["row"].agg(["min", "max", "count"])
+    spans = spans[spans["count"] >= 2].sort_values("count", ascending=False)
+    assert len(spans) >= 1, "fixture has no multi-event gated session"
+    # a cut at position c splits session s iff min(s) < c <= max(s)
+    inner = sorted(
+        {int((lo + hi) // 2 + 1) for lo, hi in zip(spans["min"], spans["max"])}
+    )
+    picks: list[int] = []
+    for c in inner:
+        if 0 < c < len(df) and (not picks or c > picks[-1]):
+            picks.append(c)
+        if len(picks) == 3:
+            break
+    assert picks, "could not place a cut inside any session"
+    cuts = [0, *picks, len(df)]
+    for i in range(len(cuts) - 1):
+        pq.write_table(
+            t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+            os.path.join(str(d), f"f{i:02d}.parquet"),
+        )
+
+    # Straddle proof from the data: some session spans ≥2 chunk files.
+    sub = sub.assign(
+        file_idx=np.searchsorted(np.array(cuts[1:]), sub["row"], side="right")
+    )
+    straddling = sub.groupby("sid")["file_idx"].nunique().max()
+    assert straddling >= 2, "no session straddles a trigger boundary"
+
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    ev = normalize_event_ts(raw).filter(F.col("user_id") < 40)
+    drained, n_batches = _drain_counted(session_transcript_frame(ev), "complete")
+    assert n_batches >= len(cuts) - 1, f"expected ≥{len(cuts) - 1} microbatches, ran {n_batches}"
+    oracle = load_all()["stream_session_transcripts"].oracle
+    assert_matches_oracle(
+        transcript_digest(drained), duck, oracle, name="transcripts multibatch"
+    )
