@@ -185,11 +185,15 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     with_shingles: bool = True,
+    with_signatures: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) carrying both shingle-HASH sets
     — the shared front half of every verify stage (Jaccard, containment).
     ``with_shingles=False`` returns ids only, skipping both join-backs —
     for callers that want candidates without a verify stage.
+    ``with_signatures=True`` additionally carries both MinHash signature
+    arrays (sig_a/sig_b) on the same join-backs — for estimate-vs-exact
+    calibration audits; costs nothing extra beyond the wider join rows.
 
     EAGER by construction: building this frame executes the full LSH base
     job (kernel shingling + signatures) to fill the cache before the
@@ -268,11 +272,19 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    if not with_shingles:
+    if not with_shingles and not with_signatures:
         return pairs
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    return pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+    cols_a = [F.col("_id").alias("id_a")]
+    cols_b = [F.col("_id").alias("id_b")]
+    if with_shingles:
+        cols_a.append(F.col("_sh").alias("sh_a"))
+        cols_b.append(F.col("_sh").alias("sh_b"))
+    if with_signatures:
+        cols_a.append(F.col("_sig").alias("sig_a"))
+        cols_b.append(F.col("_sig").alias("sig_b"))
+    return pairs.join(base.select(*cols_a), "id_a").join(
+        base.select(*cols_b), "id_b"
+    )
 
 
 def containment_pairs(

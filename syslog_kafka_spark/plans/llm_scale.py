@@ -21,7 +21,7 @@ transport, not a curation engine).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from syslog_kafka_spark.functions.hashes import hash64, hash64_sql
 from syslog_kafka_spark.functions.text import (
@@ -245,6 +245,19 @@ def _bloom_pos_sql(h: str, i: int) -> str:
     )
 
 
+def bloom_position_array(h: Column = None) -> Column:
+    """Kirsch–Mitzenmacher probe positions (k per gram) as an array
+    Column over ``gram_hash`` — the Spark twin of :func:`_bloom_pos_sql`,
+    shared by the batch decontamination build and the streaming filter
+    build so both route every gram to the identical bit positions."""
+    h = F.col("gram_hash") if h is None else h
+    h1 = F.pmod(h, F.lit(_BLOOM_M))
+    h2 = F.pmod(F.expr(f"gram_hash div {_BLOOM_M}"), F.lit(_BLOOM_M))
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_M)) for i in range(_BLOOM_K)]
+    )
+
+
 def _bloom_decontamination_oracle() -> str:
     from syslog_kafka_spark.operators.curation import hash_split_sql, ngram_hashes_sql
 
@@ -322,17 +335,13 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤m-row position set — the train corpus is never shuffled."""
     from syslog_kafka_spark.operators.curation import hash_split, ngram_hashes
 
-    m, k = _BLOOM_M, _BLOOM_K
     d = load_tables(spark, sf_dir).documents
     labeled = d.select("doc_id", "text", hash_split("doc_id").alias("split")).filter(
         F.col("split") != "val"
     )
     grams = ngram_hashes(labeled, n=_BLOOM_N, salt="bloom-v1", carry=("split",)).cache()
     grams.count()  # eager fill: 4 consumers (2 position sets + exact join sides)
-    h = F.col("gram_hash")
-    h1 = F.pmod(h, F.lit(m))
-    h2 = F.pmod(F.expr(f"gram_hash div {m}"), F.lit(m))
-    pos_arr = F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+    pos_arr = bloom_position_array()
 
     train_g = grams.filter(F.col("split") == "train").select("gram_hash").distinct()
     train_pos = train_g.select(F.explode(pos_arr).alias("pos")).distinct()
@@ -628,6 +637,58 @@ _HLL_WBITS = 60 - _HLL_P  # rho window: remaining hash bits
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard bias constant
 
 
+def hll_register_frame(tok: DataFrame) -> DataFrame:
+    """(source, reg, rho) HLL register frame from a (source, term) frame
+    — register = low 10 hash bits, rho = leading-zero rank of the
+    remaining 50 via exact integer bit-length. Pure expressions + ONE
+    max-aggregate, so it drops unchanged into a streaming plan: shared
+    by the batch audit and the streaming twin (stream_hll_build)."""
+    hh = tok.select(
+        "source", hash64("term", salt="hll-v1").alias("h")
+    ).select(
+        "source",
+        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("reg"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    bitlen = F.length(F.conv(F.col("w"), 10, 2))
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - bitlen
+    )
+    return hh.groupBy("source", "reg").agg(F.max(rho).alias("rho"))
+
+
+def hll_estimators() -> tuple[Column, Column, Column]:
+    """(raw, linear, est) estimator Columns over a (used, z_used) sketch
+    frame — α·m²/Σ2^-M_j with the PINNED (2-dp) linear-counting regime
+    rule. The ONE definition both the batch audit and the streaming twin
+    evaluate, so the regime decision can never drift between them: the
+    comparison uses the 2-dp-rounded raw value because z_used is
+    accumulation-order-sensitive and an unrounded comparison exactly at
+    2.5m could pick different regimes per engine (the keep_prob pinning
+    rule, applied here)."""
+    z = F.col("z_used") + (F.lit(_HLL_M) - F.col("used"))
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / z
+    linear = F.lit(float(_HLL_M)) * F.log(
+        F.lit(_HLL_M) * 1.0 / (F.lit(_HLL_M) - F.col("used"))
+    )
+    est = F.when(
+        (F.round(raw, 2) <= F.lit(2.5) * _HLL_M) & (F.col("used") < _HLL_M), linear
+    ).otherwise(raw)
+    return raw, linear, est
+
+
+def hll_estimate_columns(sk: DataFrame) -> DataFrame:
+    """(source, used_registers, hll_raw, hll_est) from a drained
+    (source, used, z_used) sketch frame — the streaming twin's report."""
+    raw, _linear, est = hll_estimators()
+    return sk.select(
+        "source",
+        F.col("used").alias("used_registers"),
+        F.round(raw, 2).alias("hll_raw"),
+        F.round(est, 2).alias("hll_est"),
+    )
+
+
 def _hll_oracle() -> str:
     h = hash64_sql("term", salt="hll-v1")
     z = f"(z_used + ({_HLL_M} - used))"  # absent registers contribute 2^0
@@ -703,18 +764,7 @@ def llm_hll_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounding."""
     d = load_tables(spark, sf_dir).documents
     tok = d.select("source", F.explode(tokens("text")).alias("term"))
-    hh = tok.select(
-        "source", hash64("term", salt="hll-v1").alias("h")
-    ).select(
-        "source",
-        F.pmod(F.col("h"), F.lit(_HLL_M)).alias("reg"),
-        F.expr(f"h div {_HLL_M}").alias("w"),
-    )
-    bitlen = F.length(F.conv(F.col("w"), 10, 2))
-    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
-        F.lit(_HLL_WBITS + 1) - bitlen
-    )
-    reg = hh.groupBy("source", "reg").agg(F.max(rho).alias("rho"))
+    reg = hll_register_frame(tok)
     sk = reg.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("used"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_used"),
@@ -722,20 +772,10 @@ def llm_hll_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = tok.groupBy("source").agg(
         F.countDistinct("term").cast("bigint").alias("exact_distinct")
     )
-    z = F.col("z_used") + (F.lit(_HLL_M) - F.col("used"))
-    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / z
-    linear = F.lit(float(_HLL_M)) * F.log(
-        F.lit(_HLL_M) * 1.0 / (F.lit(_HLL_M) - F.col("used"))
-    )
     # the standard regime rule: linear counting below 2.5m (where the raw
-    # estimator is biased), raw above (where V→0 starves linear counting).
-    # The comparison uses the PINNED (2-dp) raw value: z_used is
-    # accumulation-order-sensitive, so an unrounded comparison exactly at
-    # the 2.5m boundary could select different regimes per engine — the
-    # same pinning rule the mixture keep_prob thresholds follow.
-    est = F.when(
-        (F.round(raw, 2) <= F.lit(2.5) * _HLL_M) & (F.col("used") < _HLL_M), linear
-    ).otherwise(raw)
+    # estimator is biased), raw above (where V→0 starves linear counting)
+    # — one shared definition with the streaming twin, pinned at 2 dp.
+    raw, linear, est = hll_estimators()
     return (
         sk.join(ex, "source")
         .select(

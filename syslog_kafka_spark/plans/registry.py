@@ -157,6 +157,7 @@ def load_all() -> dict[str, QuerySpec]:
     # get the complete inventory with one call.
     from syslog_kafka_spark.plans import (  # noqa: F401
         aggregates,
+        curation_qa,
         extras,
         joins,
         kafka_roundtrip,

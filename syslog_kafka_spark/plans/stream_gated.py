@@ -1100,3 +1100,149 @@ def transcript_digest(drained: DataFrame) -> DataFrame:
         F.length("transcript").alias("n_chars"),
         hash64("transcript", salt="transcript-v1").alias("transcript_hash"),
     ).orderBy("user_id", "session_start")
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source STREAM (single-file driver
+    layout or directory layout, same handling as the other gates)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _stream_bloom_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import ngram_hashes_sql
+    from syslog_kafka_spark.plans.llm_scale import (
+        _BLOOM_K,
+        _BLOOM_N,
+        _bloom_pos_sql,
+    )
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    gram_expr, unnest = ngram_hashes_sql("toks", n=_BLOOM_N, salt="bloom-v1")
+    pos_list = ", ".join(_bloom_pos_sql("gram_hash", i) for i in range(_BLOOM_K))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {toks} AS toks FROM documents
+        ), g AS (
+          SELECT {gram_expr} AS gram_hash
+          FROM d, {unnest}
+          WHERE len(toks) >= {_BLOOM_N}
+        ), p AS (
+          SELECT pos FROM g, unnest([{pos_list}]) AS _p(pos)
+        ), c AS (
+          SELECT pos, CAST(count(*) AS BIGINT) AS hits FROM p GROUP BY pos
+        )
+        SELECT pos // 1024 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_set_bits,
+               CAST(sum(hits) AS BIGINT) AS n_probe_hits,
+               min(pos) AS min_pos,
+               max(pos) AS max_pos
+        FROM c GROUP BY 1 ORDER BY bucket
+    """
+
+
+@query("stream_bloom_build", family="streaming", oracle=_stream_bloom_oracle())
+def stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Bloom-filter maintenance: the document stream's 8-gram
+    hashes fold their Kirsch-Mitzenmacher probe positions (the IDENTICAL
+    bloom_position_array the batch decontamination build uses) into ONE
+    streaming aggregate of <=65536 per-position counters. This is how the
+    decontamination filter stays fresh at 100 TB ingest: the filter's
+    state is bounded by m FOREVER (the batch twin rebuilds it from
+    scratch each run), counter-wise mergeable across executors and
+    microbatches by the aggregate's own partial merge, and the drained
+    per-position counts are strictly MORE information than the bit set
+    (bit = count > 0, plus saturation diagnostics the bit array cannot
+    give). The 64-bucket rollup is the gate surface; a stream that
+    dropped, duplicated, or mis-probed any gram hash-fails against the
+    batch-twin oracle."""
+    from syslog_kafka_spark.operators.curation import ngram_hashes
+    from syslog_kafka_spark.plans.llm_scale import _BLOOM_N, bloom_position_array
+
+    raw = _stream_docs(spark, sf_dir)
+    grams = ngram_hashes(raw, n=_BLOOM_N, salt="bloom-v1")
+    pos = grams.select(F.explode(bloom_position_array()).alias("pos"))
+    sketch = pos.groupBy("pos").agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    drained = drain(sketch, mode="complete")
+    return (
+        drained.groupBy(F.expr("pos div 1024").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_set_bits"),
+            F.sum("hits").cast("bigint").alias("n_probe_hits"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from syslog_kafka_spark.functions.hashes import hash64_sql
+    from syslog_kafka_spark.plans.llm_scale import _HLL_ALPHA, _HLL_M, _HLL_WBITS
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    h = hash64_sql("term", salt="hll-v1")
+    z = f"(z_used + ({_HLL_M} - used))"
+    raw = f"(CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M} / {z})"
+    return f"""
+        WITH tok AS (
+          SELECT source, unnest({toks}) AS term FROM documents
+        ), hh AS (
+          SELECT source, ({h}) % {_HLL_M} AS reg, ({h}) // {_HLL_M} AS w
+          FROM tok
+        ), reg AS (
+          SELECT source, reg,
+                 max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                          ELSE {_HLL_WBITS + 1} - length(bin(w)) END) AS rho
+          FROM hh GROUP BY source, reg
+        ), sk AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS used,
+                 sum(power(2.0, -rho)) AS z_used
+          FROM reg GROUP BY source
+        )
+        SELECT source, used AS used_registers,
+               ROUND({raw}, 2) AS hll_raw,
+               ROUND(CASE WHEN ROUND({raw}, 2) <= 2.5 * {_HLL_M} AND used < {_HLL_M}
+                          THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - used))
+                          ELSE {raw} END, 2) AS hll_est
+        FROM sk ORDER BY source
+    """
+
+
+@query("stream_hll_build", family="streaming", oracle=_stream_hll_oracle())
+def stream_hll_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online HyperLogLog maintenance: the document stream's tokens fold
+    into the IDENTICAL per-source 1024-register sketch the batch audit
+    builds (llm_hll_vocab_cardinality) — register/rho are pure Column
+    expressions shared via hll_register_frame, and ONE streaming
+    max-aggregate holds the registers. This is the online distinct-count
+    a 100 TB ingest keeps per source: state is <=1024 registers x
+    #sources FOREVER, register-wise max-mergeable across executors,
+    microbatches, and even across separately-built sketches. The drained
+    registers feed the SAME pinned-regime estimator the batch audit
+    reports (hll_estimators — one definition, so the regime rule cannot
+    drift), and the batch-twin oracle hash-fails any dropped, duplicated,
+    or mis-bucketed token."""
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.plans.llm_scale import (
+        hll_estimate_columns,
+        hll_register_frame,
+    )
+
+    raw = _stream_docs(spark, sf_dir)
+    tok = raw.select("source", F.explode(tokens("text")).alias("term"))
+    reg = hll_register_frame(tok)
+    drained = drain(reg, mode="complete")
+    sk = drained.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_used"),
+    )
+    return hll_estimate_columns(sk).orderBy("source")
