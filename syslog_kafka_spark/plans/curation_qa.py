@@ -317,3 +317,251 @@ def llm_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization compression audit (frozen PQ8x16 codebooks)
+# ---------------------------------------------------------------------------
+
+
+def _pq_audit_oracle() -> str:
+    from syslog_kafka_spark.operators.pq import pq_dists_sql
+    from syslog_kafka_spark.operators.pq_frozen import PQ_SUBSPACES
+
+    encs = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, {s} AS subspace, d FROM"
+        f" (SELECT vec_id, {pq_dists_sql(s)} AS d FROM embeddings)"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+        WITH enc AS (
+          {encs}
+        ), coded AS (
+          SELECT vec_id, subspace,
+                 CAST(list_position(d, list_min(d)) - 1 AS INT) AS code,
+                 list_min(d) AS err
+          FROM enc
+        ), cnts AS (
+          SELECT subspace, code, count(*) AS cnt, sum(err) AS sum_err
+          FROM coded GROUP BY 1, 2
+        ), per AS (
+          SELECT subspace,
+                 CAST(sum(cnt) AS BIGINT) AS n_vecs,
+                 CAST(count(*) AS BIGINT) AS n_codes_used,
+                 ROUND(sum(sum_err) / sum(cnt), 6) AS mse
+          FROM cnts GROUP BY 1
+        ), top AS (
+          SELECT subspace, code AS top_code, cnt,
+                 row_number() OVER (
+                   PARTITION BY subspace ORDER BY cnt DESC, code
+                 ) AS rn
+          FROM cnts
+        )
+        SELECT p.subspace, p.n_vecs, p.n_codes_used, p.mse,
+               t.top_code,
+               ROUND(t.cnt * 1.0 / p.n_vecs, 6) AS top_code_share
+        FROM per p JOIN top t ON t.subspace = p.subspace AND t.rn = 1
+        ORDER BY p.subspace
+    """
+
+
+@query("llm_pq_quantization_audit", family="llm", oracle=_pq_audit_oracle())
+def llm_pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression audit against the FROZEN PQ8x16
+    codebooks (operators/pq_frozen.py): every embedding encodes to 8
+    one-byte codes (32x over float32), and the audit reports, per
+    subspace, the reconstruction MSE, codebook utilization, and the
+    hottest code's share. This is the go/no-go a retrieval pipeline
+    reads before swapping raw vectors for codes at 100 TB: rising MSE
+    or a collapsing code histogram (one code absorbing the subspace)
+    means the codebooks no longer fit the drifted distribution and need
+    a re-fit — long before recall measurably drops.
+
+    Distributed shape: one mapInArrow kernel pass (vectors cross Arrow
+    once; distances accumulate per-dimension over numpy rows, the r6
+    frozen-structure pattern, bit-identical to the oracle's explicit
+    left-associated chains); everything after is a 128-row aggregate.
+    The multiply-consumed tiny (subspace, code) frame is cached and
+    eagerly filled per the cold-cache rule."""
+    from syslog_kafka_spark.operators.pq import pq_encode_arrow
+    from syslog_kafka_spark.sources.readers import spread
+
+    emb = load_tables(spark, sf_dir).embeddings
+    enc = pq_encode_arrow(spread(emb.select("vec_id", "embedding")))
+    cnts = enc.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("err").alias("sum_err")
+    ).cache()
+    cnts.count()  # eager fill: two consumers below would race a cold cache
+    per = cnts.groupBy("subspace").agg(
+        F.sum("cnt").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
+        F.round(F.sum("sum_err") / F.sum("cnt"), 6).alias("mse"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("subspace").orderBy(F.col("cnt").desc(), "code")
+    )
+    top = cnts.select("subspace", "code", "cnt", rn.alias("rn")).filter(
+        F.col("rn") == 1
+    )
+    return (
+        per.join(top, "subspace")
+        .select(
+            "subspace",
+            "n_vecs",
+            "n_codes_used",
+            "mse",
+            F.col("code").alias("top_code"),
+            F.round(F.col("cnt") * 1.0 / F.col("n_vecs"), 6).alias(
+                "top_code_share"
+            ),
+        )
+        .orderBy("subspace")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance / correlation audit (single-pass Gram accumulation)
+# ---------------------------------------------------------------------------
+
+_COV_DIM = 64
+_COV_TOPK = 15
+
+
+def _covariance_oracle() -> str:
+    return f"""
+        WITH x AS (
+          SELECT vec_id, CAST(g.i AS INT) AS i,
+                 CAST(embedding[g.i + 1] AS DOUBLE) AS v
+          FROM embeddings, unnest(generate_series(0, {_COV_DIM - 1})) AS g(i)
+        ), p AS (
+          SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2
+        ), s AS (
+          SELECT i, sum(v) AS sx FROM x GROUP BY 1
+        ), nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+        ), cov AS (
+          SELECT p.i, p.j,
+                 (p.sxy - si.sx * sj.sx / nn.n) / nn.n AS cov
+          FROM p
+          CROSS JOIN nn
+          JOIN s si ON si.i = p.i
+          JOIN s sj ON sj.i = p.j
+        ), vr AS (
+          SELECT i, cov AS v FROM cov WHERE i = j
+        ), pr AS (
+          SELECT c.i, c.j, c.cov,
+                 c.cov / sqrt(vi.v * vj.v) AS corr
+          FROM cov c
+          JOIN vr vi ON vi.i = c.i
+          JOIN vr vj ON vj.i = c.j
+          WHERE c.i < c.j
+        )
+        SELECT i, j,
+               ROUND(cov, 6) + 0.0 AS cov,
+               ROUND(corr, 6) + 0.0 AS corr
+        FROM pr
+        ORDER BY ROUND(abs(corr), 6) DESC, i, j
+        LIMIT {_COV_TOPK}
+    """
+
+
+@query("llm_embedding_covariance_audit", family="llm", oracle=_covariance_oracle())
+def llm_embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance audit: the top-{k} most-correlated dimension
+    pairs of the corpus embedding matrix. Highly-correlated dimensions
+    mean the encoder wastes capacity (the motivation for whitening /
+    PCA before PQ) and they break the independence assumption
+    random-projection sketches (llm_random_projection) rely on — this
+    audit is the check both consumers read.
+
+    Distributed shape — the single-pass Gram pattern, the ONLY correct
+    shape at 100 TB: each partition accumulates its own X^T X (a 64x64
+    matrix via one BLAS call), the per-partition partials shuffle as
+    (i, j, partial) rows (#partitions x 2,145 fixed-width rows — the
+    shuffle is INDEPENDENT of corpus size), and covariance/correlation
+    derive from the merged sums. The tempting alternative — exploding
+    (vec, dim, value) and self-joining on vec_id (exactly what the
+    DuckDB oracle does, fine at oracle scale) — shuffles 64x the corpus
+    and is the shape this query exists to replace. Values report at
+    6 dp (partial-sum accumulation order differs per engine) with the
+    signed-zero +0.0 guard; the top-k cut orders by the ROUNDED |corr|
+    with (i, j) tiebreak per the pinned-threshold rule."""
+    from syslog_kafka_spark.sources.readers import spread
+
+    emb = load_tables(spark, sf_dir).embeddings
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            X = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            n = len(X)
+            ii, jj, vals = [], [], []
+            if n:
+                G = X.T @ X
+                sx = X.sum(axis=0)
+                iu, ju = np.triu_indices(_COV_DIM)
+                ii.append(iu.astype(np.int32))
+                jj.append(ju.astype(np.int32))
+                vals.append(G[iu, ju])
+                ii.append(np.arange(_COV_DIM, dtype=np.int32))
+                jj.append(np.full(_COV_DIM, -1, dtype=np.int32))
+                vals.append(sx)
+                ii.append(np.array([-1], dtype=np.int32))
+                jj.append(np.array([-1], dtype=np.int32))
+                vals.append(np.array([float(n)]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(ii) if ii else [], pa.int32()),
+                    pa.array(np.concatenate(jj) if jj else [], pa.int32()),
+                    pa.array(np.concatenate(vals) if vals else [], pa.float64()),
+                ],
+                ["i", "j", "val"],
+            )
+
+    partials = spread(emb.select("embedding")).mapInArrow(
+        kernel, "i int, j int, val double"
+    )
+    tot = partials.groupBy("i", "j").agg(F.sum("val").alias("val")).cache()
+    tot.count()  # eager fill: four consumers below would race a cold cache
+    nrow = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("val").alias("n")
+    )
+    sums = tot.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("k"), F.col("val").alias("sx")
+    )
+    g = tot.filter(F.col("j") >= 0)
+    cov_val = (F.col("val") - F.col("sx_i") * F.col("sx_j") / F.col("n")) / F.col("n")
+    cov = (
+        g.join(F.broadcast(sums.select(F.col("k").alias("i"), F.col("sx").alias("sx_i"))), "i")
+        .join(F.broadcast(sums.select(F.col("k").alias("j"), F.col("sx").alias("sx_j"))), "j")
+        .crossJoin(F.broadcast(nrow))
+        .select("i", "j", cov_val.alias("cov"))
+    )
+    vr = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("k"), F.col("cov").alias("v")
+    )
+    pr = (
+        cov.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(vr.select(F.col("k").alias("i"), F.col("v").alias("v_i"))), "i")
+        .join(F.broadcast(vr.select(F.col("k").alias("j"), F.col("v").alias("v_j"))), "j")
+        .select(
+            "i",
+            "j",
+            "cov",
+            (F.col("cov") / F.sqrt(F.col("v_i") * F.col("v_j"))).alias("corr"),
+        )
+    )
+    return (
+        pr.select(
+            "i",
+            "j",
+            (F.round("cov", 6) + 0.0).alias("cov"),
+            (F.round("corr", 6) + 0.0).alias("corr"),
+        )
+        .orderBy(F.round(F.abs("corr"), 6).desc(), "i", "j")
+        .limit(_COV_TOPK)
+    )
