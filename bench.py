@@ -159,6 +159,46 @@ def main() -> None:
             }
         payload["deltas_isolated"] = isolated
 
+    # Scale-ratio protocol (pinned round 8): when SPARK_GRAFT_BENCH_RATIO_BASE
+    # names a smaller-sf archived map, every query whose sweep ratio vs that
+    # base exceeds 10x is re-measured ISOLATED in this same warm session.
+    # Rationale (r6/r7 evidence): long hot sweeps run measurably hotter than
+    # isolated warm calls (llm_embedding_neardup 10.6 s in-sweep vs 4.38 s
+    # isolated at sf1), so a >10x sweep ratio alone cannot distinguish a
+    # superlinear plan from sweep adjacency heat — the isolated number is
+    # the one to judge.
+    ratio_base_path = os.environ.get("SPARK_GRAFT_BENCH_RATIO_BASE")
+    if ratio_base_path and subset is None:
+        try:
+            with open(ratio_base_path) as fh:
+                base_map = json.load(fh).get("queries", {})
+        except (OSError, ValueError) as exc:
+            print(f"bench: cannot read ratio base {ratio_base_path}: {exc}", file=sys.stderr)
+            base_map = {}
+        ratio_isolated: dict[str, dict[str, float]] = {}
+        for name in sorted(timings):
+            base = base_map.get(name, 0)
+            if timings[name] <= 0 or not base or base <= 0:
+                continue
+            if timings[name] / base <= 10:
+                continue
+            t0 = time.perf_counter()
+            try:
+                specs[name].build(spark, sf_dir).collect()
+                iso = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                print(f"bench: ratio re-measure {name} failed: {exc}", file=sys.stderr)
+                iso = -1.0
+            ratio_isolated[name] = {
+                "sweep": timings[name],
+                "base": base,
+                "ratio_sweep": round(timings[name] / base, 2),
+                "isolated": iso,
+                "ratio_isolated": round(iso / base, 2) if iso > 0 else -1.0,
+            }
+        if ratio_isolated:
+            payload["ratio_isolated"] = ratio_isolated
+
     # Ingestion parity as a number, not a smoke test: the reference's
     # identity is a syslog->Kafka producer, so the streaming replay's
     # sustained parse rate is the headline throughput figure.

@@ -76,6 +76,27 @@ def _cipher_table(shift: int) -> dict[int, int]:
     )
 
 
+def _perm_table(replica: int) -> dict[int, int]:
+    """Seeded random letter permutation for replicas >= 10: a Caesar shift
+    of r % 26 collides back to the identity at r = 26/52/78, which would
+    make those replicas exact cross-replica duplicates of replica 0 and
+    bend dedup pair counts superlinear. Distinct seeded permutations keep
+    every replica's vocabulary disjoint with near-certainty at any
+    replica count, preserving the ~linear pair-growth property sf1 has.
+    Replicas 1..9 keep the original shift cipher so sf1 regenerates
+    byte-identically."""
+    import numpy as np
+
+    rng = np.random.default_rng(10_000 + replica)
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    perm = rng.permutation(26)
+    return str.maketrans(
+        lower + upper,
+        "".join(lower[i] for i in perm) + "".join(upper[i] for i in perm),
+    )
+
+
 def _cipher_documents(pdf_iter, n_replicas):
     """mapInPandas worker: explode each doc into n_replicas rows.
 
@@ -84,7 +105,10 @@ def _cipher_documents(pdf_iter, n_replicas):
     identical texts stay identical within a replica while no replica
     shares vocabulary with another (see module docstring).
     """
-    tables = {r: _cipher_table(r % 26) for r in range(1, n_replicas)}
+    tables = {
+        r: _cipher_table(r) if r < 10 else _perm_table(r)
+        for r in range(1, n_replicas)
+    }
     for pdf in pdf_iter:
         out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
         for doc_id, text, lang, source, n_chars in zip(

@@ -72,77 +72,70 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-7 window: the 19 r2-stamped queries named by the
-# r6 verdict as the rotation pool lead, then one family-coverage pin per
-# family the pool misses (the OLDEST stamp in each:
-# kafka/llm/scans/sorts/streaming/syslog), then the 6 stalest remaining r3
-# stamps, then the 19 queries ADDED in round 7 taking first stamps (each
-# displacement recorded in the inline comment below — the displaced r3
-# re-stamps plus the r3/stream/tpch/window tails form the r8 pool).
-# Everything rotated out keeps its stamp and stays covered on every pytest
-# run by tests/test_inventory_oracle.py.
+# iteration order. Round-8 window: the COMPLETE 37-query r3-stamp pool the
+# r7 rotation left behind (after this gate no oracled stamp predates r4 —
+# the every-query-restamped-under-current-code defense the r5–r7 windows
+# built is finished), then one family-coverage pin per family the pool
+# misses (the OLDEST stamp in each: aggregation/kafka/scans/sorts/syslog),
+# then llm_hll_vocab_cardinality (re-stamped: its regime rule moved to the
+# pinned 2-dp comparison this round), then the 7 queries ADDED in round 8
+# taking first stamps. Everything rotated out keeps its stamp and stays
+# covered on every pytest run by tests/test_inventory_oracle.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- the complete r2-stamp cohort (the r6 verdict's rotation pool) ---
-    "join_not_in_subquery",
-    "scalar_explode_tokens",
-    "scalar_json_funcs",
-    "scalar_math_funcs",
-    "scalar_regex_like",
-    "scalar_string_funcs",
-    "scalar_value_bucketing",
-    "setop_intersect",
-    "tpch_above_nation_average",
-    "tpch_min_cost_supplier",
-    "tpch_nation_volume_flow",
-    "tpch_order_count_distribution",
-    "tpch_profit_by_nation",
-    "tpch_scalar_subquery_filter",
-    "tpch_waiting_suppliers",
-    "window_rank_family",
-    "window_running_spend",
-    "window_top3_orders_per_cust",
-    "window_tumbling_batch_twin",
+    # --- the complete remaining r3-stamp cohort (the r7 verdict's pool) ---
+    "llm_hash_split",
+    "llm_packing_efficiency",
+    "llm_pii_redaction",
+    "llm_simhash_multiprobe",
+    "llm_stratified_sample",
+    "llm_token_entropy",
+    "llm_url_extraction",
+    "llm_vocab_coverage",
+    "llm_weighted_sample",
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_edit_distance",
+    "scalar_map_funcs",
+    "scalar_posexplode_tokens",
+    "scalar_struct_funcs",
+    "scalar_trig_funcs",
+    "scalar_url_funcs",
+    "setop_multiset_all",
+    "stream_session_window_agg",
+    "stream_sliding_window_agg",
+    "stream_static_join_agg",
+    "stream_stream_join_agg",
+    "tpch_disjunctive_predicates",
+    "tpch_large_volume_customers",
+    "tpch_market_share",
+    "tpch_priority_wait_counts",
+    "tpch_promo_revenue",
+    "tpch_returned_item_accounts",
+    "tpch_small_qty_revenue",
+    "tpch_top_supplier_revenue",
+    "window_funnel_conversion",
+    "window_gapfill_daily",
+    "window_lag_lead_gaps",
+    "window_moving_avg_7d",
+    "window_range_frame_hourly",
+    "window_sessionize_30min",
+    "window_share_of_total",
     # --- family coverage (oldest stamp per family the pool misses) ---
-    "kafka_partitioner_histogram",
-    "llm_curation_pipeline",
-    "scan_json_lines",
-    "sort_nulls_ordering",
-    "stream_dedup_distinct_pairs",
-    "syslog_parse_corpus",
-    # --- stalest r3 stamps (alphabetically-first 25 of the remaining 43) ---
-    "agg_bool_bitwise",
-    "agg_key_skew_audit",
-    "agg_rollup_cascade",
-    "join_asof_next_signup",
-    "llm_dedup_components",
-    "llm_doc_chunks",
-    # --- fresh r7 queries (first stamp; displaced r3 re-stamps → r8 pool:
-    # llm_hash_split, llm_packing_efficiency,
-    # llm_pii_redaction, llm_simhash_multiprobe, llm_stratified_sample,
-    # llm_token_entropy, llm_url_extraction, llm_vocab_coverage,
-    # llm_weighted_sample, scalar_array_funcs, scalar_bitwise_funcs,
-    # scalar_edit_distance, scalar_map_funcs, scalar_posexplode_tokens,
-    # scalar_struct_funcs, scalar_trig_funcs, scalar_url_funcs,
-    # setop_multiset_all, stream_session_window_agg) ---
+    "agg_corr_regression",
+    "kafka_decode_roundtrip",
+    "scan_orc_roundtrip",
+    "sort_global_range_partitioned",
+    "syslog_sd_params",
+    # --- re-stamp: regime rule re-pinned at 2 dp this round ---
     "llm_hll_vocab_cardinality",
-    "llm_kmv_source_overlap",
-    "llm_length_quantile_sketch",
-    "llm_semantic_decontamination",
-    "llm_epoch_upsample_plan",
-    "llm_shard_shuffle_assignment",
-    "llm_source_overlap_matrix",
-    "llm_bloom_decontamination",
-    "llm_chunk_dedup_removal",
-    "llm_cms_heavy_hitters",
-    "llm_dedup_keep_best",
-    "llm_domain_temperature_mix",
-    "llm_embedding_dim_stats",
-    "llm_mixture_subsample",
-    "llm_scale_curation_funnel",
-    "llm_session_transcripts",
-    "stream_cms_sketch_build",
-    "stream_ivf_list_routing",
-    "stream_session_transcripts",
+    # --- fresh r8 queries (first stamp) ---
+    "llm_repeated_span_removal",
+    "llm_ngram_novelty_curve",
+    "llm_minhash_jaccard_calibration",
+    "llm_pq_quantization_audit",
+    "llm_embedding_covariance_audit",
+    "stream_bloom_build",
+    "stream_hll_build",
 )
 
 

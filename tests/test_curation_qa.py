@@ -1,0 +1,126 @@
+"""Targeted invariants for the round-8 curation-QA tier — properties the
+oracle hash can't express (bounds, degenerate inputs, frozen-structure
+shape), complementing the driver-gate comparison every registered query
+already gets from tests/test_inventory_oracle.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from syslog_kafka_spark.plans.curation_qa import (
+    llm_embedding_covariance_audit,
+    llm_minhash_jaccard_calibration,
+    llm_ngram_novelty_curve,
+    llm_pq_quantization_audit,
+    llm_repeated_span_removal,
+)
+
+
+def test_pq_frozen_codebook_shape():
+    from syslog_kafka_spark.operators.pq_frozen import (
+        PQ_CODEBOOKS,
+        PQ_CODES,
+        PQ_SUB_DIM,
+        PQ_SUBSPACES,
+    )
+
+    assert len(PQ_CODEBOOKS) == PQ_SUBSPACES
+    assert all(len(cb) == PQ_CODES for cb in PQ_CODEBOOKS)
+    assert all(len(c) == PQ_SUB_DIM for cb in PQ_CODEBOOKS for c in cb)
+    # 6-dp literals: re-rounding is the identity
+    assert all(
+        round(v, 6) == v for cb in PQ_CODEBOOKS for c in cb for v in c
+    )
+
+
+def test_pq_encode_bounds(spark, sf_dir):
+    from syslog_kafka_spark.operators.pq import pq_encode_arrow
+    from syslog_kafka_spark.operators.pq_frozen import PQ_CODES, PQ_SUBSPACES
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    emb = load_tables(spark, sf_dir).embeddings.limit(50)
+    enc = pq_encode_arrow(emb.select("vec_id", "embedding")).collect()
+    n_vecs = 50
+    assert len(enc) == n_vecs * PQ_SUBSPACES
+    assert all(0 <= r.code < PQ_CODES for r in enc)
+    assert all(r.err >= 0.0 for r in enc)
+    per_vec = {}
+    for r in enc:
+        per_vec.setdefault(r.vec_id, set()).add(r.subspace)
+    assert all(s == set(range(PQ_SUBSPACES)) for s in per_vec.values())
+
+
+def test_span_removal_flags_verbatim_duplicate(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words " * 4)],
+        "doc_id long, text string",
+    )
+    import syslog_kafka_spark.plans.curation_qa as qa
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.functions.hashes import hash64
+    from pyspark.sql import Window
+
+    # run the same plan the query builds, on the synthetic frame
+    toks_df = df.select("doc_id", tokens("text").alias("_toks")).filter(
+        F.size("_toks") >= qa._SPAN_N
+    )
+    starts = F.sequence(F.lit(1), F.size("_toks") - F.lit(qa._SPAN_N - 1))
+    grams = F.transform(
+        starts,
+        lambda s: hash64(F.array_join(F.slice("_toks", s, qa._SPAN_N), " "), salt="span-v1"),
+    )
+    g = toks_df.select("doc_id", F.posexplode(grams).alias("pos", "gram_hash"))
+    rn = F.row_number().over(Window.partitionBy("gram_hash").orderBy("doc_id", "pos"))
+    out = {
+        r.doc_id: r
+        for r in g.select("doc_id", (rn > 1).cast("long").alias("rm"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rm").alias("removable"))
+        .collect()
+    }
+    assert out[1].removable == 0  # first copy keeps everything
+    assert out[2].removable == out[2].n  # verbatim duplicate: all spans repeat
+    assert out[3].removable > 0  # "words words" self-repetition inside doc 3
+
+
+def test_gate_outputs_are_bounded(spark, sf_dir):
+    span = llm_repeated_span_removal(spark, sf_dir).collect()
+    assert all(0 <= r.n_removable <= r.n_spans for r in span)
+    assert all(0.0 <= r.removable_rate <= 1.0 for r in span)
+
+    nov = llm_ngram_novelty_curve(spark, sf_dir).collect()
+    assert [r.decile for r in nov] == list(range(1, 11))
+    assert all(0.0 <= r.novelty_rate <= 1.0 for r in nov)
+    assert all(r.novel_types <= r.total_types for r in nov)
+
+    cal = llm_minhash_jaccard_calibration(spark, sf_dir).collect()
+    assert all(0 <= r.bucket <= 9 for r in cal)
+    assert all(0.0 <= r.mean_abs_err <= r.max_abs_err <= 1.0 for r in cal)
+
+    pq = llm_pq_quantization_audit(spark, sf_dir).collect()
+    assert len(pq) == 8
+    assert all(r.mse >= 0.0 and 1 <= r.n_codes_used <= 16 for r in pq)
+    assert all(0.0 < r.top_code_share <= 1.0 for r in pq)
+
+    cov = llm_embedding_covariance_audit(spark, sf_dir).collect()
+    assert len(cov) == 15
+    assert all(-1.0 <= r.corr <= 1.0 for r in cov)
+    assert all(r.i < r.j for r in cov)
+    # the cut is by rounded |corr| descending
+    mags = [abs(r.corr) for r in cov]
+    assert mags == sorted(mags, reverse=True)
+
+
+def test_stream_sketch_twins_state_is_bounded(spark, sf_dir):
+    from syslog_kafka_spark.plans.llm_scale import _BLOOM_M, _HLL_M
+    from syslog_kafka_spark.plans.stream_gated import stream_bloom_build, stream_hll_build
+
+    bloom = stream_bloom_build(spark, sf_dir).collect()
+    assert len(bloom) <= _BLOOM_M // 1024  # 64 buckets max
+    assert sum(r.n_set_bits for r in bloom) <= _BLOOM_M
+    assert all(r.n_probe_hits >= r.n_set_bits for r in bloom)
+
+    hll = stream_hll_build(spark, sf_dir).collect()
+    assert all(r.used_registers <= _HLL_M for r in hll)
+    assert all(r.hll_est > 0 for r in hll)
