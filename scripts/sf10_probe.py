@@ -1,0 +1,106 @@
+"""Two-decade scale probe: the scale-sensitive query set at sf1 AND sf10.
+
+VERDICT r7 item 4: extend the scaling curve to two decades for the
+queries whose shapes are the interesting ones — the sketch queries
+(whose SHUFFLES are bounded by sketch size and should scale only with
+the scan), the dedup/LSH pipelines (banded, should stay ~linear), the
+block-kernel embedding pair scans (quadratic WITHIN label blocks by
+construction — the probe records that honestly), and the scan-bound
+TPC-H outlier from the r7 sf1 sweep.
+
+Protocol (the r6/r7 measurement rules):
+- one warmup query per sf_dir before any timing (first-job JVM/scan
+  costs ~6 s even at sf0.1);
+- each query measured TWICE in the same session (call1 = includes any
+  per-query cold cost: lambda warmup, cache fill; call2 = warm) — the
+  r7 lesson that sweep-adjacent and cold numbers must not be compared
+  across scales;
+- ratios reported call2/call2 (warm/warm) and call1/call1.
+
+Writes BENCH_SF10.json and prints a markdown table for BENCH_SF10.md.
+
+Usage: python scripts/sf10_probe.py [--sf1 DIR] [--sf10 DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PROBE = [
+    # sketches / bounded-state: shuffle size is fixed by construction,
+    # time should scale with the scan+hash only (~linear at fixed cores)
+    "llm_hll_vocab_cardinality",
+    "llm_kmv_source_overlap",
+    "llm_cms_heavy_hitters",
+    "llm_length_quantile_sketch",
+    "llm_bloom_decontamination",
+    # banded dedup / LSH: candidate space bounded by buckets, ~linear
+    "llm_minhash_lsh_pairs",
+    "llm_dedup_then_lsh",
+    "llm_containment_neardup",
+    "llm_simhash_multiprobe",
+    # block-kernel pair scans: quadratic WITHIN fixed label blocks
+    "llm_embedding_neardup",
+    # linear window / join pipelines (r8 additions + the exact join)
+    "llm_repeated_span_removal",
+    "llm_ngram_novelty_curve",
+    "llm_decontamination",
+    # the r7 sf1 sweep outlier (scan-bound count-distinct over orders)
+    "tpch_priority_wait_counts",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf1", default=os.path.join(REPO, ".bench", "sf1"))
+    ap.add_argument("--sf10", default=os.path.join(REPO, ".bench", "sf10"))
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    from syslog_kafka_spark.plans.registry import load_all
+    from syslog_kafka_spark.session import get_spark
+
+    spark = get_spark("sf10-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+    probe = [q for q in PROBE if not args.only or q in args.only.split(",")]
+
+    results: dict[str, dict[str, float]] = {q: {} for q in probe}
+    for tag, sf_dir in (("sf1", args.sf1), ("sf10", args.sf10)):
+        specs["agg_revenue_forecast"].build(spark, sf_dir).collect()  # warmup
+        for q in probe:
+            for call in ("call1", "call2"):
+                t0 = time.perf_counter()
+                specs[q].build(spark, sf_dir).collect()
+                dt = round(time.perf_counter() - t0, 2)
+                results[q][f"{tag}_{call}"] = dt
+                print(f"{tag} {q} {call}: {dt}s", flush=True)
+
+    for q, r in results.items():
+        r["ratio_warm"] = round(r["sf10_call2"] / r["sf1_call2"], 2)
+        r["ratio_cold"] = round(r["sf10_call1"] / r["sf1_call1"], 2)
+
+    out = os.path.join(REPO, "BENCH_SF10.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+
+    print("\n| query | sf1 warm | sf10 warm | warm ratio | sf1 first | sf10 first | first ratio |")
+    print("|---|---|---|---|---|---|---|")
+    for q in probe:
+        r = results[q]
+        print(
+            f"| {q} | {r['sf1_call2']} | {r['sf10_call2']} | {r['ratio_warm']}x"
+            f" | {r['sf1_call1']} | {r['sf10_call1']} | {r['ratio_cold']}x |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
