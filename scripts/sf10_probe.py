@@ -82,6 +82,11 @@ def main() -> int:
                 dt = round(time.perf_counter() - t0, 2)
                 results[q][f"{tag}_{call}"] = dt
                 print(f"{tag} {q} {call}: {dt}s", flush=True)
+            # Cache hygiene BETWEEN queries (never between call1/call2 —
+            # call2's point is the warm session cache): at sf10 the
+            # accumulated LSH bases of every prior query otherwise exhaust
+            # the one local[*] heap (GCLocker crash on the 8g default).
+            spark.catalog.clearCache()
 
     for q, r in results.items():
         r["ratio_warm"] = round(r["sf10_call2"] / r["sf1_call2"], 2)

@@ -28,7 +28,11 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": "8g",
+    # local[*] runs driver == executor; size the one heap for the data scale
+    # ($SPARK_GRAFT_DRIVER_MEM — the sf10 probe needs more than the 8g that
+    # comfortably fits every sf<=1 sweep). On a real cluster this is the
+    # executor-memory dial.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     # Parquet scans: vectorized reader + pushdown are on by default; pin
     # them anyway so a misconfigured environment can't silently disable.
