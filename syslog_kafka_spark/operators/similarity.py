@@ -333,6 +333,29 @@ def srp_topk_frozen(
     return _rank_topk(scored, k, round_to)
 
 
+def frozen_probe_lists(sims_col: Column, n_lists: int, n_probe: int) -> Column:
+    """The ``n_probe`` best inverted lists for a query, as an int array
+    Column over its per-centroid sims: comparator sort on (sim DESC,
+    index ASC) — the numpy argsort tie order, matching the oracle's
+    row_number ordering. Shared by the exact-rescan IVF search and the
+    PQ-ADC variant so probe selection can never drift between them."""
+    entries = F.array(
+        *[
+            F.struct(F.get(sims_col, i).alias("s"), F.lit(i).alias("i"))
+            for i in range(n_lists)
+        ]
+    )
+    ranked_lists = F.array_sort(
+        entries,
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .when(l["i"] < r["i"], F.lit(-1))
+        .when(l["i"] > r["i"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return F.transform(F.slice(ranked_lists, 1, n_probe), lambda x: x["i"])
+
+
 def ivf_topk_frozen(
     corpus: DataFrame,
     queries: DataFrame,
@@ -371,21 +394,7 @@ def ivf_topk_frozen(
         .withColumn("_list", argmax)
         .drop("_sims")
     )
-    entries = F.array(
-        *[
-            F.struct(F.get(F.col("_sims"), i).alias("s"), F.lit(i).alias("i"))
-            for i in range(len(centroids))
-        ]
-    )
-    ranked_lists = F.array_sort(
-        entries,
-        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
-        .when(l["s"] < r["s"], F.lit(1))
-        .when(l["i"] < r["i"], F.lit(-1))
-        .when(l["i"] > r["i"], F.lit(1))
-        .otherwise(F.lit(0)),
-    )
-    probes = F.transform(F.slice(ranked_lists, 1, n_probe), lambda x: x["i"])
+    probes = frozen_probe_lists(F.col("_sims"), len(centroids), n_probe)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -565,3 +565,146 @@ def llm_embedding_covariance_audit(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.round(F.abs("corr"), 6).desc(), "i", "j")
         .limit(_COV_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ approximate search (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_K = 5
+_IVFPQ_NPROBE = 4
+
+
+def _ivf_pq_oracle() -> str:
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS, N_LISTS
+    from syslog_kafka_spark.operators.pq import pq_dists_sql
+    from syslog_kafka_spark.operators.pq_frozen import PQ_SUBSPACES
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    coded = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, {s} AS s,"
+        f" CAST(list_position(d, list_min(d)) - 1 AS INT) AS code"
+        f" FROM (SELECT vec_id, {pq_dists_sql(s)} AS d FROM embeddings)"
+        for s in range(PQ_SUBSPACES)
+    )
+    luts = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id AS qid, {s} AS s, {pq_dists_sql(s)} AS d"
+        f" FROM embeddings WHERE vec_id < 10"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(
+        f"lut.lut[{s + 1}][k.codes[{s + 1}] + 1]" for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+        WITH a0 AS (
+          SELECT vec_id, {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id,
+                 CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS list_id
+          FROM a0
+        ), coded AS (
+          {coded}
+        ), k AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM coded GROUP BY vec_id
+        ), qp AS (
+          SELECT a.vec_id AS query_id, u.i - 1 AS list_id,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY a.sims[u.i] DESC, u.i
+                 ) AS pr
+          FROM a0 a CROSS JOIN range(1, {N_LISTS + 1}) u(i)
+          WHERE a.vec_id < 10
+        ), luts AS (
+          {luts}
+        ), lut AS (
+          SELECT qid, list(d ORDER BY s) AS lut FROM luts GROUP BY qid
+        ), scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id, ({adc}) AS adc
+          FROM qp q
+          JOIN c ON c.list_id = q.list_id
+          JOIN k ON k.vec_id = c.vec_id
+          JOIN lut ON lut.qid = q.query_id
+          WHERE q.pr <= {_IVFPQ_NPROBE} AND c.vec_id <> q.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, adc,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc, neighbor_id
+                 ) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id,
+               CAST(round(adc, 4) AS DOUBLE) AS adc_dist
+        FROM ranked WHERE rank <= {_IVFPQ_K}
+        ORDER BY query_id, rank
+    """
+
+
+@query("llm_ivf_pq_topk", family="llm", oracle=_ivf_pq_oracle())
+def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest-neighbor search — the FAISS-style
+    index shape production retrieval runs at 100 TB: the corpus is ONE
+    kernel pass into (list_id, 8 PQ codes) = 12 bytes per vector (vs
+    256 raw), queries probe their 4 best inverted lists (the same
+    frozen-quantizer probe selection ivf_topk_frozen uses, shared via
+    frozen_probe_lists), and candidates are scored by asymmetric
+    distance computation: a per-query 8x16 lookup table of
+    subvector-to-codeword distances, so scoring a candidate is 8 array
+    lookups and the corpus is NEVER decoded. ADC terms are
+    left-associated chains on both engines (bit-identical), so probe
+    lists, candidate sets, ADC scores, and the final ranking all
+    hash-gate. A recall floor and a selection-quality invariant (ADC
+    picks beat the random-pair cosine baseline) are pinned in
+    tests/test_curation_qa.py — this corpus is PQ's worst case
+    (isotropic vectors; the quantization audit's MSE says exactly
+    that), so absolute recall is honestly modest here.
+
+    Distributed shape: index build is one mapInArrow scan; the probe
+    join broadcasts (query x n_probe) rows against the list-partitioned
+    index — each query touches ~n_probe/n_lists of the corpus, and what
+    it touches is 12-byte rows, not vectors."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS, N_LISTS
+    from syslog_kafka_spark.operators.pq import ivf_pq_index_arrow, pq_query_lut_arrow
+    from syslog_kafka_spark.operators.pq_frozen import PQ_SUBSPACES
+    from syslog_kafka_spark.operators.similarity import (
+        frozen_probe_lists,
+        frozen_sims_udf,
+    )
+    from syslog_kafka_spark.sources.readers import spread
+
+    emb = load_tables(spark, sf_dir).embeddings
+    idx = ivf_pq_index_arrow(
+        spread(emb.select("vec_id", "embedding")), IVF_CENTROIDS
+    )
+    q0 = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    sims = frozen_sims_udf(IVF_CENTROIDS)(F.col("embedding"))
+    qp = q0.select(F.col("vec_id").alias("query_id"), sims.alias("_sims")).select(
+        "query_id",
+        F.explode(
+            frozen_probe_lists(F.col("_sims"), N_LISTS, _IVFPQ_NPROBE)
+        ).alias("list_id"),
+    )
+    ql = pq_query_lut_arrow(q0).select(F.col("vec_id").alias("query_id"), "lut")
+    qj = qp.join(ql, "query_id")
+    cand = idx.join(F.broadcast(qj), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = F.get(F.get("lut", 0), F.get("codes", 0))
+    for s in range(1, PQ_SUBSPACES):
+        adc = adc + F.get(F.get("lut", s), F.get("codes", s))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= _IVFPQ_K)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("adc", 4).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rank")
+    )
