@@ -327,12 +327,90 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens.
+    """64-bit SimHash per document over whitespace tokens — the
+    mapInArrow kernel path (r8, the lsh_base_arrow/winnowing pattern):
+    normalization and tokenization stay Spark expressions (string
+    semantics identical to the oracle), the kernel memo-hashes tokens
+    and majority-votes bits in vectorized numpy. Bit-identical to
+    :func:`simhash64_expr` (pinned by tests/test_llm_ops.py) and to the
+    DuckDB twin — pure integer arithmetic on the same md5[:15] values.
 
-    Single explode + ONE groupBy with 64 conditional-sum aggregates (bit i
-    set when the majority of token hashes have bit i set). No UDFs; the
-    shuffle carries 64 ints per doc.
-    """
+    Why the kernel: the expression pipeline explodes every token and
+    runs 61 aggregate columns through a hash exchange (md5 per token
+    occurrence, 60 shift/AND terms per row). The kernel computes each
+    signature LOCALLY — no explode, no exchange, md5 memoized over the
+    task vocabulary — measured 1.81 s → 0.97 s warm at sf1 (50k docs)
+    for the signature pass. (The downstream multiprobe QUERY's wall
+    time barely moves: profiling showed it is output-bound — 5.3M
+    verified pairs at sf1, and the bench protocol collects them; the
+    pair pipeline itself re-counts in 1.5 s warm.)"""
+    id_type = df.schema[id_col].dataType.simpleString()
+    toks_frame = spread(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(normalized(text_col), " ").alias("_toks"),
+        )
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        W = np.arange(60, dtype=np.int64)
+        memo: dict[str, int] = {}
+        MEMO_CAP = 1 << 20
+
+        def tok_hash(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                if len(memo) < MEMO_CAP:
+                    memo[t] = h
+            return h
+
+        for batch in batches:
+            ids = batch.column("_id").to_pylist()
+            toks = batch.column("_toks").to_pylist()
+            out_ids, out_sims = [], []
+            # flatten the batch's tokens once; reduceat sums bits per doc
+            keep = [(i, tl) for i, tl in zip(ids, toks) if tl is not None]
+            if keep:
+                counts = np.array([len(tl) for _, tl in keep], dtype=np.int64)
+                flat = np.fromiter(
+                    (tok_hash(t) for _, tl in keep for t in tl),
+                    dtype=np.int64,
+                    count=int(counts.sum()),
+                )
+                bits = ((flat[:, None] >> W) & 1).astype(np.uint8)
+                offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                sums = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+                # split(normalized, ' ') never yields an empty array, so
+                # every kept doc has >= 1 token and reduceat is aligned
+                majority = (sums * 2 > counts[:, None]).astype(np.int64)
+                sims = (majority << W).sum(axis=1)
+                out_ids = [i for i, _ in keep]
+                out_sims = sims.tolist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, batch.column("_id").type),
+                    pa.array(out_sims, pa.int64()),
+                ],
+                ["_id", "simhash"],
+            )
+
+    return toks_frame.mapInArrow(
+        kernel, f"_id {id_type}, simhash bigint"
+    ).withColumnRenamed("_id", id_col)
+
+
+def simhash64_expr(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The pure-expression SimHash (pre-r8 production path, kept as the
+    kernel's parity pin): single explode + ONE groupBy with 60
+    conditional-sum aggregates (bit i set when the majority of token
+    hashes have bit i set). No UDFs; the shuffle carries 61 ints per
+    doc."""
     tokens = spread(
         df.select(F.col(id_col), normalized(text_col).alias("_nt"))
     ).select(

@@ -181,3 +181,16 @@ def test_ivf_pq_selects_genuinely_near_neighbors(spark, sf_dir):
         f"ADC selection no better than random: {np.mean(chosen):.3f} vs"
         f" baseline {np.mean(baseline):.3f}"
     )
+
+
+def test_simhash_kernel_matches_expression(spark, sf_dir):
+    """The r8 mapInArrow SimHash must be BIT-identical to the pure
+    expression pipeline it replaced (same md5[:15] token hashes, same
+    majority vote) — the lsh_base_arrow parity pattern."""
+    from syslog_kafka_spark.operators.dedup import simhash64, simhash64_expr
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    d = load_tables(spark, sf_dir).documents
+    kern = {r.doc_id: r.simhash for r in simhash64(d).collect()}
+    expr = {r.doc_id: r.simhash for r in simhash64_expr(d).collect()}
+    assert kern == expr
