@@ -708,3 +708,127 @@ def llm_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (frozen hashed-BoW linear classifier)
+# ---------------------------------------------------------------------------
+
+
+def _hashed_quality_oracle() -> str:
+    from syslog_kafka_spark.operators.quality_frozen import (
+        QF_BIAS,
+        QF_BUCKETS,
+        QF_WEIGHTS,
+    )
+
+    w_list = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in QF_WEIGHTS) + "]"
+    h = hash64_sql("tok", salt="hq-v1")
+    return f"""
+        WITH w AS (SELECT {w_list} AS wl),
+        base AS (
+          SELECT doc_id, {_TOKENS_SQL} AS toks, length(text) AS n_chars
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS tok FROM base
+        ), bk AS (
+          SELECT doc_id, ({h}) % {QF_BUCKETS} AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2
+        ), z AS (
+          SELECT bk.doc_id,
+                 sum(w.wl[bk.bucket + 1] * (bk.cnt * 1.0 / len(b2.toks))) AS z
+          FROM bk CROSS JOIN w JOIN base b2 ON b2.doc_id = bk.doc_id
+          GROUP BY bk.doc_id
+        ), scored AS (
+          SELECT b.doc_id,
+                 ROUND(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0)
+                       + CAST({QF_BIAS!r} AS DOUBLE)))), 6) AS q_score,
+                 CASE WHEN len(b.toks) > 0
+                      THEN ROUND(b.n_chars * 1.0 / len(b.toks), 4)
+                      ELSE CAST(0.0 AS DOUBLE) END AS mean_tok
+          FROM base b LEFT JOIN z ON z.doc_id = b.doc_id
+        )
+        SELECT doc_id, q_score,
+               (q_score >= 0.5) AS model_keep,
+               (mean_tok >= 5.5) AS heuristic_keep,
+               ((q_score >= 0.5) = (mean_tok >= 5.5)) AS agree
+        FROM scored ORDER BY doc_id
+    """
+
+
+@query("llm_hashed_quality_classifier", family="llm", oracle=_hashed_quality_oracle())
+def llm_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText-shaped stage modern
+    curation pipelines (CCNet, FineWeb-edu) run after the heuristic
+    gates: a FROZEN linear classifier over 4096-bucket hashed
+    bag-of-words term frequencies (operators/quality_frozen.py, fit
+    offline by scripts/fit_quality_classifier.py at 98.3% train accuracy
+    against the deterministic mean-token-length label it distills).
+    Per document: sigmoid score, the model's keep decision (pinned on
+    the 6-dp ROUNDED score), the heuristic's decision (pinned on the
+    4-dp feature), and their agreement — the drift audit a production
+    run tracks to know when the frozen model needs a re-fit.
+
+    Distributed shape: tokens hash to buckets INSIDE the projection
+    (8-byte ints shuffle, never token text), one (doc, bucket) count
+    aggregate, then a broadcast join against the 4096-row weight table
+    and one per-doc sum — linear end to end, no corpus-sized state. At
+    100 TB this is exactly one pass more than the heuristic gates,
+    which is the entire point of distilling into a linear model."""
+    from syslog_kafka_spark.operators.quality_frozen import (
+        QF_BIAS,
+        QF_BUCKETS,
+        QF_WEIGHTS,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    spark_w = d.sparkSession.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(QF_WEIGHTS)], "bucket int, w double"
+    )
+    base = d.select(
+        "doc_id", tokens("text").alias("toks"), F.length("text").alias("n_chars")
+    ).cache()
+    base.count()  # eager fill: token explode + per-doc stats both read it
+    tok = base.select(
+        "doc_id", F.explode("toks").alias("tok"), F.size("toks").alias("n_toks")
+    )
+    bk = tok.select(
+        "doc_id",
+        F.pmod(hash64("tok", salt="hq-v1"), F.lit(QF_BUCKETS)).alias("bucket"),
+        "n_toks",
+    ).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("n_toks").alias("n_toks")
+    )
+    z = (
+        bk.join(F.broadcast(spark_w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * (F.col("cnt") * 1.0 / F.col("n_toks"))).alias("z"))
+    )
+    mean_tok = F.when(
+        F.size("toks") > 0, F.round(F.col("n_chars") * 1.0 / F.size("toks"), 4)
+    ).otherwise(F.lit(0.0))
+    scored = (
+        base.join(z, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                1.0
+                / (1.0 + F.exp(-(F.coalesce("z", F.lit(0.0)) + F.lit(QF_BIAS)))),
+                6,
+            ).alias("q_score"),
+            mean_tok.alias("mean_tok"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "q_score",
+            (F.col("q_score") >= 0.5).alias("model_keep"),
+            (F.col("mean_tok") >= 5.5).alias("heuristic_keep"),
+            (
+                (F.col("q_score") >= 0.5) == (F.col("mean_tok") >= 5.5)
+            ).alias("agree"),
+        )
+        .orderBy("doc_id")
+    )

@@ -194,3 +194,15 @@ def test_simhash_kernel_matches_expression(spark, sf_dir):
     kern = {r.doc_id: r.simhash for r in simhash64(d).collect()}
     expr = {r.doc_id: r.simhash for r in simhash64_expr(d).collect()}
     assert kern == expr
+
+
+def test_quality_classifier_agreement_floor(spark, sf_dir):
+    """The frozen classifier must actually track the heuristic it
+    distills (98.3% train accuracy at sf0.1) — a broken hash/weight
+    path collapses agreement to the ~0.5 base rate."""
+    from syslog_kafka_spark.plans.curation_qa import llm_hashed_quality_classifier
+
+    rows = llm_hashed_quality_classifier(spark, sf_dir).collect()
+    agree = sum(1 for r in rows if r.agree) / len(rows)
+    assert agree >= 0.85, f"classifier-heuristic agreement collapsed: {agree}"
+    assert all(0.0 <= r.q_score <= 1.0 for r in rows)
