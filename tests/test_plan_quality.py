@@ -618,3 +618,30 @@ def test_keep_best_shares_one_hash_exchange(spark, sf_dir):
     # window (reused by both HashAggregates) + the final range sort
     n_ex = tree.count("Exchange")
     assert n_ex == 2, f"window+agg should share one fp exchange, saw {n_ex}:\n" + tree
+
+
+def test_ivf_pq_probe_join_broadcasts_and_stays_bounded(spark, sf_dir):
+    """The IVF-PQ probe join must broadcast the tiny query side against
+    the list-partitioned index — a sort-merge (corpus shuffle) or a
+    cartesian here is exactly the plan rot that kills it at 100 TB."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_ivf_pq_topk")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert any("BroadcastHashJoin" in k for k in ops), ops
+    assert not any("SortMergeJoin" in k for k in ops), ops
+
+
+def test_quality_classifier_weight_join_broadcasts(spark, sf_dir):
+    """The 4096-row weight table must broadcast; the corpus side is the
+    streamed probe."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_hashed_quality_classifier")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert any("BroadcastHashJoin" in k for k in ops), ops
+
+
+def test_covariance_audit_shuffle_is_corpus_size_independent(spark, sf_dir):
+    """The Gram partials aggregate must be the ONLY wide stage over data
+    derived from the corpus: everything after operates on <=2145-row
+    frames joined by broadcast."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_embedding_covariance_audit")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert not any("SortMergeJoin" in k for k in ops), ops
