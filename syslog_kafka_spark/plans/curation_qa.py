@@ -832,3 +832,102 @@ def llm_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold calibration sweep
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _threshold_sweep_oracle() -> str:
+    from syslog_kafka_spark.plans.llm import _lsh_pairs_cte
+
+    thr = ", ".join(f"CAST({t!r} AS DOUBLE)" for t in _SWEEP_THRESHOLDS)
+    return f"""
+        WITH {_lsh_pairs_cte(threshold=0.0)},
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        t AS (SELECT unnest([{thr}]) AS threshold),
+        hits AS (
+          SELECT t.threshold, v.id_a, v.id_b
+          FROM t JOIN verified v ON round(v.jaccard, 6) >= t.threshold
+        ), per AS (
+          SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM hits GROUP BY threshold
+        ), docs AS (
+          SELECT threshold, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_affected
+          FROM (
+            SELECT threshold, id_a AS id FROM hits
+            UNION ALL
+            SELECT threshold, id_b FROM hits
+          ) GROUP BY threshold
+        )
+        SELECT t.threshold,
+               coalesce(p.n_pairs, 0) AS n_pairs,
+               coalesce(d.n_docs_affected, 0) AS n_docs_affected,
+               ROUND(coalesce(d.n_docs_affected, 0) * 1.0 / nd.n_docs, 6)
+                 AS affected_share
+        FROM t
+        LEFT JOIN per p ON p.threshold = t.threshold
+        LEFT JOIN docs d ON d.threshold = t.threshold
+        CROSS JOIN nd
+        ORDER BY t.threshold
+    """
+
+
+@query("llm_dedup_threshold_sweep", family="llm", oracle=_threshold_sweep_oracle())
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration: pair and affected-document counts at
+    every candidate Jaccard cutoff (0.5–0.9), from ONE pass over the
+    production LSH candidates. This is the table an operator reads
+    before committing a corpus-wide dedup run — the knee of the
+    affected-share curve is where near-dup removal stops being cleanup
+    and starts deleting legitimate variation, and re-running the whole
+    pipeline per candidate threshold (the naive approach) costs 5x the
+    scan for the same answer.
+
+    Distributed shape: identical candidate generation to the production
+    dedup (the session-cached LSH base — zero extra scans when any
+    sibling dedup query ran); the sweep is a 5-way explode of the
+    id-width pair set, two tiny aggregates, broadcast-joined back. The
+    threshold comparison follows the pinned rule (round(j, 6) >= t) and
+    every per-pair jaccard is bit-identical cross-engine (exact integer
+    set sizes divided once)."""
+    from syslog_kafka_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_tables(spark, sf_dir).documents
+    pairs = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.0)
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    hits = pairs.select("id_a", "id_b", "jaccard", thr).filter(
+        F.round("jaccard", 6) >= F.col("threshold")
+    )
+    per = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        hits.select("threshold", F.col("id_a").alias("id"))
+        .unionAll(hits.select("threshold", F.col("id_b").alias("id")))
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").cast("bigint").alias("n_docs_affected"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    t_frame = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    return (
+        t_frame.join(per, "threshold", "left")
+        .join(docs, "threshold", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.round(
+                F.coalesce("n_docs_affected", F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("affected_share"),
+        )
+        .orderBy("threshold")
+    )

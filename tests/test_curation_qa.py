@@ -206,3 +206,33 @@ def test_quality_classifier_agreement_floor(spark, sf_dir):
     agree = sum(1 for r in rows if r.agree) / len(rows)
     assert agree >= 0.85, f"classifier-heuristic agreement collapsed: {agree}"
     assert all(0.0 <= r.q_score <= 1.0 for r in rows)
+
+
+def test_simhash_kernel_parity_on_adversarial_text(spark):
+    """Hypothesis-style parity on texts the corpus never exercises —
+    unicode, punctuation runs, repeated tokens, single chars, whitespace
+    variety — the kernel and the expression path must agree on every
+    one (both consume the SAME Spark-normalized token arrays, so the
+    only thing that could diverge is the hashing/majority arithmetic)."""
+    from syslog_kafka_spark.operators.dedup import simhash64, simhash64_expr
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "a a a a a a a a",
+        "tab\tand\nnewline  spaced",
+        "MiXeD CaSe TeXt",
+        "punct!!! ??? ... ,,,",
+        "unicode naïve café 北京 мотор",
+        "repeat " * 50,
+        "0 1 2 3 4 5 6 7 8 9 " * 3,
+        "x" * 500,
+        ("word" + " " + "joined"),  # NBSP is not Java \\s: stays ONE token
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kern = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    expr = {r.doc_id: r.simhash for r in simhash64_expr(df).collect()}
+    assert kern == expr
