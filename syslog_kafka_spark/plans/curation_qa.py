@@ -931,3 +931,104 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster cohesion audit
+# ---------------------------------------------------------------------------
+
+
+def _cohesion_oracle() -> str:
+    from syslog_kafka_spark.plans.llm import _lsh_pairs_cte
+
+    return f"""
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+        ),
+        lbl AS (
+          SELECT src AS node, least(src, min(dst)) AS component
+          FROM reach GROUP BY src
+        ),
+        members AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS n_members
+          FROM lbl GROUP BY component
+        ),
+        ed AS (
+          SELECT l.component,
+                 CAST(count(*) AS BIGINT) AS n_edges,
+                 ROUND(avg(v.jaccard), 6) AS mean_jaccard,
+                 ROUND(min(v.jaccard), 6) AS min_jaccard
+          FROM verified v JOIN lbl l ON l.node = v.id_a
+          GROUP BY l.component
+        )
+        SELECT m.component AS component_id, m.n_members, e.n_edges,
+               e.mean_jaccard, e.min_jaccard,
+               ROUND(e.n_edges * 2.0 / (m.n_members * (m.n_members - 1)), 6)
+                 AS edge_density
+        FROM members m JOIN ed e ON e.component = m.component
+        ORDER BY component_id
+    """
+
+
+@query("llm_cluster_cohesion_audit", family="llm", oracle=_cohesion_oracle())
+def llm_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster cohesion: per connected component of the verified
+    LSH graph — member count, edge count, mean/min edge Jaccard, and
+    edge density. This is the audit that separates TRUE duplicate
+    groups (dense, high-min-Jaccard cliques — safe to collapse to one
+    representative) from CHAINED components (sparse paths where A~B~C
+    but A and C share nothing — collapsing them deletes distinct
+    documents). Production dedup reads exactly this table to decide
+    between keep-one-per-component and the stricter keep-one-per-clique.
+
+    Distributed shape: reuses the session-cached LSH base and the
+    iterative min-label components (O(diameter) co-partitioned rounds);
+    the audit itself is one broadcast-joined aggregate over id-width
+    edges. min_jaccard is order-independent and per-edge bit-identical
+    cross-engine; the mean reports at 6 dp."""
+    from syslog_kafka_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = load_tables(spark, sf_dir).documents
+    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    labels = connected_components(edges)
+    members = labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    ed = (
+        edges.join(
+            labels.select(F.col("node").alias("id_a"), "label"), "id_a"
+        )
+        .groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+        )
+    )
+    return (
+        members.join(ed, "component")
+        .select(
+            F.col("component").alias("component_id"),
+            "n_members",
+            "n_edges",
+            "mean_jaccard",
+            "min_jaccard",
+            F.round(
+                F.col("n_edges") * 2.0
+                / (F.col("n_members") * (F.col("n_members") - 1)),
+                6,
+            ).alias("edge_density"),
+        )
+        .orderBy("component_id")
+    )
