@@ -1246,3 +1246,80 @@ def stream_hll_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_used"),
     )
     return hll_estimate_columns(sk).orderBy("source")
+
+
+def _stream_quality_oracle() -> str:
+    from syslog_kafka_spark.functions.hashes import hash64_sql
+    from syslog_kafka_spark.operators.quality_frozen import (
+        QF_BIAS,
+        QF_BUCKETS,
+        QF_WEIGHTS,
+    )
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    w_list = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in QF_WEIGHTS) + "]"
+    h = hash64_sql("tok", salt="hq-v1")
+    return f"""
+        WITH w AS (SELECT {w_list} AS wl),
+        base AS (
+          SELECT doc_id, {toks} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS tok FROM base
+        ), bk AS (
+          SELECT doc_id, ({h}) % {QF_BUCKETS} AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2
+        ), z AS (
+          SELECT bk.doc_id,
+                 sum(w.wl[bk.bucket + 1] * (bk.cnt * 1.0 / len(b2.toks))) AS z
+          FROM bk CROSS JOIN w JOIN base b2 ON b2.doc_id = bk.doc_id
+          GROUP BY bk.doc_id
+        ), scored AS (
+          SELECT b.doc_id,
+                 ROUND(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0)
+                       + CAST({QF_BIAS!r} AS DOUBLE)))), 6) AS q_score
+          FROM base b LEFT JOIN z ON z.doc_id = b.doc_id
+        )
+        SELECT (q_score >= 0.5) AS model_keep,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               ROUND(avg(q_score), 4) AS mean_q_score,
+               min(doc_id) AS min_doc_id,
+               max(doc_id) AS max_doc_id
+        FROM scored GROUP BY 1 ORDER BY model_keep
+    """
+
+
+@query("stream_quality_filter", family="streaming", oracle=_stream_quality_oracle())
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE model-based filtering: arriving documents score against
+    the frozen hashed-BoW classifier INSIDE their scan task (the
+    quality_z_arrow kernel — tokens hash and weights fold locally, zero
+    shuffle per document, the shape an ingest filter runs at 100 TB)
+    and only the keep-rate monitor is stateful: ONE complete-mode
+    aggregate holding two rows. This is the online twin of
+    llm_hashed_quality_classifier — frozen weights shipped as constants,
+    identical on every executor and every microbatch, so the filter
+    decision for a document is independent of when it arrives. The
+    batch-twin oracle recomputes every score relationally; a stream
+    that dropped, duplicated, or mis-scored any document hash-fails.
+    The sigmoid + 6-dp rounding + 0.5 cut happen in Spark expressions
+    (JVM HALF_UP), not the kernel (numpy rounds half-even)."""
+    from syslog_kafka_spark.functions.text import tokens as _tokens
+    from syslog_kafka_spark.operators.quality import quality_z_arrow
+
+    raw = _stream_docs(spark, sf_dir)
+    scored_z = quality_z_arrow(
+        raw.select("doc_id", _tokens("text").alias("toks"))
+    )
+    q_score = F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6)
+    keep_counts = (
+        scored_z.select("doc_id", q_score.alias("q_score"))
+        .groupBy((F.col("q_score") >= 0.5).alias("model_keep"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("q_score"), 4).alias("mean_q_score"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+    return drain(keep_counts, mode="complete").orderBy("model_keep")

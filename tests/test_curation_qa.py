@@ -236,3 +236,28 @@ def test_simhash_kernel_parity_on_adversarial_text(spark):
     kern = {r.doc_id: r.simhash for r in simhash64(df).collect()}
     expr = {r.doc_id: r.simhash for r in simhash64_expr(df).collect()}
     assert kern == expr
+
+
+def test_quality_kernel_scores_match_relational_plan(spark, sf_dir):
+    """The scan-local scoring kernel (streaming shape) and the
+    relational batch plan must produce the SAME 6-dp score for every
+    document — same tokens, same hash, same weights; only the fold
+    order differs, which 6-dp rounding absorbs."""
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.operators.quality import quality_z_arrow
+    from syslog_kafka_spark.plans.curation_qa import llm_hashed_quality_classifier
+    from syslog_kafka_spark.sources.readers import load_tables
+
+    d = load_tables(spark, sf_dir).documents
+    z = quality_z_arrow(d.select("doc_id", tokens("text").alias("toks")))
+    kern = {
+        r.doc_id: r.q
+        for r in z.select(
+            "doc_id", F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6).alias("q")
+        ).collect()
+    }
+    batch = {
+        r.doc_id: r.q_score
+        for r in llm_hashed_quality_classifier(spark, sf_dir).collect()
+    }
+    assert kern == batch

@@ -255,3 +255,39 @@ def test_stream_hll_multibatch_register_merge(spark, sf_dir, duck, tmp_path):
         hll_estimate_columns(sk).orderBy("source"), duck, oracle,
         name="hll multibatch",
     )
+
+
+def test_stream_quality_filter_multibatch(spark, sf_dir, duck, tmp_path):
+    """Model-based filtering across ≥3 arrival batches: every document
+    scores identically regardless of which trigger delivered it, and the
+    two-row keep-rate state merges to the batch-twin oracle."""
+    from syslog_kafka_spark.functions.text import tokens as _tokens
+    from syslog_kafka_spark.operators.quality import quality_z_arrow
+
+    d = tmp_path / "docs_quality"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    scored_z = quality_z_arrow(raw.select("doc_id", _tokens("text").alias("toks")))
+    q_score = F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6)
+    keep_counts = (
+        scored_z.select("doc_id", q_score.alias("q_score"))
+        .groupBy((F.col("q_score") >= 0.5).alias("model_keep"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("q_score"), 4).alias("mean_q_score"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+    result, n_batches = _drain_counted(keep_counts, "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_quality_filter"].oracle
+    assert_matches_oracle(
+        result.orderBy("model_keep"), duck, oracle, name="quality multibatch"
+    )
