@@ -54,6 +54,25 @@ PROBE = [
     "llm_decontamination",
     # the r7 sf1 sweep outlier (scan-bound count-distinct over orders)
     "tpch_priority_wait_counts",
+    # r9 extension (r8 verdict item 5): the r8 additions not yet measured
+    # at two decades — the pair-volume-exposed LSH consumers, the frozen
+    # model/index queries, and the bounded-state streaming twins
+    "llm_dedup_threshold_sweep",
+    "llm_cluster_cohesion_audit",
+    "llm_minhash_jaccard_calibration",
+    "llm_ivf_pq_topk",
+    "llm_hashed_quality_classifier",
+    "stream_bloom_build",
+    "stream_hll_build",
+    "stream_quality_filter",
+    # r9 queries: the linear (label × IVF-list)-blocked near-dup sibling
+    # (vs llm_embedding_neardup's measured 108.9x quadratic), the digest
+    # that replaced the multiprobe collect in the bench, and the two new
+    # corpus passes
+    "llm_embedding_neardup_blocked",
+    "llm_simhash_pair_digest",
+    "llm_idf_topk_keywords",
+    "llm_perplexity_buckets",
 ]
 
 
@@ -86,7 +105,14 @@ def main() -> int:
             # call2's point is the warm session cache): at sf10 the
             # accumulated LSH bases of every prior query otherwise exhaust
             # the one local[*] heap (GCLocker crash on the 8g default).
-            spark.catalog.clearCache()
+            # r9: the engine's own LRU (operators/session_cache) now bounds
+            # growth in-band; this drop only resets warm-state between
+            # probe rows so each query's call1 is honestly cold-cache.
+            from syslog_kafka_spark.operators.session_cache import (
+                clear_session_caches,
+            )
+
+            clear_session_caches(spark)
 
     for q, r in results.items():
         r["ratio_warm"] = round(r["sf10_call2"] / r["sf1_call2"], 2)

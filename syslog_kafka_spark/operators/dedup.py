@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from syslog_kafka_spark.operators.session_cache import session_cache
 from syslog_kafka_spark.sources.readers import spread
 from syslog_kafka_spark.functions.hashes import hash64
 
@@ -230,24 +231,27 @@ def lsh_candidate_pairs(
     # spread() first: a single-file scan is ONE split, and the per-doc
     # hashing kernel parallelizes over splits — without the guard it runs
     # on one core (sources/readers.spread).
-    base = lsh_base_arrow(
-        spread(
-            df.select(
-                F.col(id_col).alias("_id"),
-                normalized(text_col).alias("_norm"),
-            )
-        ),
-        k,
-        n_hashes,
-    ).cache()
-    # Eager fill: the plan references base FOUR times (banded + two
-    # join-backs), and Spark submits those as concurrent map stages — on
-    # a cold cache each stage races to compute the kernel partitions
-    # (measured 36 s vs 16 s cold at sf1). One count() fills the cache in
-    # a single pass; the entry stays in the session CacheManager, so
-    # every same-plan query in the session (pairs, components,
-    # containment) still shares it.
-    base.count()
+    # Eager fill + LRU bound (operators/session_cache): the plan
+    # references base FOUR times (banded + two join-backs), and Spark
+    # submits those as concurrent map stages — on a cold cache each
+    # stage races to compute the kernel partitions (measured 36 s vs
+    # 16 s cold at sf1). session_cache fills it in a single pass and
+    # shares the entry with every same-plan query in the session
+    # (pairs, components, containment), while the LRU budget keeps a
+    # long session's working set bounded (the r8 sf10 sweep blew an
+    # 8 GiB driver heap on unbounded accumulation).
+    base = session_cache(
+        lsh_base_arrow(
+            spread(
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    normalized(text_col).alias("_norm"),
+                )
+            ),
+            k,
+            n_hashes,
+        )
+    )
 
     # band value = hash64 of the band's signature slice, exploded to
     # (band_idx, band_hash) rows: the LSH bucket key. Ids only — the
@@ -491,7 +495,7 @@ def connected_components(
     # whole LSH pipeline) from re-running per reference. Profiled at
     # sf0.1: the LSH edge build dominates (~7s warm); the propagation
     # rounds are job-overhead-bound (~4s for 3 rounds on a 477-node graph)
-    edges = edges.cache()
+    edges = session_cache(edges, eager=False)
     # pre-partition the symmetric edge list by the probe key: each
     # propagation round's join then reuses the cached partitioning and
     # only the (much smaller) label side shuffles
@@ -500,8 +504,8 @@ def connected_components(
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .repartition("dst")
-        .cache()
     )
+    sym = session_cache(sym, eager=False)
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -570,7 +574,7 @@ def simhash_neardup_multiprobe(
     # both sides of the self-join derive from this frame; without the
     # barrier the 60-aggregate simhash pass runs twice (checkpoint /
     # intermediate table at warehouse scale, same as minhash_lsh_pairs)
-    sims = simhash64(df, text_col, id_col).cache()
+    sims = session_cache(simhash64(df, text_col, id_col), eager=False)
     blocks = F.array(
         *[
             F.struct(

@@ -60,9 +60,17 @@ def quality_z_arrow(df: DataFrame, toks_col: str = "toks", id_col: str = "doc_id
                     continue
                 bs = np.fromiter((bucket(t) for t in tl), dtype=np.int64, count=len(tl))
                 ub, cnt = np.unique(bs, return_counts=True)  # bucket-sorted
-                zs[r] = float(QF_BIAS) + float(
-                    np.sum(W[ub] * (cnt.astype(np.float64) / len(tl)))
-                )
+                # Explicit left-to-right fold over the bucket-sorted terms
+                # (np.sum is PAIRWISE summation — a different rounding path
+                # that could land the odd z on the other side of a 5e-7
+                # boundary from the documented sequential convention).
+                # Cross-SHAPE parity with the relational plan's partial
+                # aggregate remains by 6-dp rounding, as documented below.
+                terms = W[ub] * (cnt.astype(np.float64) / len(tl))
+                acc = float(QF_BIAS)
+                for v in terms.tolist():
+                    acc += v
+                zs[r] = acc
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(zs, pa.float64())], [id_col, "z"]
             )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from syslog_kafka_spark.functions.hashes import hash64, hash64_sql
 from syslog_kafka_spark.functions.text import tokens
 from syslog_kafka_spark.operators.curation import ngram_hashes, ngram_hashes_sql
+from syslog_kafka_spark.operators.session_cache import session_cache
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
@@ -164,7 +165,15 @@ def llm_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8-byte hash; first-occurrence is a min window over gram_hash
     (no join-back — the flag is computed in the same pass); the decile
     assignment runs over the per-DOC aggregate (corpus-count rows, not
-    token-count). Linear end to end."""
+    token-count) and uses the range-partitioned global-rank recipe
+    (sort_global_range_partitioned): local row_number within disjoint
+    ordered partitions lifted by broadcast cumulative offsets, then the
+    exact ntile bucket-size formula on the global rank — an
+    unpartitioned ntile window would funnel every per-doc row through
+    ONE task, the serial stage that caps any 100 TB run. Linear end to
+    end; the only driver-side data is one count per partition. Ranks
+    are unique (doc_id), so deciles are independent of where the
+    sampled range bounds land."""
     d = load_tables(spark, sf_dir).documents
     g = ngram_hashes(d, n=_NOVELTY_N, salt="novel-v1").distinct()
     novel = (
@@ -179,9 +188,44 @@ def llm_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("novel").alias("n_novel"),
         )
     )
-    t = p.withColumn(
-        "decile", F.ntile(_NOVELTY_DECILES).over(Window.orderBy("doc_id"))
+    # localCheckpoint pins ONE materialization of the range exchange: the
+    # sampled range bounds are per-execution, so the counts pass and the
+    # ranking pass re-running it independently could place rows
+    # differently and corrupt the offsets.
+    parted = (
+        p.repartitionByRange(16, F.col("doc_id").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col("_pid"),
+    )
+    rank = (
+        F.row_number().over(Window.partitionBy("_pid").orderBy(F.col("doc_id").asc()))
+        + off_expr
+    ).cast("bigint")
+    # exact ntile(k) bucket sizes over N known ranks: the first N%k
+    # buckets hold N//k+1 rows, the rest N//k (SQL-standard; matches the
+    # oracle's ntile). Ranks < 2^50, so the floor-on-double is exact.
+    n_total = acc
+    sz, big = n_total // _NOVELTY_DECILES, n_total % _NOVELTY_DECILES
+    cut = (sz + 1) * big
+    decile = F.when(
+        F.lit(big > 0) & (rank <= F.lit(cut)),
+        F.floor((rank - 1) / F.lit(sz + 1)) + 1,
+    ).otherwise(F.floor((rank - 1 - F.lit(cut)) / F.lit(max(sz, 1))) + F.lit(big) + 1)
+    t = parted.withColumn("decile", decile.cast("int"))
     return (
         t.groupBy("decile")
         .agg(
@@ -786,10 +830,11 @@ def llm_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     spark_w = d.sparkSession.createDataFrame(
         [(i, float(w)) for i, w in enumerate(QF_WEIGHTS)], "bucket int, w double"
     )
-    base = d.select(
-        "doc_id", tokens("text").alias("toks"), F.length("text").alias("n_chars")
-    ).cache()
-    base.count()  # eager fill: token explode + per-doc stats both read it
+    base = session_cache(
+        d.select(
+            "doc_id", tokens("text").alias("toks"), F.length("text").alias("n_chars")
+        )
+    )  # eager fill: token explode + per-doc stats both read it
     tok = base.select(
         "doc_id", F.explode("toks").alias("tok"), F.size("toks").alias("n_toks")
     )

@@ -42,6 +42,7 @@ from syslog_kafka_spark.operators.dedup import (
     normalized,
     simhash_neardup_pairs,
 )
+from syslog_kafka_spark.operators.session_cache import session_cache
 from syslog_kafka_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
@@ -392,10 +393,10 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = (
         blocked.groupBy(*_BLOCK_COLS).agg(F.count("*").alias("_n")).filter(F.col("_n") >= 2)
     )
-    base = (
+    base = session_cache(
         blocked.join(eligible.select(*_BLOCK_COLS), list(_BLOCK_COLS), "left_semi")
-        .withColumn("sig", minhash_signature(char_shingles(F.col("norm"), 5), 16))
-        .cache()
+        .withColumn("sig", minhash_signature(char_shingles(F.col("norm"), 5), 16)),
+        eager=False,
     )
     a = base.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), *_BLOCK_COLS)
     b = base.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), *_BLOCK_COLS)
@@ -474,9 +475,95 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on the label column
     (cluster assignment) so the self-join stays keyed. Threshold 0.4 is
     calibrated to this corpus (random vectors: same-label max cosine
-    ≈0.47, so only genuinely-similar pairs surface)."""
+    ≈0.47, so only genuinely-similar pairs surface).
+
+    SMALL-CORPUS EXACT TIER. The label column has FIXED cardinality, so
+    block populations grow ~N/16 and the per-block all-pairs work grows
+    ~N² — measured 108.9× at sf1→sf10 (BENCH_SF10.md). At corpus scale
+    use llm_embedding_neardup_blocked, whose (label × frozen-IVF-list)
+    key refines every block by the quantizer so per-block work stays
+    bounded; this exact variant remains the within-label ground truth
+    the blocked tier's recall is priced against."""
     emb = load_tables(spark, sf_dir).embeddings
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def _embedding_neardup_blocked_oracle(threshold: float = 0.4) -> str:
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    nlist = len(IVF_CENTROIDS)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id,
+                 CAST(label AS BIGINT) * {nlist}
+                   + (list_position(sims, list_max(sims)) - 1) AS blk,
+                 v
+          FROM e WHERE label IS NOT NULL
+        )
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               CAST(round(list_dot_product(a.v, b2.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b2.v, b2.v))), 4) AS DOUBLE)
+                 AS cosine
+        FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+        WHERE list_dot_product(a.v, b2.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b2.v, b2.v))) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "llm_embedding_neardup_blocked",
+    family="llm",
+    oracle=_embedding_neardup_blocked_oracle(),
+)
+def llm_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the LINEAR blocking key: (label ×
+    frozen-IVF list). The exact tier (llm_embedding_neardup) blocks on
+    the fixed-cardinality label alone, so block populations — and the
+    per-block all-pairs term — grow ~N²/16 (measured 108.9× at
+    sf1→sf10). Refining each block by the frozen coarse quantizer's
+    argmax list (the same 16-centroid index the ANN tier and
+    llm_semantic_decontamination probe) bounds per-block occupancy: at
+    100 TB nlist grows ~√N (the FAISS rule), so blocks hold ~constant
+    rows and total pair work stays ~linear while the per-BLOCK
+    applyInPandas kernel (vectors cross Arrow once, numpy does the
+    block) is unchanged.
+
+    Semantics: exactness WITHIN the refined block — a same-label pair
+    whose members quantize to different IVF lists is not scanned, the
+    deliberate recall trade every blocked near-dup tier makes (the
+    exact tier prices it). Deterministic and hash-gated: the frozen
+    centroid dots ride the bit-parity pandas UDF (accumulated one
+    dimension at a time, identical to the oracle's literal chains), and
+    the argmax/blk arithmetic is integer-exact on both engines."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+
+    emb = load_tables(spark, sf_dir).embeddings
+    sims = frozen_sims_udf(IVF_CENTROIDS)
+    blocked = (
+        emb.filter(F.col("label").isNotNull())
+        .withColumn("_sims", sims(F.col("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                F.col("label").cast("bigint") * len(IVF_CENTROIDS)
+                + (F.array_position("_sims", F.array_max("_sims")) - 1)
+            ).alias("blk"),
+        )
+    )
+    return embedding_neardup_pairs(blocked, label_col="blk", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _lsh_pairs_cte(
@@ -687,19 +774,83 @@ def _simhash_multiprobe_oracle(
     """
 
 
-@query("llm_simhash_multiprobe", family="llm", oracle=_simhash_multiprobe_oracle())
+@query(
+    "llm_simhash_multiprobe",
+    family="llm",
+    oracle=_simhash_multiprobe_oracle(),
+    bench=False,
+)
 def llm_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SimHash near-dup (4 rotation tables): recovers pairs
     whose differing bits fall inside the single-table prefix window —
     recall → 1 for hamming ≪ 60/tables while every join stays bucketed.
     Hash-gated end-to-end: the rotations are plain shift/mask arithmetic,
-    identical in both engines."""
+    identical in both engines.
+
+    bench=False: hamming ≤ 12 is deliberately loose, so the verified
+    pair SET is huge (5.3 M rows at sf1) and a timed collect measures
+    harness output transfer, not the operator (kernel-profiled: the
+    pipeline re-counts in 1.5 s warm at sf1). The benched quantity is
+    llm_simhash_pair_digest — the same pipeline aggregated to one row
+    per hamming distance, which is what a 100 TB run would materialize."""
     from syslog_kafka_spark.operators.dedup import simhash_neardup_multiprobe
 
     d = load_tables(spark, sf_dir).documents
     return simhash_neardup_multiprobe(
         d, max_hamming=12, prefix_bits=12, tables=4
     ).orderBy("id_a", "id_b")
+
+
+def _simhash_pair_digest_oracle() -> str:
+    """ROLLUP over the multiprobe pair query: per-hamming pair counts +
+    id-sum checksums, total row keyed hamming = -1."""
+    inner = _simhash_multiprobe_oracle()
+    return f"""
+        WITH pair_set AS ({inner})
+        SELECT coalesce(hamming, -1) AS hamming,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(id_a) AS BIGINT) AS sum_id_a,
+               CAST(sum(id_b) AS BIGINT) AS sum_id_b
+        FROM pair_set
+        GROUP BY ROLLUP (hamming)
+        ORDER BY hamming
+    """
+
+
+@query("llm_simhash_pair_digest", family="llm", oracle=_simhash_pair_digest_oracle())
+def llm_simhash_pair_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiprobe near-dup DIGEST: per-hamming-distance pair counts
+    with id-sum checksums plus a total row (hamming = -1, via ROLLUP).
+    This is the benched face of the multiprobe pipeline: the full pair
+    set is 5.3 M rows at sf1 — downstream consumers (threshold tuning,
+    recall audits) read exactly this digest, and a 100 TB run would
+    never collect the raw pairs to one node. The checksums make the
+    gate as strong as hashing the pair set itself short of ordering:
+    any missing/extra/mis-distanced pair shifts a count or an id sum.
+
+    Plan shape: identical banded self-join as the pair query (shared
+    session-cached signature base), then a 13-group partial-aggregated
+    rollup — map-side combine collapses the pair volume inside each
+    task, so the final shuffle is #partitions × 14 rows."""
+    from syslog_kafka_spark.operators.dedup import simhash_neardup_multiprobe
+
+    d = load_tables(spark, sf_dir).documents
+    pairs = simhash_neardup_multiprobe(d, max_hamming=12, prefix_bits=12, tables=4)
+    return (
+        pairs.rollup("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("id_a").cast("bigint").alias("sum_id_a"),
+            F.sum("id_b").cast("bigint").alias("sum_id_b"),
+        )
+        .select(
+            F.coalesce(F.col("hamming"), F.lit(-1)).cast("int").alias("hamming"),
+            "n_pairs",
+            "sum_id_a",
+            "sum_id_b",
+        )
+        .orderBy("hamming")
+    )
 
 
 def _ann_srp_oracle() -> str:
@@ -1319,7 +1470,9 @@ def _repetition_metrics(docs: DataFrame) -> DataFrame:
     # unigram and bigram branches both consume this projection; the
     # barrier keeps the corpus scan + tokenize single-pass (checkpoint at
     # warehouse scale)
-    base = docs.select("doc_id", tokens("text").alias("_toks")).cache()
+    base = session_cache(
+        docs.select("doc_id", tokens("text").alias("_toks")), eager=False
+    )
     uni = (
         base.select("doc_id", F.explode("_toks").alias("term"))
         .groupBy("doc_id", "term")
@@ -1417,7 +1570,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     # survivors feed both the metrics pass and the lang join-back; the
     # barrier keeps the dedup (2 scans of documents) from running twice
-    surv = exact_dedup(d).cache()
+    surv = session_cache(exact_dedup(d), eager=False)
     rep = _repetition_metrics(surv)
     kept = rep.filter(
         (F.col("top_token_frac") <= 0.18) & (F.col("dup_bigram_frac") <= 0.1)
@@ -1466,11 +1619,11 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     # referenced by both the vocab build and the scoring join — barrier
     # makes the explode+count single-pass over the corpus
-    tok = (
+    tok = session_cache(
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("dc"))
-        .cache()
+        .agg(F.count("*").alias("dc")),
+        eager=False,
     )
     vocab = tok.groupBy("term").agg(F.sum("dc").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
@@ -1767,7 +1920,9 @@ def llm_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One tokenize+hash pass feeds both splits (cache barrier; checkpoint
     # at cluster scale), mirroring the single `g` CTE in the oracle.
-    grams = ngram_hashes(labeled, n=13, salt="decon-v1", carry=("split",)).cache()
+    grams = session_cache(
+        ngram_hashes(labeled, n=13, salt="decon-v1", carry=("split",)), eager=False
+    )
     test_g = grams.filter(F.col("split") == "test").select("doc_id", "gram_hash").distinct()
     train_g = grams.filter(F.col("split") == "train").select("gram_hash").distinct()
     totals = test_g.groupBy("doc_id").agg(F.count("*").alias("n_test_grams"))

@@ -31,6 +31,7 @@ from syslog_kafka_spark.functions.text import (
     token_count,
     tokens,
 )
+from syslog_kafka_spark.operators.session_cache import session_cache
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
@@ -234,6 +235,8 @@ def llm_chunk_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M = 65536  # filter positions (8 KB of bits)
 _BLOOM_K = 3  # probes per gram
 _BLOOM_N = 8  # gram width
+if _BLOOM_M & (_BLOOM_M - 1):  # bloom_position_array derives h2 by shiftright
+    raise ValueError("_BLOOM_M must be a power of two")
 
 
 def _bloom_pos_sql(h: str, i: int) -> str:
@@ -247,12 +250,18 @@ def _bloom_pos_sql(h: str, i: int) -> str:
 
 def bloom_position_array(h: Column = None) -> Column:
     """Kirsch–Mitzenmacher probe positions (k per gram) as an array
-    Column over ``gram_hash`` — the Spark twin of :func:`_bloom_pos_sql`,
-    shared by the batch decontamination build and the streaming filter
-    build so both route every gram to the identical bit positions."""
+    Column over the 60-bit gram hash — the Spark twin of
+    :func:`_bloom_pos_sql`, shared by the batch decontamination build and
+    the streaming filter build so both route every gram to the identical
+    bit positions. Both h1 and h2 derive from the PASSED column (h2 via
+    shiftright — exact integer div-by-2^16 for the non-negative 60-bit
+    hash family, where a float division would lose bits above 2^53), so
+    a caller handing a custom column can't silently mix hash sources."""
     h = F.col("gram_hash") if h is None else h
     h1 = F.pmod(h, F.lit(_BLOOM_M))
-    h2 = F.pmod(F.expr(f"gram_hash div {_BLOOM_M}"), F.lit(_BLOOM_M))
+    h2 = F.pmod(
+        F.shiftright(h.cast("bigint"), _BLOOM_M.bit_length() - 1), F.lit(_BLOOM_M)
+    )
     return F.array(
         *[F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_M)) for i in range(_BLOOM_K)]
     )
@@ -339,8 +348,9 @@ def llm_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = d.select("doc_id", "text", hash_split("doc_id").alias("split")).filter(
         F.col("split") != "val"
     )
-    grams = ngram_hashes(labeled, n=_BLOOM_N, salt="bloom-v1", carry=("split",)).cache()
-    grams.count()  # eager fill: 4 consumers (2 position sets + exact join sides)
+    grams = session_cache(
+        ngram_hashes(labeled, n=_BLOOM_N, salt="bloom-v1", carry=("split",))
+    )  # eager fill: 4 consumers (2 position sets + exact join sides)
     pos_arr = bloom_position_array()
 
     train_g = grams.filter(F.col("split") == "train").select("gram_hash").distinct()
@@ -455,13 +465,11 @@ def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds the 4 bucket tables AND the top-k), 4 vocab→2048 aggregates,
     one TakeOrdered top-k, broadcast joins only."""
     d = load_tables(spark, sf_dir).documents
-    tc = (
+    tc = session_cache(
         d.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .cache()
-    )
-    tc.count()  # eager fill: 5 consumers (top-k + 4 bucket tables) race cold
+    )  # eager fill: 5 consumers (top-k + 4 bucket tables) race cold
 
     def bucket(col: str, r: int):
         return F.pmod(hash64(col, salt=f"cms-r{r}"), F.lit(_CMS_W))
@@ -884,13 +892,11 @@ def llm_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-source window for the bottom-k, then everything downstream
     operates on ≤#sources×256 values."""
     d = load_tables(spark, sf_dir).documents
-    tok = (
+    tok = session_cache(
         d.select("source", F.explode(tokens("text")).alias("term"))
         .select("source", hash64("term", salt="kmv-v1").alias("h"))
         .distinct()
-        .cache()
-    )
-    tok.count()  # eager fill: 4 consumers race a cold cache
+    )  # eager fill: 4 consumers race a cold cache
     rk = tok.withColumn(
         "r", F.row_number().over(Window.partitionBy("source").orderBy("h"))
     )
@@ -1182,9 +1188,10 @@ def llm_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lst"),
             norm_expr(F.col("embedding")).alias("nrm"),
         )
-        .cache()
     )
-    assigned.count()  # eager fill: train + test consumers race a cold cache
+    assigned = session_cache(
+        assigned
+    )  # eager fill: train + test consumers race a cold cache
     train = assigned.filter(F.col("split") == "train").select(
         F.col("vec_id").alias("train_id"),
         F.col("embedding").alias("_tv"),
@@ -1518,13 +1525,11 @@ def llm_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.operators.curation import ngram_hashes
 
     d = load_tables(spark, sf_dir).documents
-    g = (
+    g = session_cache(
         ngram_hashes(d, n=_OVERLAP_N, salt="overlap-v1", carry=("source",))
         .select("source", "gram_hash")
         .distinct()
-        .cache()
-    )
-    g.count()  # eager fill: 3 consumers below would race a cold cache
+    )  # eager fill: 3 consumers below would race a cold cache
     c = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams")).cache()
     a, b = g.alias("a"), g.alias("b")
     sh = (
@@ -1792,13 +1797,11 @@ def llm_scale_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc("score"), F.desc("n_chars"), F.asc("doc_id")
         )
     )
-    s3 = (
+    s3 = session_cache(
         s2.withColumn("rk", rk)
         .filter(F.col("rk") == 1)
         .select("doc_id", "source", "n_tokens", "bucket")
-        .cache()
-    )
-    s3.count()  # eager fill: stage agg + masses + mixture filter consume it
+    )  # eager fill: stage agg + masses + mixture filter consume it
     per = s3.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("src_tokens")
     )

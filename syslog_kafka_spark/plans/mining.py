@@ -230,3 +230,181 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_KW_TOPK = 3
+
+
+@query(
+    "llm_idf_topk_keywords",
+    family="llm",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+        ), scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, term,
+               CAST(score AS DOUBLE) AS score
+        FROM ranked WHERE rank <= {_KW_TOPK}
+        ORDER BY doc_id, rank
+    """,
+)
+def llm_idf_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — the keyword-extraction pass a
+    curation pipeline runs to tag/route documents (topic bucketing,
+    source diagnostics) without a model. idf = ln((N+1)/(df+1)) (the
+    smoothed sklearn-style form, exact in double on both engines), score
+    rounded at 6 dp BEFORE ranking with a term tiebreak, so rank order
+    is engine-independent even when two terms tie at the last ulp.
+
+    Distributed shape: one (doc, term) hash-agg (map-side combined),
+    one term-keyed df aggregate joined back ON TERM (co-partitioned with
+    the tf frame — no broadcast needed, the vocabulary can exceed
+    broadcast size at 100 TB), the N scalar broadcast, and the top-k
+    window partitioned BY DOC — thousands of parallel partitions, no
+    global window anywhere. Spark plans the rank<=k filter as
+    WindowGroupLimit, so each task keeps k rows per doc, not the full
+    term list."""
+    d = load_tables(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    ranked = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("rank") <= _KW_TOPK)
+    )
+    return ranked.select(
+        "doc_id", F.col("rank").cast("int").alias("rank"), "term", "score"
+    ).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucket fluency funnel (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+# Pinned on the 4-dp-ROUNDED per-doc mean bigram NLL (the hash-gated
+# llm_bigram_logprob statistic): head < 3.37 <= middle < 3.40 <= tail —
+# the sf0.01 terciles, frozen as literals so the bucket decision is a
+# comparison between two exactly-reproducible numbers on both engines
+# (the 6-dp-pinned-probability rule, applied at this statistic's 4 dp).
+_PPL_HEAD = 3.37
+_PPL_MID = 3.40
+
+
+@query(
+    "llm_perplexity_buckets",
+    family="llm",
+    oracle=f"""
+        WITH doc_big AS (
+          SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1
+          FROM ({_BIGRAMS_SQL})
+        ),
+        c12 AS (SELECT bigram, count(*) AS c12 FROM doc_big GROUP BY bigram),
+        c1 AS (SELECT w1, count(*) AS c1 FROM doc_big GROUP BY w1),
+        per AS (
+          SELECT d.doc_id, count(*) AS n_bigrams,
+                 round(avg(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS mean_nll
+          FROM doc_big d
+          JOIN c12 ON c12.bigram = d.bigram
+          JOIN c1 ON c1.w1 = d.w1
+          GROUP BY d.doc_id
+        )
+        SELECT CASE WHEN mean_nll < CAST({_PPL_HEAD} AS DOUBLE) THEN 'head'
+                    WHEN mean_nll < CAST({_PPL_MID} AS DOUBLE) THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+               CAST(round(avg(mean_nll), 6) AS DOUBLE) AS mean_bucket_nll,
+               CASE WHEN mean_nll < CAST({_PPL_MID} AS DOUBLE) THEN TRUE
+                    ELSE FALSE END AS kept
+        FROM per
+        GROUP BY 1, 5 ORDER BY bucket
+    """,
+)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency funnel: per-doc mean bigram NLL under the
+    corpus LM (the llm_bigram_logprob statistic, here over EVERY doc),
+    split into head/middle/tail by pinned thresholds on the 4-dp-ROUNDED
+    score, with head+middle kept — the filter decision CCNet makes with
+    a 5-gram KenLM, at bigram order so the arithmetic is exactly
+    engine-reproducible. Bucket thresholds are frozen corpus terciles
+    (a real pipeline re-fits them per crawl snapshot and freezes them
+    into the filter config, exactly as here).
+
+    Distributed shape: corpus counts aggregate once (term- and
+    bigram-keyed, map-side combined), join back to doc bigrams on the
+    same keys (co-partitioned, no broadcast of the unbounded vocab),
+    one per-doc hash-agg, then a 3-row rollup — no global window, no
+    driver-side state; the funnel output is O(1) regardless of corpus
+    size."""
+    d = load_tables(spark, sf_dir).documents
+    base = spread(d.select("doc_id", tokens("text").alias("_toks")))
+    doc_big = base.select(
+        "doc_id", F.explode(_bigrams_col()).alias("bigram")
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    c12 = doc_big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = doc_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
+    per = (
+        doc_big.join(c12, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("mean_nll"),
+        )
+    )
+    bucket = (
+        F.when(F.col("mean_nll") < F.lit(_PPL_HEAD), "head")
+        .when(F.col("mean_nll") < F.lit(_PPL_MID), "middle")
+        .otherwise("tail")
+    )
+    return (
+        per.groupBy(
+            bucket.alias("bucket"),
+            (F.col("mean_nll") < F.lit(_PPL_MID)).alias("kept"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.round(F.avg("mean_nll"), 6).alias("mean_bucket_nll"),
+        )
+        .select(
+            "bucket", "n_docs", "total_bigrams", "mean_bucket_nll", "kept"
+        )
+        .orderBy("bucket")
+    )

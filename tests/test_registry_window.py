@@ -48,6 +48,10 @@ def test_every_no_oracle_query_names_a_hash_gated_twin():
         assert twin, f"{name}: oracle=None requires gated_twin"
         if "::" in twin:
             path, test_name = twin.split("::", 1)
+            # anchor to the repo root so pytest run from any CWD resolves
+            # the twin file (twin paths are repo-relative by convention)
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            path = os.path.join(root, path)
             assert os.path.exists(path), f"{name}: twin file {path} missing"
             with open(path) as fh:
                 assert f"def {test_name}(" in fh.read(), (
