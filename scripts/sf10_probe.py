@@ -42,12 +42,15 @@ PROBE = [
     "llm_length_quantile_sketch",
     "llm_bloom_decontamination",
     # banded dedup / LSH: candidate space bounded by buckets, ~linear
+    # (llm_simhash_multiprobe left the probe in r9: its timed collect of
+    # the raw pair set measures output transfer, not the operator — the
+    # digest twin below is the benched face and carries the sf10 row;
+    # llm_embedding_neardup likewise: its 108.9x quadratic is measured
+    # and root-caused in BENCH_SF10.md r8, and the linear blocked
+    # sibling below is the tier whose scaling matters now)
     "llm_minhash_lsh_pairs",
     "llm_dedup_then_lsh",
     "llm_containment_neardup",
-    "llm_simhash_multiprobe",
-    # block-kernel pair scans: quadratic WITHIN fixed label blocks
-    "llm_embedding_neardup",
     # linear window / join pipelines (r8 additions + the exact join)
     "llm_repeated_span_removal",
     "llm_ngram_novelty_curve",
@@ -73,6 +76,8 @@ PROBE = [
     "llm_simhash_pair_digest",
     "llm_idf_topk_keywords",
     "llm_perplexity_buckets",
+    "llm_bpe_merge_candidates",
+    "llm_ivf_refit_drift_audit",
 ]
 
 

@@ -11,13 +11,25 @@ r8 sf10 sweep needed a 48 GiB driver heap plus manual
 ``catalog.clearCache()`` between queries (BENCH_SF10.md). A real
 long-lived session needs an unpersist policy, not a bigger heap.
 
-:func:`session_cache` is that policy: an LRU of cached frames keyed by
-Catalyst's ``semanticHash`` of the analyzed plan, per session (weakly
-referenced, so a stopped session drops its registry). Hitting the entry
-budget unpersists the least-recently-used frame (non-blocking — Spark
-drops its blocks lazily). Re-requesting an evicted plan simply re-caches
-and re-fills it, so eviction is a performance event, never a
-correctness one.
+:func:`session_cache` is that policy: an LRU of eviction HANDLES keyed
+by Catalyst's ``semanticHash`` of the analyzed plan, per session
+(weakly referenced, so a stopped session drops its registry). Hitting
+the entry budget unpersists the least-recently-used frame BEFORE the
+new one is filled, so the persisted peak never exceeds the budget.
+Re-requesting an evicted plan simply re-caches and re-fills it —
+eviction is a performance event, never a correctness one.
+
+Storage identity and output naming belong to Spark's CacheManager, not
+this module: every call returns the CALLER's own ``df.cache()`` (the
+CacheManager dedups storage across ``sameResult`` plans and remaps
+output attributes itself), never a previously stored DataFrame —
+canonicalization strips alias names, so handing back another call's
+frame could surface the wrong column names for a semantically-equal
+plan. The LRU stores one representative frame per hash purely as the
+unpersist handle. The eager fill runs on every call: on an
+already-persisted entry it is a cheap cached count, and it transparently
+re-fills an entry some outside actor (``catalog.clearCache()``, a
+manual ``unpersist``) dropped behind our back.
 
 On a 1000-executor cluster the same policy applies to executor storage
 memory: each cached base is a materialized intermediate a warehouse
@@ -49,33 +61,38 @@ def _budget() -> int:
 
 
 def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
-    """Cache ``df`` with session-LRU eviction; eagerly fill by default.
+    """Cache ``df`` under the session LRU budget; eagerly fill by default.
 
-    Same-plan calls (Catalyst ``semanticHash`` of the analyzed plan)
-    return the already-cached frame and skip the eager fill — cheaper
-    than the raw ``.cache(); .count()`` idiom it replaces, which
-    re-counted on every call. Exceeding the entry budget unpersists the
-    least-recently-used frame (non-blocking).
+    Returns ``df.cache()`` itself — storage dedup across same-plan calls
+    is the CacheManager's job (``sameResult`` + attribute remap), and the
+    caller always sees its own column names. The LRU only bounds how many
+    distinct plans stay persisted, evicting the least-recently-used via
+    non-blocking unpersist BEFORE the incoming frame is materialized.
     """
     spark = df.sparkSession
     lru: OrderedDict = _LRU.setdefault(spark, OrderedDict())
     key = df._jdf.queryExecution().analyzed().semanticHash()
-    hit = lru.get(key)
-    if hit is not None:
-        lru.move_to_end(key)
-        return hit
     cached = df.cache()
-    if eager:
-        # Eager fill: concurrent downstream stages race a cold cache and
-        # each recompute the plan; one count() fills it in a single pass.
-        cached.count()
+    # Re-register (or register) this plan as most-recently-used. The
+    # stored frame is only the eviction handle; unpersisting it drops the
+    # storage shared by every sameResult plan.
+    lru.pop(key, None)
     lru[key] = cached
+    # Evict BEFORE the eager fill so the persisted peak stays at the
+    # budget — filling first would transiently hold budget+1 corpus-sized
+    # frames, exactly the spike the policy exists to prevent.
     while len(lru) > _budget():
         _, evicted = lru.popitem(last=False)
         try:
             evicted.unpersist(blocking=False)
         except Exception:
             pass  # session shutting down mid-evict is fine
+    if eager:
+        # Eager fill: concurrent downstream stages race a cold cache and
+        # each recompute the plan; one count() fills it in a single pass.
+        # On an already-persisted entry this is a cheap cached count, and
+        # it re-fills an entry an outside clearCache() dropped.
+        cached.count()
     return cached
 
 

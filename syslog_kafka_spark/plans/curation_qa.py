@@ -1077,3 +1077,118 @@ def llm_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF re-fit drift audit (quantizer staleness)
+# ---------------------------------------------------------------------------
+
+
+def _ivf_refit_drift_oracle() -> str:
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    frozen_rows = ", ".join(
+        f"({lst}, {dim}, CAST({val!r} AS DOUBLE))"
+        for lst, c in enumerate(IVF_CENTROIDS)
+        for dim, val in enumerate(c)
+    )
+    return f"""
+        WITH a0 AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims
+          FROM embeddings
+        ), asg AS (
+          SELECT vec_id, v,
+                 CAST(list_position(sims, list_max(sims)) - 1 AS INT) AS lst
+          FROM a0
+        ), long AS (
+          SELECT lst, d.i - 1 AS dim, v[d.i] AS val
+          FROM asg, generate_series(1, {len(IVF_CENTROIDS[0])}) AS d(i)
+        ), refit AS (
+          SELECT lst, dim,
+                 round(avg(val), 6) + 0.0 AS mean_d,
+                 count(*) AS n
+          FROM long GROUP BY lst, dim
+        ), frozen(lst, dim, c) AS (
+          VALUES {frozen_rows}
+        ), per_dim AS (
+          SELECT r.lst, r.mean_d - f.c AS delta, r.n
+          FROM refit r JOIN frozen f ON f.lst = r.lst AND f.dim = r.dim
+        )
+        SELECT lst,
+               CAST(max(n) AS BIGINT) AS n_members,
+               CAST(round(sqrt(sum(delta * delta)), 6) AS DOUBLE) AS drift,
+               CAST(round(max(abs(delta)), 6) AS DOUBLE) AS max_dim_shift
+        FROM per_dim GROUP BY lst ORDER BY lst
+    """
+
+
+@query(
+    "llm_ivf_refit_drift_audit",
+    family="llm",
+    oracle=_ivf_refit_drift_oracle(),
+)
+def llm_ivf_refit_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-staleness audit: one Lloyd refit step against the FROZEN
+    IVF coarse quantizer — per list, the distance between the frozen
+    centroid and the mean of the vectors currently assigned to it (plus
+    the worst single-dimension shift). This is the number that decides
+    when the blocked near-dup / ANN / decontamination tier must re-fit
+    its index: drift near zero says the frozen lists still describe the
+    corpus; growing drift says new data has moved the density and block
+    occupancy (and recall) will degrade. The sequential outer loop of a
+    full k-means re-fit belongs offline (scripts/fit_ann_structures.py);
+    its INNER step is exactly this job.
+
+    Distributed shape: assignment rides the bit-parity frozen-sims
+    pandas UDF (one corpus pass); the per-(list, dim) mean is a
+    posexplode + partial-aggregated hash-agg whose shuffle is
+    #partitions × (nlist × dim) rows — independent of corpus size; the
+    frozen centroids join back from a 1024-row broadcast frame (built
+    with createDataFrame, never a 1024-literal Catalyst tree — the r6
+    planning trap); the final rollup is 16 rows. Means are rounded at
+    6 dp with the +0.0 signed-zero guard BEFORE the drift arithmetic,
+    so both engines difference identical numbers."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+
+    emb = load_tables(spark, sf_dir).embeddings
+    sims = frozen_sims_udf(IVF_CENTROIDS)
+    asg = emb.select(
+        "embedding",
+        sims(F.col("embedding")).alias("_sims"),
+    ).select(
+        "embedding",
+        (F.array_position("_sims", F.array_max("_sims")) - 1)
+        .cast("int")
+        .alias("lst"),
+    )
+    long = asg.select(
+        "lst", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnRenamed("pos", "dim").withColumnRenamed("col", "val")
+    refit = long.groupBy("lst", "dim").agg(
+        (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("mean_d"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    frozen = spark.createDataFrame(
+        [
+            (lst, dim, float(val))
+            for lst, c in enumerate(IVF_CENTROIDS)
+            for dim, val in enumerate(c)
+        ],
+        "lst int, dim int, c double",
+    )
+    per_dim = refit.join(F.broadcast(frozen), ["lst", "dim"]).select(
+        "lst", (F.col("mean_d") - F.col("c")).alias("delta"), "n"
+    )
+    return (
+        per_dim.groupBy("lst")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.round(F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6).alias("drift"),
+            F.round(F.max(F.abs("delta")), 6).alias("max_dim_shift"),
+        )
+        .orderBy("lst")
+    )

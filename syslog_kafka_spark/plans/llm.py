@@ -1021,12 +1021,13 @@ def llm_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 6.5s → 0.5s at sf0.1 for this query)."""
     d = load_tables(spark, sf_dir).documents
     base = d.select(tokens("text").alias("_toks"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0))),
-        lambda i: F.concat(
-            F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
-        ),
-    )
+    # shared guarded builder (plans.mining): sequence(1, 0) DESCENDS to
+    # [1, 0], so a <2-token doc would index past the array under ANSI;
+    # the builder's empty-array branch matches the oracle's empty
+    # generate_series(1, 0)
+    from syslog_kafka_spark.plans.mining import _bigrams_col
+
+    bigrams = _bigrams_col()
     return (
         base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -1481,12 +1482,10 @@ def _repetition_metrics(docs: DataFrame) -> DataFrame:
     unistats = uni.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"), F.max("c").alias("top_cnt")
     )
-    bigram_expr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0))),
-        lambda i: F.concat(
-            F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
-        ),
-    )
+    # shared guarded builder — same <2-token rationale as llm_word_bigrams
+    from syslog_kafka_spark.plans.mining import _bigrams_col
+
+    bigram_expr = _bigrams_col()
     big = (
         base.select("doc_id", F.explode(bigram_expr).alias("bigram"))
         .groupBy("doc_id", "bigram")

@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from syslog_kafka_spark.functions.hashes import hash64, hash64_sql
 from syslog_kafka_spark.functions.text import tokens
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables, spread
@@ -30,11 +31,20 @@ _TOKENS_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t
 # (no explode until the final aggregation; see llm_word_bigrams for the
 # CSE rationale behind materializing tokens first).
 def _bigrams_col():
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0))),
+    # Guarded for <2-token documents: F.sequence(1, 0) DESCENDS to [1, 0]
+    # (it does not produce an empty array), so the unguarded transform
+    # would index past the token array and throw under ANSI — while the
+    # DuckDB twin's generate_series(1, 0) is empty and quietly skips the
+    # doc. The empty-array branch makes both engines drop such docs at
+    # the explode.
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
         lambda i: F.concat(
             F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
         ),
+    )
+    return F.when(F.size("_toks") >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -330,17 +340,23 @@ _PPL_MID = 3.40
     family="llm",
     oracle=f"""
         WITH doc_big AS (
-          SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1
+          SELECT doc_id, {hash64_sql('bigram', salt='ppl-v1')} AS gram_h,
+                 {hash64_sql("split_part(bigram, ' ', 1)", salt='ppl-v1')} AS w1_h
           FROM ({_BIGRAMS_SQL})
         ),
-        c12 AS (SELECT bigram, count(*) AS c12 FROM doc_big GROUP BY bigram),
-        c1 AS (SELECT w1, count(*) AS c1 FROM doc_big GROUP BY w1),
+        db AS (
+          SELECT doc_id, gram_h, w1_h, count(*) AS k
+          FROM doc_big GROUP BY doc_id, gram_h, w1_h
+        ),
+        c12 AS (SELECT gram_h, sum(k) AS c12 FROM db GROUP BY gram_h),
+        c1 AS (SELECT w1_h, sum(k) AS c1 FROM db GROUP BY w1_h),
         per AS (
-          SELECT d.doc_id, count(*) AS n_bigrams,
-                 round(avg(-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4) AS mean_nll
-          FROM doc_big d
-          JOIN c12 ON c12.bigram = d.bigram
-          JOIN c1 ON c1.w1 = d.w1
+          SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+                 round(sum(d.k * (-ln(CAST(c12.c12 AS DOUBLE) / c1.c1)))
+                       / sum(d.k), 4) AS mean_nll
+          FROM db d
+          JOIN c12 USING (gram_h)
+          JOIN c1 USING (w1_h)
           GROUP BY d.doc_id
         )
         SELECT CASE WHEN mean_nll < CAST({_PPL_HEAD} AS DOUBLE) THEN 'head'
@@ -365,27 +381,39 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a real pipeline re-fits them per crawl snapshot and freezes them
     into the filter config, exactly as here).
 
-    Distributed shape: corpus counts aggregate once (term- and
-    bigram-keyed, map-side combined), join back to doc bigrams on the
-    same keys (co-partitioned, no broadcast of the unbounded vocab),
-    one per-doc hash-agg, then a 3-row rollup — no global window, no
-    driver-side state; the funnel output is O(1) regardless of corpus
-    size."""
+    Distributed shape (reworked after the r9 sf10 probe measured the
+    occurrence-level string-keyed version at 18.9× on 10× data): the
+    token stream collapses FIRST into per-(doc, bigram) occurrence
+    counts keyed by 60-bit hashes (one map-side-combined aggregate; the
+    bigram/head strings never leave their scan task), the corpus LM
+    counts derive from that same pre-aggregate by re-summing k, and the
+    two join-backs move (doc_id, gram_h, w1_h, k) rows — fixed-width,
+    distinct-bigram volume instead of token-stream volume. Per-doc mean
+    is the k-weighted sum (identical formula on both engines), then the
+    3-row rollup — no global window, no driver-side state; the funnel
+    output is O(1) regardless of corpus size."""
     d = load_tables(spark, sf_dir).documents
     base = spread(d.select("doc_id", tokens("text").alias("_toks")))
     doc_big = base.select(
         "doc_id", F.explode(_bigrams_col()).alias("bigram")
-    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-    c12 = doc_big.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = doc_big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ).select(
+        "doc_id",
+        hash64("bigram", salt="ppl-v1").alias("gram_h"),
+        hash64(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)), salt="ppl-v1").alias("w1_h"),
+    )
+    db = doc_big.groupBy("doc_id", "gram_h", "w1_h").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    c12 = db.groupBy("gram_h").agg(F.sum("k").alias("c12"))
+    c1 = db.groupBy("w1_h").agg(F.sum("k").alias("c1"))
     nll = -F.log(F.col("c12").cast("double") / F.col("c1"))
     per = (
-        doc_big.join(c12, "bigram")
-        .join(c1, "w1")
+        db.join(c12, "gram_h")
+        .join(c1, "w1_h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(nll), 4).alias("mean_nll"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * nll) / F.sum("k"), 4).alias("mean_nll"),
         )
     )
     bucket = (
@@ -408,3 +436,77 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer-training step 1)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+@query(
+    "llm_bpe_merge_candidates",
+    family="llm",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS freq FROM tok GROUP BY word
+        ), pairs AS (
+          SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                        i -> substring(word, i, 2))) AS pair,
+                 freq
+          FROM vocab WHERE length(word) >= 2
+        ), agg AS (
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS freq
+          FROM pairs GROUP BY pair
+        ), ranked AS (
+          SELECT pair, freq,
+                 row_number() OVER (ORDER BY freq DESC, pair) AS rank
+          FROM agg
+        )
+        SELECT CAST(rank AS INT) AS rank, pair, freq
+        FROM ranked WHERE rank <= {_BPE_TOPK}
+        ORDER BY rank
+    """,
+)
+def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training merge step: corpus-weighted adjacent
+    character-pair frequencies, top-20 merge candidates. This is the
+    inner statistic every BPE/WordPiece trainer iterates on; one step is
+    the honest distributed demo (later steps depend on the chosen merge
+    — an inherently sequential outer loop whose INNER count is exactly
+    this job re-run on the rewritten vocab).
+
+    Distributed shape — the key move is counting pairs over the VOCAB,
+    not the corpus: the word-frequency aggregate (map-side combined)
+    collapses the token stream first, then the character-pair explode
+    runs over distinct words weighted by freq, so pair-explode volume is
+    vocab-sized (sublinear in corpus) rather than token-stream-sized.
+    The final ranking window is global but runs over the pair AGGREGATE
+    — bounded by |alphabet|² rows regardless of corpus size, so the
+    single-partition stage holds ≤ a few hundred rows. Ranking ties
+    break on the pair string; counts are exact integers, so the gate
+    has no float surface at all."""
+    d = load_tables(spark, sf_dir).documents
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("freq"))
+    ranked = agg.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("pair"))),
+    ).filter(F.col("rank") <= _BPE_TOPK)
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"), "pair", "freq"
+    ).orderBy("rank")

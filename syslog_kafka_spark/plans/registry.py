@@ -64,6 +64,7 @@ def query(
             build=fn,
             oracle=oracle,
             doc=(fn.__doc__ or "").strip(),
+            bench=bench,
             gated_twin=gated_twin,
         )
         return fn
@@ -103,6 +104,11 @@ def query(
 # window_nth_value_snapshots
 # (sort_mixed_direction and syslog_severity_histogram left this pool by
 # taking r9 family-pin stamps below.)
+#
+# r10 window MUST LEAD with the two queries registered after the r9
+# window filled (pytest-oracle-green, driver-unstamped until then —
+# the stream_ivf_list_routing / late-r8 precedent):
+# llm_bpe_merge_candidates, llm_ivf_refit_drift_audit.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- late-r8 registrations: first driver stamps (verdict item #1) ---
     "llm_ivf_pq_topk",

@@ -588,3 +588,20 @@ def test_pair_scan_null_and_type_semantics(spark):
     )
     got = winnow_arrow_pairs(docs, 8, 4).collect()
     assert got and all(r.doc_id == 1 for r in got)  # null doc: zero rows
+
+
+def test_bigram_builder_survives_short_docs(spark):
+    """r9 self-review catch: F.sequence(1, 0) DESCENDS to [1, 0] (it is
+    never empty), so the unguarded bigram transform indexed past the
+    token array for 0/1-token documents and threw under ANSI — while the
+    DuckDB oracles' generate_series(1, 0) is empty and quietly skips the
+    doc. The shared builder must drop such docs exactly like the SQL."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.plans.mining import _bigrams_col
+
+    df = spark.createDataFrame([("",), ("one",), ("two words",)], "text string")
+    base = df.select(tokens("text").alias("_toks"))
+    out = base.select(F.explode(_bigrams_col()).alias("bigram")).collect()
+    assert [r["bigram"] for r in out] == ["two words"]

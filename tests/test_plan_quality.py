@@ -645,3 +645,76 @@ def test_covariance_audit_shuffle_is_corpus_size_independent(spark, sf_dir):
     ops = _executed_op_counts(spark, sf_dir, "llm_embedding_covariance_audit")
     assert not any("CartesianProduct" in k for k in ops), ops
     assert not any("SortMergeJoin" in k for k in ops), ops
+
+
+def test_blocked_neardup_has_no_join_and_one_block_exchange(spark, sf_dir):
+    """The linear near-dup tier must stay kernel-shaped: one exchange on
+    the (label x IVF-list) block key feeding the per-block applyInPandas
+    kernel — no self-join materializing the pair space outside the
+    kernel, no cartesian. (The r8-measured 108.9x quadratic was a plan
+    property — fixed-cardinality key — not a kernel one; this pins the
+    refined-key plan.)"""
+    ops = _executed_op_counts(spark, sf_dir, "llm_embedding_neardup_blocked")
+    assert not any("Join" in k for k in ops), ops
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert any("FlatMapGroupsInPandas" in k for k in ops), ops
+
+
+def test_simhash_digest_rollup_is_partial_aggregated(spark, sf_dir):
+    """The digest's rollup must partial-aggregate (Expand + map-side
+    HashAggregate) so pair volume collapses inside each task — the final
+    shuffle is #partitions x 14 rows, which is the whole point of
+    benching the digest instead of collecting the pair set."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_simhash_pair_digest")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert any(k.startswith("Expand") for k in ops), ops
+    # partial + final rollup aggregates, plus the pipeline's own aggs
+    assert sum(v for k, v in ops.items() if "HashAggregate" in k) >= 2, ops
+
+
+def test_idf_keywords_topk_is_window_group_limit(spark, sf_dir):
+    """The per-doc top-k must plan as WindowGroupLimit (each task keeps
+    k rows per doc, never the full term list), and nothing may go
+    cartesian (the N scalar rides a broadcast)."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_idf_topk_keywords")
+    assert any("WindowGroupLimit" in k for k in ops), ops
+    assert not any("CartesianProduct" in k for k in ops), ops
+
+
+def test_perplexity_buckets_has_no_cartesian_and_no_global_window(spark, sf_dir):
+    """The fluency funnel is joins + hash-aggs only: no cartesian, and
+    no Window operator at all — bucketing is a CASE on the per-doc
+    aggregate, never a global rank."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_perplexity_buckets")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert not any(k.startswith("Window") for k in ops), ops
+
+
+def test_novelty_deciles_have_no_single_partition_exchange(spark, sf_dir):
+    """The r9 fix for the novelty curve: decile assignment must ride the
+    range-partitioned rank, not an unpartitioned ntile window — no
+    SinglePartition exchange may survive anywhere in the executed plan
+    (the pre-fix plan funneled every per-doc row through one task)."""
+    df = load_all()["llm_ngram_novelty_curve"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:4000]
+
+
+def test_bpe_pairs_count_over_vocab_not_corpus(spark, sf_dir):
+    """The pair explode must run on the vocab AGGREGATE (word, freq),
+    never the raw token stream: the plan has the word-frequency
+    HashAggregate BELOW the pair-generate+agg, and nothing cartesian."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_bpe_merge_candidates")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert sum(v for k, v in ops.items() if "HashAggregate" in k) >= 4, ops
+    assert not any("Join" in k for k in ops), ops
+
+
+def test_ivf_refit_frozen_join_is_broadcast(spark, sf_dir):
+    """The 1024-row frozen-centroid frame must broadcast against the
+    per-(list,dim) means; a sort-merge there would shuffle a frame that
+    is constant-size by construction."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_ivf_refit_drift_audit")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert any("BroadcastHashJoin" in k for k in ops), ops
+    assert not any("SortMergeJoin" in k for k in ops), ops

@@ -62,3 +62,19 @@ def test_every_no_oracle_query_names_a_hash_gated_twin():
             assert inventory[twin].oracle is not None, (
                 f"{name}: twin {twin} is not hash-gated"
             )
+
+
+def test_decorator_forwards_every_registration_field():
+    """r9 regression pin: the @query decorator silently DROPPED its
+    ``bench`` argument (accepted, never forwarded to QuerySpec), so
+    bench=False queries kept being swept. Assert every decorator
+    parameter round-trips into the stored spec."""
+    from syslog_kafka_spark.plans.registry import load_all
+
+    inventory = load_all()
+    mp = inventory["llm_simhash_multiprobe"]
+    assert mp.bench is False  # the output-bound pair query is not swept
+    assert inventory["llm_simhash_pair_digest"].bench is True
+    # family/oracle/doc/gated_twin forwarding is covered by the other
+    # tests in this file; bench was the one field with no consumer-side
+    # assertion until the r9 sweep caught it.

@@ -1,12 +1,16 @@
-"""Session-cache LRU policy: bounded entries, same-plan reuse, eviction.
+"""Session-cache LRU policy: bounded entries, storage-level eviction,
+alias-safe hits.
 
 The r8 sf10 sweep needed a 48 GiB driver heap because session-lived
 ``.cache()`` frames accumulated without bound (BENCH_SF10.md);
 ``operators/session_cache`` is the unpersist policy that replaces the
-bigger-heap workaround. These tests pin the three behaviors correctness
-depends on: an evicted frame still recomputes correctly, a same-plan
-request reuses the live entry (no second eager fill), and the budget is
-actually enforced against Spark's storage tracker.
+bigger-heap workaround. These tests pin the behaviors correctness
+depends on: a semantically-equal plan with DIFFERENT aliases gets its
+own column names back (canonicalization strips names, so returning a
+stored frame would be wrong — the r9 self-review catch), eviction
+actually releases Spark storage (asserted against the JVM storage
+tracker, not just the Python-side dict), an evicted frame still
+recomputes, and an externally cleared entry re-fills on the next hit.
 """
 
 from __future__ import annotations
@@ -20,36 +24,76 @@ from syslog_kafka_spark.operators.session_cache import (
 )
 
 
-def _n_cached(spark) -> int:
+def _storage_used(spark) -> int:
+    """Bytes currently held by persisted RDDs (memory + disk)."""
     jsc = spark.sparkContext._jsc.sc()
-    return sum(
-        1 for r in jsc.getRDDStorageInfo() if r.memSize() + r.diskSize() > 0
-    )
+    return sum(r.memSize() + r.diskSize() for r in jsc.getRDDStorageInfo())
 
 
-def test_same_plan_reuses_entry(spark):
+def _is_cached(df) -> bool:
+    """This exact frame resolves to a CacheManager entry (sameResult)."""
+    cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+    return cm.lookupCachedData(df._jdf).isDefined()
+
+
+def test_same_plan_shares_storage_and_aliases_stay_correct(spark):
     clear_session_caches(spark)
     a = session_cache(spark.range(100).select((F.col("id") * 3).alias("x")))
-    b = session_cache(spark.range(100).select((F.col("id") * 3).alias("x")))
-    assert a is b  # semanticHash hit returns the live cached frame
+    # semantically equal plan, DIFFERENT output name: must come back
+    # with column 'y' (CacheManager remaps attributes; a stored-frame
+    # return would surface 'x' — the bug this pins against)
+    b = session_cache(spark.range(100).select((F.col("id") * 3).alias("y")))
+    assert b.columns == ["y"]
+    assert [r["y"] for r in b.orderBy("y").limit(2).collect()] == [0, 3]
+    assert a.columns == ["x"]
+    # one LRU entry (same semanticHash); both frames resolve to the SAME
+    # CacheManager entry (sameResult dedup), so b reads the cache rather
+    # than recomputing
     assert len(_LRU[spark]) == 1
-    assert a.count() == 100
+    assert _is_cached(a) and _is_cached(b)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan[:2000]
     clear_session_caches(spark)
 
 
-def test_budget_evicts_lru_and_evicted_plan_recomputes(spark, monkeypatch):
+def test_budget_evicts_lru_from_spark_storage(spark, monkeypatch):
     clear_session_caches(spark)
     monkeypatch.setenv("SPARK_GRAFT_CACHE_ENTRIES", "2")
     first = session_cache(spark.range(10).select((F.col("id") + 1).alias("a")))
     session_cache(spark.range(10).select((F.col("id") + 2).alias("b")))
+    used_two = _storage_used(spark)
+    assert used_two > 0
     session_cache(spark.range(10).select((F.col("id") + 3).alias("c")))
-    assert len(_LRU[spark]) == 2  # oldest evicted
+    assert len(_LRU[spark]) == 2  # oldest evicted from the registry
+    # ...and from Spark storage itself: 2 entries live, not 3 (unpersist
+    # is non-blocking, so poll briefly)
+    import time
+
+    for _ in range(50):
+        if _storage_used(spark) <= used_two:
+            break
+        time.sleep(0.1)
+    assert _storage_used(spark) <= used_two
     # the evicted frame still computes (eviction is perf, not correctness)
     assert first.count() == 10
-    # and re-requesting it re-registers a fresh entry, evicting again
-    again = session_cache(spark.range(10).select((F.col("id") + 1).alias("a")))
-    assert len(_LRU[spark]) == 2
-    assert [r["a"] for r in again.orderBy("a").collect()] == list(range(1, 11))
+    assert [r["a"] for r in first.orderBy("a").limit(3).collect()] == [1, 2, 3]
+    clear_session_caches(spark)
+
+
+def test_hit_refills_after_external_clear_cache(spark):
+    """catalog.clearCache() behind our back must not leave a permanently
+    cold 'hit': the next session_cache call re-registers + re-fills the
+    entry. (Assertions target this frame's CacheManager entry, not the
+    global storage tracker — a full-suite run carries other tests'
+    checkpointed RDDs that clearCache does not drop.)"""
+    clear_session_caches(spark)
+    first = session_cache(spark.range(200).select((F.col("id") * 5).alias("v")))
+    assert _is_cached(first)
+    spark.catalog.clearCache()
+    assert not _is_cached(first)  # externally dropped behind our back
+    again = session_cache(spark.range(200).select((F.col("id") * 5).alias("v")))
+    assert _is_cached(again)  # re-registered (and eagerly re-filled)
+    assert again.count() == 200
     clear_session_caches(spark)
 
 
