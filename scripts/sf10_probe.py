@@ -78,6 +78,7 @@ PROBE = [
     "llm_perplexity_buckets",
     "llm_bpe_merge_candidates",
     "llm_ivf_refit_drift_audit",
+    "stream_ivf_refit_drift",
 ]
 
 

@@ -890,18 +890,23 @@ def stream_ivf_list_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot lists = future probe-latency skew). The oracle recomputes the
     routing as a batch over the same table, so a stream that dropped,
     duplicated, or mis-assigned any vector hash-fails."""
+    raw = _stream_embeddings(spark, sf_dir)
+    return drain(ivf_occupancy_frame(raw), mode="complete").orderBy("list_id")
+
+
+def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table as a file-source STREAM (single-file driver
+    layout or directory layout — same handling as _stream_docs)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
-        raw = spark.readStream.schema(schema).parquet(path)
-    else:
-        # single-file driver testdata: the file source wants a directory
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "embeddings.parquet")
-            .parquet(sf_dir)
-        )
-    return drain(ivf_occupancy_frame(raw), mode="complete").orderBy("list_id")
+        return spark.readStream.schema(schema).parquet(path)
+    # single-file driver testdata: the file source wants a directory
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
 
 
 def ivf_occupancy_frame(raw: DataFrame) -> DataFrame:
@@ -1323,3 +1328,107 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return drain(keep_counts, mode="complete").orderBy("model_keep")
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF re-fit drift (online quantizer-staleness monitor)
+# ---------------------------------------------------------------------------
+
+
+def ivf_refit_partials_frame(raw: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_ivf_refit_drift: frozen-quantizer
+    assignment + the per-(list, dim) running SUM/COUNT — the mergeable
+    sufficient statistics of the Lloyd-step means. Takes any
+    (vec_id, embedding) streaming frame so the multi-batch replay test
+    drives the IDENTICAL plan through maxFilesPerTrigger=1. State is
+    nlist × dim (= 1024) rows FOREVER, merged counter-wise by the
+    aggregate's own partial merge.
+
+    Assignment rides the bit-parity frozen-sims pandas UDF (vectorized
+    per-dimension accumulation), not the zip_with+aggregate fold:
+    higher-order folds are interpreted, and the r9 measurement put the
+    fold path at 15 s vs 2.4 s warm at sf0.1 for this plan — the same
+    6× the r6 ANN tier measured. Both argmax the same bit-identical
+    dots (parity-pinned), so the gate is unaffected."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+
+    sims = frozen_sims_udf(IVF_CENTROIDS)
+    long = raw.withColumn("_sims", sims(F.col("embedding"))).select(
+        (F.array_position(F.col("_sims"), F.array_max("_sims")) - 1)
+        .cast("int")
+        .alias("lst"),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select("lst", F.col("pos").alias("dim"), F.col("col").alias("val"))
+    return long.groupBy("lst", "dim").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def ivf_refit_finish(partials: DataFrame) -> DataFrame:
+    """Post-drain finishing shared by the gate and the multi-batch test:
+    6-dp (+0.0 signed-zero guard) means from the drained sufficient
+    statistics, frozen centroids joined back from a 1024-row broadcast
+    frame, per-list drift + worst dimension shift — identical output
+    contract to the batch audit (llm_ivf_refit_drift_audit)."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+
+    spark = partials.sparkSession
+    refit = partials.select(
+        "lst",
+        "dim",
+        (F.round(F.col("s") / F.col("n"), 6) + F.lit(0.0)).alias("mean_d"),
+        "n",
+    )
+    frozen = spark.createDataFrame(
+        [
+            (lst, dim, float(val))
+            for lst, c in enumerate(IVF_CENTROIDS)
+            for dim, val in enumerate(c)
+        ],
+        "lst int, dim int, c double",
+    )
+    per_dim = refit.join(F.broadcast(frozen), ["lst", "dim"]).select(
+        "lst", (F.col("mean_d") - F.col("c")).alias("delta"), "n"
+    )
+    return (
+        per_dim.groupBy("lst")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.round(F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6).alias(
+                "drift"
+            ),
+            F.round(F.max(F.abs("delta")), 6).alias("max_dim_shift"),
+        )
+        .orderBy("lst")
+    )
+
+
+def _stream_ivf_refit_oracle() -> str:
+    from syslog_kafka_spark.plans.curation_qa import _ivf_refit_drift_oracle
+
+    return _ivf_refit_drift_oracle()
+
+
+@query(
+    "stream_ivf_refit_drift",
+    family="streaming",
+    oracle=_stream_ivf_refit_oracle(),
+)
+def stream_ivf_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online quantizer-staleness monitor: the embedding stream folds
+    into the per-(list, dim) SUM/COUNT sufficient statistics of the
+    Lloyd-step means — the streaming twin of llm_ivf_refit_drift_audit,
+    and the online form of the number that decides when the ANN /
+    blocked-dedup index must re-fit. At 100 TB ingest this is how drift
+    is watched WITHOUT re-scanning the corpus: state is nlist × dim
+    (1024) rows forever, counter-wise mergeable across executors and
+    microbatches (sums and counts are the textbook mergeable statistics;
+    means are finished only at read time), and the frozen-quantizer
+    assignment is a pure Column expression identical to the batch
+    audit's pandas-UDF tier (both argmax the same bit-parity dots). The
+    drained statistics feed the SAME finishing arithmetic and the SAME
+    batch oracle — a stream that dropped, duplicated, or mis-assigned
+    any vector hash-fails."""
+    raw = _stream_embeddings(spark, sf_dir)
+    return ivf_refit_finish(drain(ivf_refit_partials_frame(raw), mode="complete"))

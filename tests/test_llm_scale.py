@@ -304,9 +304,16 @@ def test_float_stats_are_parallelism_invariant(spark, sf_dir):
         "llm_hll_vocab_cardinality",
         "llm_length_quantile_sketch",
         "llm_mixture_subsample",
+        # r9 additions with order-sensitive float accumulations: the
+        # k-weighted NLL mean and the per-(list,dim) refit means
+        "llm_perplexity_buckets",
+        "llm_ivf_refit_drift_audit",
     ]
+    from syslog_kafka_spark.plans.registry import load_all
+
+    specs = load_all()
     base = {
-        n: canon_rows(getattr(llm_scale, n)(spark, sf_dir).toPandas()) for n in names
+        n: canon_rows(specs[n].build(spark, sf_dir).toPandas()) for n in names
     }
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -314,7 +321,7 @@ def test_float_stats_are_parallelism_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         for n in names:
-            got = canon_rows(getattr(llm_scale, n)(spark, sf_dir).toPandas())
+            got = canon_rows(specs[n].build(spark, sf_dir).toPandas())
             assert got == base[n], f"{n} drifted under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)

@@ -291,3 +291,34 @@ def test_stream_quality_filter_multibatch(spark, sf_dir, duck, tmp_path):
     assert_matches_oracle(
         result.orderBy("model_keep"), duck, oracle, name="quality multibatch"
     )
+
+
+def test_stream_ivf_refit_drift_multibatch(spark, sf_dir, duck, tmp_path):
+    """The per-(list, dim) SUM/COUNT sufficient statistics must merge
+    across ≥3 arrival batches to exactly the batch-audit oracle: a
+    vector delivered in trigger 2 contributes to its list's mean
+    identically to one delivered in trigger 0 (means are finished only
+    at read time — the textbook mergeable-statistics property the
+    streaming twin stakes its gate on)."""
+    from syslog_kafka_spark.plans.stream_gated import (
+        ivf_refit_finish,
+        ivf_refit_partials_frame,
+    )
+
+    d = tmp_path / "embs_refit"
+    d.mkdir()
+    _split_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), str(d), 3, ["vec_id"]
+    )
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    partials, n_batches = _drain_counted(ivf_refit_partials_frame(raw), "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_ivf_refit_drift"].oracle
+    assert_matches_oracle(
+        ivf_refit_finish(partials), duck, oracle, name="ivf refit multibatch"
+    )
