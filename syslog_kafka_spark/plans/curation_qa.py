@@ -1125,6 +1125,79 @@ def _ivf_refit_drift_oracle() -> str:
     """
 
 
+def ivf_refit_partials_frame(raw: DataFrame) -> DataFrame:
+    """Per-(list, dim) Lloyd-step sufficient statistics over ANY
+    (…, embedding) frame — batch or streaming (pure select + groupBy, so
+    it drops into either plan): frozen-quantizer assignment via the
+    bit-parity frozen-sims pandas UDF (the interpreted zip_with fold
+    measured 15 s vs 2.4 s warm at sf0.1 for this plan — the same ~6×
+    the r6 ANN tier measured), then SUM / non-null COUNT / row COUNT per
+    (list, dim). Both refit twins (llm_ivf_refit_drift_audit,
+    stream_ivf_refit_drift) build on THIS frame, so the drift arithmetic
+    cannot de-twin. State/shuffle is nlist × dim (= 1024) rows however
+    large the corpus; streaming merges it counter-wise across
+    microbatches.
+
+    The mean's denominator is the NON-NULL count (``F.count("val")``) —
+    matching the avg semantics of the shared DuckDB oracle — while
+    n_members counts rows, so a NULL embedding element cannot silently
+    diverge the twins from the oracle."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+
+    sims = frozen_sims_udf(IVF_CENTROIDS)
+    long = raw.withColumn("_sims", sims(F.col("embedding"))).select(
+        (F.array_position(F.col("_sims"), F.array_max("_sims")) - 1)
+        .cast("int")
+        .alias("lst"),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select("lst", F.col("pos").alias("dim"), F.col("col").alias("val"))
+    return long.groupBy("lst", "dim").agg(
+        F.sum("val").alias("s"),
+        F.count("val").cast("bigint").alias("nv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+def ivf_refit_finish(partials: DataFrame) -> DataFrame:
+    """Finishing arithmetic shared by both refit twins: 6-dp (+0.0
+    signed-zero guard) means from the sufficient statistics, frozen
+    centroids joined back from a 1024-row broadcast frame (built with
+    createDataFrame, never a 1024-literal Catalyst tree — the r6
+    planning trap), per-list drift + worst dimension shift."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+
+    spark = partials.sparkSession
+    refit = partials.select(
+        "lst",
+        "dim",
+        (F.round(F.col("s") / F.col("nv"), 6) + F.lit(0.0)).alias("mean_d"),
+        "n",
+    )
+    frozen = spark.createDataFrame(
+        [
+            (lst, dim, float(val))
+            for lst, c in enumerate(IVF_CENTROIDS)
+            for dim, val in enumerate(c)
+        ],
+        "lst int, dim int, c double",
+    )
+    per_dim = refit.join(F.broadcast(frozen), ["lst", "dim"]).select(
+        "lst", (F.col("mean_d") - F.col("c")).alias("delta"), "n"
+    )
+    return (
+        per_dim.groupBy("lst")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.round(F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6).alias(
+                "drift"
+            ),
+            F.round(F.max(F.abs("delta")), 6).alias("max_dim_shift"),
+        )
+        .orderBy("lst")
+    )
+
+
 @query(
     "llm_ivf_refit_drift_audit",
     family="llm",
@@ -1151,44 +1224,5 @@ def llm_ivf_refit_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning trap); the final rollup is 16 rows. Means are rounded at
     6 dp with the +0.0 signed-zero guard BEFORE the drift arithmetic,
     so both engines difference identical numbers."""
-    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
-    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
-
     emb = load_tables(spark, sf_dir).embeddings
-    sims = frozen_sims_udf(IVF_CENTROIDS)
-    asg = emb.select(
-        "embedding",
-        sims(F.col("embedding")).alias("_sims"),
-    ).select(
-        "embedding",
-        (F.array_position("_sims", F.array_max("_sims")) - 1)
-        .cast("int")
-        .alias("lst"),
-    )
-    long = asg.select(
-        "lst", F.posexplode(F.col("embedding").cast("array<double>"))
-    ).withColumnRenamed("pos", "dim").withColumnRenamed("col", "val")
-    refit = long.groupBy("lst", "dim").agg(
-        (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("mean_d"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    frozen = spark.createDataFrame(
-        [
-            (lst, dim, float(val))
-            for lst, c in enumerate(IVF_CENTROIDS)
-            for dim, val in enumerate(c)
-        ],
-        "lst int, dim int, c double",
-    )
-    per_dim = refit.join(F.broadcast(frozen), ["lst", "dim"]).select(
-        "lst", (F.col("mean_d") - F.col("c")).alias("delta"), "n"
-    )
-    return (
-        per_dim.groupBy("lst")
-        .agg(
-            F.max("n").cast("bigint").alias("n_members"),
-            F.round(F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6).alias("drift"),
-            F.round(F.max(F.abs("delta")), 6).alias("max_dim_shift"),
-        )
-        .orderBy("lst")
-    )
+    return ivf_refit_finish(ivf_refit_partials_frame(emb))

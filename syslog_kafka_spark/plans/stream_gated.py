@@ -1335,73 +1335,13 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ivf_refit_partials_frame(raw: DataFrame) -> DataFrame:
-    """Pre-drain plan of stream_ivf_refit_drift: frozen-quantizer
-    assignment + the per-(list, dim) running SUM/COUNT — the mergeable
-    sufficient statistics of the Lloyd-step means. Takes any
-    (vec_id, embedding) streaming frame so the multi-batch replay test
-    drives the IDENTICAL plan through maxFilesPerTrigger=1. State is
-    nlist × dim (= 1024) rows FOREVER, merged counter-wise by the
-    aggregate's own partial merge.
-
-    Assignment rides the bit-parity frozen-sims pandas UDF (vectorized
-    per-dimension accumulation), not the zip_with+aggregate fold:
-    higher-order folds are interpreted, and the r9 measurement put the
-    fold path at 15 s vs 2.4 s warm at sf0.1 for this plan — the same
-    6× the r6 ANN tier measured. Both argmax the same bit-identical
-    dots (parity-pinned), so the gate is unaffected."""
-    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
-    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
-
-    sims = frozen_sims_udf(IVF_CENTROIDS)
-    long = raw.withColumn("_sims", sims(F.col("embedding"))).select(
-        (F.array_position(F.col("_sims"), F.array_max("_sims")) - 1)
-        .cast("int")
-        .alias("lst"),
-        F.posexplode(F.col("embedding").cast("array<double>")),
-    ).select("lst", F.col("pos").alias("dim"), F.col("col").alias("val"))
-    return long.groupBy("lst", "dim").agg(
-        F.sum("val").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-
-
-def ivf_refit_finish(partials: DataFrame) -> DataFrame:
-    """Post-drain finishing shared by the gate and the multi-batch test:
-    6-dp (+0.0 signed-zero guard) means from the drained sufficient
-    statistics, frozen centroids joined back from a 1024-row broadcast
-    frame, per-list drift + worst dimension shift — identical output
-    contract to the batch audit (llm_ivf_refit_drift_audit)."""
-    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
-
-    spark = partials.sparkSession
-    refit = partials.select(
-        "lst",
-        "dim",
-        (F.round(F.col("s") / F.col("n"), 6) + F.lit(0.0)).alias("mean_d"),
-        "n",
-    )
-    frozen = spark.createDataFrame(
-        [
-            (lst, dim, float(val))
-            for lst, c in enumerate(IVF_CENTROIDS)
-            for dim, val in enumerate(c)
-        ],
-        "lst int, dim int, c double",
-    )
-    per_dim = refit.join(F.broadcast(frozen), ["lst", "dim"]).select(
-        "lst", (F.col("mean_d") - F.col("c")).alias("delta"), "n"
-    )
-    return (
-        per_dim.groupBy("lst")
-        .agg(
-            F.max("n").cast("bigint").alias("n_members"),
-            F.round(F.sqrt(F.sum(F.col("delta") * F.col("delta"))), 6).alias(
-                "drift"
-            ),
-            F.round(F.max(F.abs("delta")), 6).alias("max_dim_shift"),
-        )
-        .orderBy("lst")
-    )
+# Shared with the batch audit: both refit twins build on the SAME
+# partials/finish pair defined next to llm_ivf_refit_drift_audit, so the
+# drift arithmetic cannot de-twin (r9 self-review).
+from syslog_kafka_spark.plans.curation_qa import (  # noqa: E402
+    ivf_refit_finish,
+    ivf_refit_partials_frame,
+)
 
 
 def _stream_ivf_refit_oracle() -> str:
@@ -1425,10 +1365,11 @@ def stream_ivf_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1024) rows forever, counter-wise mergeable across executors and
     microbatches (sums and counts are the textbook mergeable statistics;
     means are finished only at read time), and the frozen-quantizer
-    assignment is a pure Column expression identical to the batch
-    audit's pandas-UDF tier (both argmax the same bit-parity dots). The
-    drained statistics feed the SAME finishing arithmetic and the SAME
-    batch oracle — a stream that dropped, duplicated, or mis-assigned
-    any vector hash-fails."""
+    assignment is the SAME bit-parity frozen-sims pandas UDF the batch
+    audit uses — literally the same plan: both twins build on the
+    shared ivf_refit_partials_frame / ivf_refit_finish pair, so the
+    drift arithmetic cannot de-twin, and both gate on the SAME batch
+    oracle — a stream that dropped, duplicated, or mis-assigned any
+    vector hash-fails."""
     raw = _stream_embeddings(spark, sf_dir)
     return ivf_refit_finish(drain(ivf_refit_partials_frame(raw), mode="complete"))

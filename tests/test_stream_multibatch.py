@@ -1,11 +1,13 @@
 """Incremental-state proofs for the sketch/state streaming gates.
 
 The driver gates run stream_cms_sketch_build, stream_session_transcripts,
-stream_ivf_list_routing, stream_bloom_build and stream_hll_build over
-SINGLE-file fixtures — one microbatch — so their cross-batch claims (CMS
-partial merge, session_window state merge across triggers, routing under
-incremental arrival, Bloom counter merge, HLL register max-merge) would
-otherwise be asserted, not exercised. Each test here splits the gate's
+stream_ivf_list_routing, stream_bloom_build, stream_hll_build,
+stream_quality_filter and stream_ivf_refit_drift over SINGLE-file
+fixtures — one microbatch — so their cross-batch claims (CMS partial
+merge, session_window state merge across triggers, routing under
+incremental arrival, Bloom counter merge, HLL register max-merge,
+keep-rate monitor accumulation, refit SUM/COUNT sufficient-statistic
+merge) would otherwise be asserted, not exercised. Each test here splits the gate's
 input into ≥3 files,
 replays them one-per-trigger (maxFilesPerTrigger=1), asserts ≥3
 microbatches actually ran (and, for sessions, that at least one session
