@@ -79,6 +79,7 @@ PROBE = [
     "llm_bpe_merge_candidates",
     "llm_ivf_refit_drift_audit",
     "stream_ivf_refit_drift",
+    "stream_bpe_merge_candidates",
 ]
 
 

@@ -105,11 +105,11 @@ def query(
 # (sort_mixed_direction and syslog_severity_histogram left this pool by
 # taking r9 family-pin stamps below.)
 #
-# r10 window MUST LEAD with the three queries registered after the r9
+# r10 window MUST LEAD with the four queries registered after the r9
 # window filled (pytest-oracle-green, driver-unstamped until then —
 # the stream_ivf_list_routing / late-r8 precedent):
 # llm_bpe_merge_candidates, llm_ivf_refit_drift_audit,
-# stream_ivf_refit_drift.
+# stream_ivf_refit_drift, stream_bpe_merge_candidates.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- late-r8 registrations: first driver stamps (verdict item #1) ---
     "llm_ivf_pq_topk",

@@ -1373,3 +1373,84 @@ def stream_ivf_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector hash-fails."""
     raw = _stream_embeddings(spark, sf_dir)
     return ivf_refit_finish(drain(ivf_refit_partials_frame(raw), mode="complete"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming BPE merge-candidate counting (online tokenizer-training stats)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts_frame(raw: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_bpe_merge_candidates: adjacent
+    character-pair counts over the arriving token stream — ONE streaming
+    aggregate whose state is bounded by |alphabet|² pairs FOREVER
+    (a few hundred rows on natural text), counter-wise mergeable across
+    executors and microbatches. Counting per word OCCURRENCE here is
+    arithmetic-identical to the batch query's freq-weighted count over
+    the vocab aggregate (Σ_word freq·pairs(word) = Σ_occurrence
+    pairs(word)); the batch side pre-aggregates the vocab first because
+    a BATCH pass can exploit the zipfian collapse, while a stream takes
+    each occurrence once as it arrives. Takes any (…, text) streaming
+    frame so the multi-batch replay test drives the IDENTICAL plan."""
+    from syslog_kafka_spark.functions.text import tokens
+
+    words = raw.select(F.explode(tokens("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+
+
+def bpe_topk_finish(counts: DataFrame, k: int) -> DataFrame:
+    """Post-drain finishing: rank the drained pair counts (bounded by
+    |alphabet|² rows) with the batch query's freq-desc/pair tiebreak."""
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("pair"))),
+    ).filter(F.col("rank") <= k)
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"), "pair", "freq"
+    ).orderBy("rank")
+
+
+def _stream_bpe_oracle() -> str:
+    # importing mining registers the batch twin — don't rely on load_all's
+    # import order having reached it before this module
+    from syslog_kafka_spark.plans import mining  # noqa: F401
+    from syslog_kafka_spark.plans.registry import QUERIES
+
+    return QUERIES["llm_bpe_merge_candidates"].oracle
+
+
+@query(
+    "stream_bpe_merge_candidates",
+    family="streaming",
+    oracle=_stream_bpe_oracle(),
+)
+def stream_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online BPE merge-candidate counting: the document stream's
+    adjacent character-pair frequencies fold into ONE streaming
+    aggregate with |alphabet|²-bounded state — the tokenizer-training
+    statistic maintained AT INGEST, so the next merge decision never
+    re-scans the corpus (the outer BPE loop re-points the stream at the
+    rewritten vocab; its inner count is exactly this state). Counts are
+    exact integers (no float surface); the drained state feeds the batch
+    query's ranking and the SAME batch oracle, so a stream that dropped
+    or duplicated any token's pairs hash-fails."""
+    raw = _stream_docs(spark, sf_dir)
+    from syslog_kafka_spark.plans.mining import _BPE_TOPK
+
+    return bpe_topk_finish(
+        drain(bpe_pair_counts_frame(raw), mode="complete"), _BPE_TOPK
+    )

@@ -324,3 +324,31 @@ def test_stream_ivf_refit_drift_multibatch(spark, sf_dir, duck, tmp_path):
     assert_matches_oracle(
         ivf_refit_finish(partials), duck, oracle, name="ivf refit multibatch"
     )
+
+
+def test_stream_bpe_multibatch_counter_merge(spark, sf_dir, duck, tmp_path):
+    """Character-pair counters must merge across ≥3 arrival batches to
+    exactly the batch oracle: a pair occurrence delivered in trigger 2
+    counts identically to one delivered in trigger 0 (exact-integer
+    state, bounded by |alphabet|² rows)."""
+    from syslog_kafka_spark.plans.mining import _BPE_TOPK
+    from syslog_kafka_spark.plans.stream_gated import (
+        bpe_pair_counts_frame,
+        bpe_topk_finish,
+    )
+
+    d = tmp_path / "docs_bpe"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    counts, n_batches = _drain_counted(bpe_pair_counts_frame(raw), "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_bpe_merge_candidates"].oracle
+    assert_matches_oracle(
+        bpe_topk_finish(counts, _BPE_TOPK), duck, oracle, name="bpe multibatch"
+    )
