@@ -72,6 +72,13 @@ def blocked_pairs_time(spark, sf_dir: str, centroids: list[list[float]], tag: st
             blocked, label_col="blk", threshold=0.4
         ).count()
         out[call] = round(time.perf_counter() - t0, 2)
+        # cold/warm pair counts must agree — a disagreement means the
+        # pipeline is nondeterministic and the timing is meaningless
+        if "n_pairs" in out and out["n_pairs"] != n_pairs:
+            raise AssertionError(
+                f"{tag}: nondeterministic pair count "
+                f"{out['n_pairs']} != {n_pairs}"
+            )
         out["n_pairs"] = n_pairs
     out.update(
         n_blocks=occ["n_blocks"],

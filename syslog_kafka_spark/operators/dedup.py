@@ -21,7 +21,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from syslog_kafka_spark.operators.session_cache import session_cache
+from syslog_kafka_spark.operators.session_cache import (
+    release_checkpoint,
+    session_cache,
+    session_checkpoint,
+)
 from syslog_kafka_spark.sources.readers import spread
 from syslog_kafka_spark.functions.hashes import hash64
 
@@ -177,6 +181,37 @@ def lsh_base_arrow(df: DataFrame, k: int, n_hashes: int) -> DataFrame:
     )
 
 
+def banded_buckets(base: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(_id, _band, _bucket) LSH bucket keys from a (…, _sig) base frame:
+    each band's bucket is hash64 of the comma-joined signature slice.
+    ONE definition shared by the batch candidate self-join
+    (lsh_candidate_pairs) and the streaming probe twin
+    (stream_lsh_probe_digest) so the bucket arithmetic cannot de-twin.
+    Pure select + posexplode — drops into batch or streaming plans."""
+    rows_per_band = n_hashes // bands
+    return base.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    hash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("_sig")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -222,7 +257,6 @@ def lsh_candidate_pairs(
     5.7 s for the join-back shape, identical output. At 100 TB the gap
     widens: arrays cross the wire once per matched document, not once
     per band replica plus once per bucket collision."""
-    rows_per_band = n_hashes // bands
     # cache() is a deliberate materialization barrier: the self-join below
     # references this frame twice, and shingles + signatures are the
     # expensive columns (at warehouse scale this would be a checkpoint or
@@ -256,17 +290,7 @@ def lsh_candidate_pairs(
     # band value = hash64 of the band's signature slice, exploded to
     # (band_idx, band_hash) rows: the LSH bucket key. Ids only — the
     # shingle arrays rejoin after the dedup (see docstring).
-    banded = base.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    hash64(F.concat_ws(",", *[F.col("_sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
-    )
+    banded = banded_buckets(base, n_hashes, bands)
 
     left = banded.select(F.col("_id").alias("id_a"), "_band", "_bucket")
     right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
@@ -509,6 +533,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev_ck = None
     for _ in range(max_iter):
         nb = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -529,8 +554,16 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint()
         )
+        # Managed checkpoint (eager): generation k+1 is a self-contained
+        # copy, so generation k's pinned RDD is released in-loop — the
+        # pinned peak stays at two label generations instead of
+        # O(iterations) × nodes (the r9 ADVICE leak class). The final
+        # generation stays registered for clear_session_caches.
+        proposed = session_checkpoint(proposed)
+        if prev_ck is not None:
+            release_checkpoint(prev_ck)
+        prev_ck = proposed
         changed = proposed.filter(F.col("_changed")).count()
         labels = proposed.drop("_changed")
         if changed == 0:

@@ -54,6 +54,8 @@ from weakref import WeakKeyDictionary
 from pyspark.sql import DataFrame, SparkSession
 
 _LRU: WeakKeyDictionary = WeakKeyDictionary()  # SparkSession -> OrderedDict
+# SparkSession -> list[(checkpointed frame, frozenset of persisted RDD ids)]
+_CKPTS: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _budget() -> int:
@@ -68,25 +70,47 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
     caller always sees its own column names. The LRU only bounds how many
     distinct plans stay persisted, evicting the least-recently-used via
     non-blocking unpersist BEFORE the incoming frame is materialized.
+
+    Each LRU slot holds a LIST of handles: ``semanticHash`` is 32-bit,
+    and on a hash collision two genuinely different plans would share
+    one slot — replacing the stored handle would strand the displaced
+    plan's persisted storage beyond the reach of both eviction and
+    :func:`clear_session_caches`. A new frame replaces only a stored
+    handle whose analyzed plan is ``sameResult``; a colliding distinct
+    plan is appended, and eviction unpersists every handle in the slot
+    (a collision over-counts the slot as one budget entry — acceptable
+    for a 1-in-4-billion event; a silent leak is not).
     """
     spark = df.sparkSession
     lru: OrderedDict = _LRU.setdefault(spark, OrderedDict())
-    key = df._jdf.queryExecution().analyzed().semanticHash()
+    analyzed = df._jdf.queryExecution().analyzed()
+    key = analyzed.semanticHash()
     cached = df.cache()
-    # Re-register (or register) this plan as most-recently-used. The
-    # stored frame is only the eviction handle; unpersisting it drops the
+    # Re-register (or register) this plan as most-recently-used, keeping
+    # any hash-colliding foreign handles alive in the same slot. The
+    # stored frames are only eviction handles; unpersisting one drops the
     # storage shared by every sameResult plan.
-    lru.pop(key, None)
-    lru[key] = cached
+    slot = lru.pop(key, None) or []
+    kept = []
+    for handle in slot:
+        try:
+            same = handle._jdf.queryExecution().analyzed().sameResult(analyzed)
+        except Exception:
+            same = False  # dead handle; drop it
+        if not same:
+            kept.append(handle)
+    kept.append(cached)
+    lru[key] = kept
     # Evict BEFORE the eager fill so the persisted peak stays at the
     # budget — filling first would transiently hold budget+1 corpus-sized
     # frames, exactly the spike the policy exists to prevent.
     while len(lru) > _budget():
-        _, evicted = lru.popitem(last=False)
-        try:
-            evicted.unpersist(blocking=False)
-        except Exception:
-            pass  # session shutting down mid-evict is fine
+        _, evicted_slot = lru.popitem(last=False)
+        for evicted in evicted_slot:
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass  # session shutting down mid-evict is fine
     if eager:
         # Eager fill: concurrent downstream stages race a cold cache and
         # each recompute the plan; one count() fills it in a single pass.
@@ -96,21 +120,95 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return cached
 
 
+def session_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` with a managed release handle.
+
+    localCheckpoint pins ONE materialization of a nondeterministic
+    exchange (sampled range bounds, ``spark_partition_id``) — a cache
+    entry cannot do that job, because LRU eviction would silently
+    re-execute the plan with different placements and corrupt any
+    offsets derived from the first run. But the pinned RDD lives outside
+    the CacheManager, so a bare ``localCheckpoint`` accumulates executor
+    storage forever (the r9 ADVICE leak: repeated novelty-curve builds
+    across a probe sweep). This wrapper diffs the context's persistent
+    RDD map around the checkpoint and records the new RDD ids, so
+    :func:`clear_session_caches` can release them between queries.
+
+    NOT an LRU: unpersisting a local checkpoint truncated its lineage —
+    a later read fails outright rather than recomputing — so eviction
+    can never be a mid-use event. Release happens only at the explicit
+    sweep boundary, where no returned frame is still live. The RDD-id
+    diff assumes builds are single-threaded per session (true for every
+    harness here); a concurrent persist between the two snapshots would
+    be misattributed.
+    """
+    spark = df.sparkSession
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    ck = df.localCheckpoint(eager=True)
+    after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+    _CKPTS.setdefault(spark, []).append((ck, frozenset(after - before)))
+    return ck
+
+
+def release_checkpoint(ck: DataFrame) -> bool:
+    """Release one :func:`session_checkpoint` frame's pinned RDDs NOW.
+
+    For iterative algorithms (connected components) where generation k+1
+    is a fully-materialized copy and generation k's pinned storage is
+    dead weight the moment the new checkpoint fills — releasing in-loop
+    keeps the pinned peak at two generations instead of
+    O(iterations) × corpus. The frame must not be read again (a local
+    checkpoint cannot recompute). Returns False if ``ck`` is not a
+    registered checkpoint (already released, or never managed)."""
+    spark = ck.sparkSession
+    ckpts: list | None = _CKPTS.get(spark)
+    if not ckpts:
+        return False
+    for i, (frame, ids) in enumerate(ckpts):
+        if frame is ck:
+            try:
+                rdds = spark.sparkContext._jsc.getPersistentRDDs()
+                for rid in ids:
+                    handle = rdds.get(rid)
+                    if handle is not None:
+                        handle.unpersist(False)
+            except Exception:
+                pass
+            ckpts.pop(i)
+            return True
+    return False
+
+
 def clear_session_caches(spark: SparkSession) -> int:
-    """Unpersist every frame this registry holds for ``spark``.
+    """Unpersist every frame and checkpoint this registry holds for
+    ``spark``.
 
     For sweep harnesses (scripts/sf10_probe.py) that previously needed
     ``catalog.clearCache()`` — this drops only the engine's own entries,
     leaving caller-managed caches alone. Returns the number evicted.
     """
+    n = 0
     lru: OrderedDict | None = _LRU.get(spark)
-    if not lru:
-        return 0
-    n = len(lru)
     while lru:
-        _, evicted = lru.popitem(last=False)
+        _, evicted_slot = lru.popitem(last=False)
+        n += 1
+        for evicted in evicted_slot:
+            try:
+                evicted.unpersist(blocking=False)
+            except Exception:
+                pass
+    ckpts: list | None = _CKPTS.get(spark)
+    if ckpts:
         try:
-            evicted.unpersist(blocking=False)
+            rdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for _frame, ids in ckpts:
+                for rid in ids:
+                    handle = rdds.get(rid)
+                    if handle is not None:
+                        handle.unpersist(False)
+                n += 1
         except Exception:
-            pass
+            pass  # session shutting down mid-clear is fine
+        ckpts.clear()
     return n

@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from syslog_kafka_spark.functions.hashes import hash64, hash64_sql
 from syslog_kafka_spark.functions.text import tokens
 from syslog_kafka_spark.operators.curation import ngram_hashes, ngram_hashes_sql
-from syslog_kafka_spark.operators.session_cache import session_cache
+from syslog_kafka_spark.operators.session_cache import (
+    session_cache,
+    session_checkpoint,
+)
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
@@ -188,14 +191,16 @@ def llm_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("novel").alias("n_novel"),
         )
     )
-    # localCheckpoint pins ONE materialization of the range exchange: the
-    # sampled range bounds are per-execution, so the counts pass and the
-    # ranking pass re-running it independently could place rows
-    # differently and corrupt the offsets.
-    parted = (
-        p.repartitionByRange(16, F.col("doc_id").asc())
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # session_checkpoint pins ONE materialization of the range exchange:
+    # the sampled range bounds are per-execution, so the counts pass and
+    # the ranking pass re-running it independently could place rows
+    # differently and corrupt the offsets. The managed wrapper (vs a bare
+    # localCheckpoint) lets clear_session_caches release the pinned RDD
+    # between sweep queries instead of accumulating one per build.
+    parted = session_checkpoint(
+        p.repartitionByRange(16, F.col("doc_id").asc()).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     sizes = {
         r["_pid"]: r["n"]
@@ -1171,7 +1176,14 @@ def ivf_refit_finish(partials: DataFrame) -> DataFrame:
     refit = partials.select(
         "lst",
         "dim",
-        (F.round(F.col("s") / F.col("nv"), 6) + F.lit(0.0)).alias("mean_d"),
+        # nv = 0 (every value in the slot NULL) must yield NULL like the
+        # oracle's avg(), not the NaN/Infinity Spark's double division
+        # produces — NULL deltas then drop out of both engines' sums
+        # identically (unreachable with non-null fixed-dim embeddings,
+        # but the twins may not diverge even on degenerate input).
+        F.when(
+            F.col("nv") > 0, F.round(F.col("s") / F.col("nv"), 6) + F.lit(0.0)
+        ).alias("mean_d"),
         "n",
     )
     frozen = spark.createDataFrame(

@@ -42,7 +42,10 @@ from syslog_kafka_spark.operators.dedup import (
     normalized,
     simhash_neardup_pairs,
 )
-from syslog_kafka_spark.operators.session_cache import session_cache
+from syslog_kafka_spark.operators.session_cache import (
+    session_cache,
+    session_checkpoint,
+)
 from syslog_kafka_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
@@ -488,16 +491,21 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-def _embedding_neardup_blocked_oracle(threshold: float = 0.4) -> str:
-    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+def _embedding_neardup_blocked_oracle(
+    centroids: list[list[float]] | None = None, threshold: float = 0.4
+) -> str:
     from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
 
-    nlist = len(IVF_CENTROIDS)
+    if centroids is None:
+        from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+
+        centroids = IVF_CENTROIDS
+    nlist = len(centroids)
     return f"""
         WITH e AS (
           SELECT vec_id, label,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                 {frozen_cluster_sims_sql(IVF_CENTROIDS)} AS sims
+                 {frozen_cluster_sims_sql(centroids)} AS sims
           FROM embeddings
         ), b AS (
           SELECT vec_id,
@@ -545,10 +553,20 @@ def llm_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     dimension at a time, identical to the oracle's literal chains), and
     the argmax/blk arithmetic is integer-exact on both engines."""
     from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS
+
+    return _blocked_neardup(spark, sf_dir, IVF_CENTROIDS)
+
+
+def _blocked_neardup(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Shared (label × frozen-IVF-list) blocked pair scan — one body for
+    every quantizer generation, so the 16-list and re-fit-64 tiers
+    cannot de-twin."""
     from syslog_kafka_spark.operators.similarity import frozen_sims_udf
 
     emb = load_tables(spark, sf_dir).embeddings
-    sims = frozen_sims_udf(IVF_CENTROIDS)
+    sims = frozen_sims_udf(centroids)
     blocked = (
         emb.filter(F.col("label").isNotNull())
         .withColumn("_sims", sims(F.col("embedding")))
@@ -556,7 +574,7 @@ def llm_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
             "vec_id",
             "embedding",
             (
-                F.col("label").cast("bigint") * len(IVF_CENTROIDS)
+                F.col("label").cast("bigint") * len(centroids)
                 + (F.array_position("_sims", F.array_max("_sims")) - 1)
             ).alias("blk"),
         )
@@ -566,18 +584,173 @@ def llm_embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _lsh_pairs_cte(
+def _refit64_oracle(threshold: float = 0.4) -> str:
+    from syslog_kafka_spark.operators.ivf_refit_frozen import IVF64_CENTROIDS
+    from syslog_kafka_spark.operators.similarity import frozen_cluster_sims_sql
+
+    nlist = len(IVF64_CENTROIDS)
+    cos = (
+        "list_dot_product(a.v, b2.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b2.v, b2.v)))"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 {frozen_cluster_sims_sql(IVF64_CENTROIDS)} AS sims
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 CAST(label AS BIGINT) * {nlist}
+                   + (list_position(sims, list_max(sims)) - 1) AS blk,
+                 v
+          FROM e WHERE label IS NOT NULL
+        ), occ AS (
+          SELECT blk, label, CAST(count(*) AS BIGINT) AS n FROM b
+          GROUP BY blk, label
+        ), occ_lbl AS (
+          SELECT label,
+                 CAST(sum(n) AS BIGINT) AS n_vectors,
+                 CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(max(n) AS BIGINT) AS max_block,
+                 CAST(sum((n * (n - 1)) / 2) AS BIGINT) AS n_pairs_scanned
+          FROM occ GROUP BY label
+        ), nd AS (
+          SELECT a.blk // {nlist} AS label,
+                 CAST(count(*) AS BIGINT) AS n_neardup,
+                 CAST(sum(CAST(round(round({cos}, 4) * 10000, 0) AS BIGINT))
+                      AS BIGINT) AS cos_cents,
+                 CAST(sum(a.vec_id + b2.vec_id) AS BIGINT) AS id_checksum
+          FROM b a JOIN b b2 ON a.blk = b2.blk AND a.vec_id < b2.vec_id
+          WHERE {cos} >= {threshold}
+          GROUP BY 1
+        )
+        SELECT o.label, o.n_vectors, o.n_blocks, o.max_block,
+               o.n_pairs_scanned,
+               COALESCE(nd.n_neardup, 0) AS n_neardup,
+               COALESCE(nd.cos_cents, 0) AS cos_cents,
+               COALESCE(nd.id_checksum, 0) AS id_checksum
+        FROM occ_lbl o LEFT JOIN nd ON nd.label = o.label
+        ORDER BY o.label
+    """
+
+
+@query(
+    "llm_embedding_neardup_refit64",
+    family="llm",
+    oracle=_refit64_oracle(),
+)
+def llm_embedding_neardup_refit64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The √N re-fit tier of the blocked near-dup family: the same
+    (label × frozen-IVF-list) blocked pair scan as
+    llm_embedding_neardup_blocked, but against the FROZEN 64-list re-fit
+    quantizer (operators/ivf_refit_frozen.py, fit by
+    scripts/fit_refit_quantizer.py — exactly the fit
+    scripts/neardup_nlist_experiment.py measured). The frozen 16-list
+    index cannot grow with the corpus, so at 10× data its block
+    populations creep back up (max occupancy 1881, pipeline 3.72×
+    sf1→sf10); FAISS's deployment rule re-fits nlist ≈ √N, and the
+    64-list fit cuts max occupancy to 808 and the warm sf10 pipeline to
+    2.12× over the sf1 frozen-16 baseline. Freezing that fit turns the
+    measured rule into a regression-pinned, hash-gated tier: this is
+    the plan a 100 TB deployment runs after a quantizer refresh, and
+    llm_ivf_refit_drift_audit is the monitor that says when to cut the
+    next one.
+
+    Output is the per-LABEL audit digest, not the raw pair list: for
+    each coarse label, total vectors, occupied refined blocks, max
+    block occupancy, exact pairs-scanned ledger (Σ n·(n−1)/2 — the
+    occupancy regression pin itself), and the near-dup survivors'
+    count + integer cosine/id checksums. Two reasons over pair rows:
+    (1) the digest hash-gates the frozen-64 argmax assignment of EVERY
+    vector and the occupancy arithmetic at EVERY scale — at the
+    driver's sf0.01 gate the 1024-way blocking leaves zero qualifying
+    pairs, and an empty pair list would gate nothing; (2) occupancy is
+    the quantity the re-fit exists to bound, so the gate pins it
+    directly. Checksums are exact integers (cosine rounded 4 dp, then
+    ×10⁴ re-rounded at 0 dp — both engines HALF_UP on positives), so
+    the only float surface is the same rounded cosine the sibling tier
+    gates. Per-block kernel unchanged (vectors cross Arrow once)."""
+    from syslog_kafka_spark.operators.ivf_refit_frozen import IVF64_CENTROIDS
+    from syslog_kafka_spark.operators.session_cache import session_cache
+    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+
+    nlist = len(IVF64_CENTROIDS)
+    emb = load_tables(spark, sf_dir).embeddings
+    sims = frozen_sims_udf(IVF64_CENTROIDS)
+    # blocked is read twice (occupancy ledger + pair kernel): session
+    # LRU entry, eagerly filled, so the frozen-sims UDF runs one pass
+    blocked = session_cache(
+        emb.filter(F.col("label").isNotNull())
+        .withColumn("_sims", sims(F.col("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("label").cast("bigint").alias("label"),
+            (
+                F.col("label").cast("bigint") * nlist
+                + (F.array_position("_sims", F.array_max("_sims")) - 1)
+            ).alias("blk"),
+        )
+    )
+    occ = blocked.groupBy("blk", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    occ_lbl = occ.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.max("n").cast("bigint").alias("max_block"),
+        F.sum((F.col("n") * (F.col("n") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_pairs_scanned"),
+    )
+    pairs = embedding_neardup_pairs(
+        blocked.select("vec_id", "embedding", "blk"),
+        label_col="blk",
+        threshold=0.4,
+    )
+    nd = (
+        pairs.join(
+            blocked.select(F.col("vec_id").alias("id_a"), "blk"), "id_a"
+        )
+        .groupBy(F.floor(F.col("blk") / nlist).cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neardup"),
+            F.sum(F.round(F.col("cosine") * 10000, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cos_cents"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("id_checksum"),
+        )
+    )
+    return (
+        occ_lbl.join(nd, "label", "left")
+        .select(
+            "label",
+            "n_vectors",
+            "n_blocks",
+            "max_block",
+            "n_pairs_scanned",
+            F.coalesce("n_neardup", F.lit(0)).cast("bigint").alias("n_neardup"),
+            F.coalesce("cos_cents", F.lit(0)).cast("bigint").alias("cos_cents"),
+            F.coalesce("id_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+        .orderBy("label")
+    )
+
+
+def _lsh_banded_cte(
     n_hashes: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
     source: str = "documents",
 ) -> str:
-    """The full MinHash-LSH pipeline as a DuckDB CTE list ending in
-    ``verified(id_a, id_b, jaccard)`` — shared by the pair query, the
-    connected-components clustering oracle, and (with ``source``
-    overridden) the dedup-then-LSH composite. Possible only because every
-    hash in the path is md5-portable: shingle hash, signature affine
-    family, and the band bucket (hash64 of the comma-joined slice)."""
+    """The MinHash-LSH front half as a DuckDB CTE list ending in
+    ``banded(id, shingles, band, bucket)`` — the shingle→signature→
+    band-bucket pipeline shared by :func:`_lsh_pairs_cte` and the
+    streaming probe twin's oracle (plans/stream_gated), mirroring the
+    single ``banded_buckets`` definition on the Spark side."""
     rpb = n_hashes // bands
     band_cases = " ".join(
         "WHEN {b} THEN {h}".format(
@@ -601,7 +774,22 @@ def _lsh_pairs_cte(
           SELECT id, shingles, t.b AS band,
                  CASE t.b {band_cases} END AS bucket
           FROM sig, (SELECT unnest([{", ".join(str(b) for b in range(bands))}]) AS b) t
-        ), pairs AS (
+        )"""
+
+
+def _lsh_pairs_cte(
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    source: str = "documents",
+) -> str:
+    """The full MinHash-LSH pipeline as a DuckDB CTE list ending in
+    ``verified(id_a, id_b, jaccard)`` — shared by the pair query, the
+    connected-components clustering oracle, and (with ``source``
+    overridden) the dedup-then-LSH composite. Possible only because every
+    hash in the path is md5-portable: shingle hash, signature affine
+    family, and the band bucket (hash64 of the comma-joined slice)."""
+    return f"""{_lsh_banded_cte(n_hashes, bands, source)}, pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
@@ -2485,9 +2673,10 @@ def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one row per UNIQUE doc, referenced three times (reps + both
         # group-size sides) and repeatedly inside the LSH stage's band/
         # verify passes — without the barrier the normalize+groupBy
-        # re-executes per reference (measured 18 s -> ~3 s warm at sf1)
-        .localCheckpoint()
+        # re-executes per reference (measured 18 s -> ~3 s warm at sf1).
+        # Managed checkpoint so clear_session_caches releases the pin.
     )
+    grp = session_checkpoint(grp)
     reps = grp.select("doc_id", "text")
     pairs = minhash_lsh_pairs(reps, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
     ga = grp.select(F.col("doc_id").alias("id_a"), F.col("grp_size").alias("_ga"))

@@ -510,3 +510,209 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("rank").cast("int").alias("rank"), "pair", "freq"
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-apply (tokenizer-training outer loop, iterated)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_ITERS = 3
+_BPE_APPLY_TOPK = 5
+_US = "\x1f"  # symbol delimiter: unit separator, below any printable char
+
+
+def _bpe_apply_oracle() -> str:
+    fold = (
+        "list_filter(string_split(list_reduce(syms, (acc, x) -> CASE "
+        "WHEN (acc = m.m_a OR ends_with(acc, chr(31) || m.m_a)) AND x = m.m_b "
+        "THEN acc || x ELSE acc || chr(31) || x END), chr(31)), s -> s != '')"
+    )
+
+    def counts(i: int) -> str:
+        return f"""c{i} AS (
+          SELECT pair_key, CAST(sum(freq) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                          i -> syms[i] || chr(31) || syms[i + 1])) AS pair_key,
+                   freq
+            FROM v{i - 1} WHERE len(syms) >= 2
+          ) GROUP BY pair_key
+        )"""
+
+    def merge(i: int) -> str:
+        return f"""m{i} AS (
+          SELECT string_split(pair_key, chr(31))[1] AS m_a,
+                 string_split(pair_key, chr(31))[2] AS m_b
+          FROM c{i} ORDER BY freq DESC, pair_key LIMIT 1
+        )"""
+
+    def apply(i: int) -> str:
+        return f"""v{i} AS (
+          SELECT word, freq, {fold} AS syms FROM v{i - 1}, m{i} m
+        )"""
+
+    def ranked(i: int) -> str:
+        return f"""
+          SELECT {i} AS iter,
+                 CAST(row_number() OVER (ORDER BY freq DESC, pair_key) AS INT)
+                   AS rank,
+                 string_split(pair_key, chr(31))[1] AS sym_a,
+                 string_split(pair_key, chr(31))[2] AS sym_b,
+                 freq
+          FROM c{i} ORDER BY freq DESC, pair_key LIMIT {_BPE_APPLY_TOPK}"""
+
+    stages = []
+    for i in range(1, _BPE_APPLY_ITERS + 1):
+        stages.append(counts(i))
+        if i < _BPE_APPLY_ITERS:
+            stages.append(merge(i))
+            stages.append(apply(i))
+    body = ",\n        ".join(stages)
+    unioned = "\n          UNION ALL".join(
+        f"({ranked(i)})" for i in range(1, _BPE_APPLY_ITERS + 1)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS freq FROM tok
+          WHERE word NOT LIKE '%' || chr(31) || '%'
+          GROUP BY word
+        ), v0 AS (
+          SELECT word, freq,
+                 list_transform(generate_series(1, length(word)),
+                                i -> substring(word, i, 1)) AS syms
+          FROM vocab
+        ),
+        {body}
+        SELECT * FROM ({unioned}) ORDER BY iter, rank
+    """
+
+
+def _bpe_pair_counts(v: DataFrame) -> DataFrame:
+    """Adjacent SYMBOL-pair frequencies over a (freq, syms) vocab frame;
+    pair identity is the chr(31)-delimited symbol pair (concatenation is
+    ambiguous once merged symbols exist: after merges 'ab' and 'bc',
+    'abc' could be (ab,c) or (a,bc))."""
+    return (
+        v.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> concat(syms[i-1], chr(31), syms[i]))"
+                )
+            ).alias("pair_key"),
+        )
+        .groupBy("pair_key")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+    )
+
+
+def _bpe_apply_merge(v: DataFrame, top1: DataFrame) -> DataFrame:
+    """Greedy left-to-right non-overlapping application of ONE merge pair
+    to every vocab word's symbol sequence — the canonical BPE trainer
+    step. A left fold with a delimited-string accumulator: if the
+    accumulator's LAST symbol is exactly m_a and the incoming symbol is
+    m_b, append the characters (the last symbol becomes the merged one —
+    which immediately stops it re-matching m_a, so overlapping runs
+    merge greedily like the reference trainers); otherwise append the
+    symbol with its delimiter. DuckDB's list_reduce seeds with the first
+    ELEMENT (no init), Spark's aggregate with '' — the `acc = m_a` arm
+    of the oracle's condition covers exactly that representational
+    difference, and both engines split the same final string."""
+    merged = F.aggregate(
+        F.col("syms"),
+        F.lit(""),
+        lambda acc, x: F.when(
+            acc.endswith(F.concat(F.lit(_US), F.col("m_a")))
+            & (x == F.col("m_b")),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(_US), x)),
+    )
+    return v.crossJoin(F.broadcast(top1)).select(
+        "word",
+        "freq",
+        F.filter(F.split(merged, _US), lambda s: s != F.lit("")).alias("syms"),
+    )
+
+
+@query("llm_bpe_merge_apply", family="llm", oracle=_bpe_apply_oracle())
+def llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's OUTER loop, iterated: count adjacent symbol
+    pairs over the corpus-weighted vocab, pick the top merge
+    (freq DESC, pair ASC — exact-integer, deterministic), apply it to
+    every word's symbol sequence, re-count — three gated iterations.
+    llm_bpe_merge_candidates proved the inner statistic; this query
+    proves the loop's DATAFLOW: the chosen merge feeds back as a 1-row
+    broadcast (never a driver collect), the rewrite is a vocab-sized
+    higher-order fold, and the next count runs over the rewritten vocab.
+    A real 32k-merge training run is this plan repeated — each
+    iteration's shuffle stays (pair-space)-bounded and the corpus is
+    never re-scanned after the initial vocab aggregate.
+
+    Output: the top-5 merge candidates at each iteration (iteration 1
+    reproduces llm_bpe_merge_candidates' head; later iterations count
+    pairs no string-level scan can see, e.g. (merged, next) pairs).
+    Pairs are chr(31)-delimited symbol tuples; ordering and ranking use
+    the delimited key on BOTH engines, so tie-breaks cannot diverge.
+    Words containing chr(31) are excluded up front on both sides (the
+    delimiter must not occur in a symbol; zero such words in any corpus
+    here, but the gate must not depend on that).
+
+    Distributed shape: ONE corpus-scale pass (token explode →
+    map-side-combined vocab aggregate, cached via session_cache — every
+    iteration re-reads vocab, not the corpus); per-iteration work is
+    vocab-sized (the fold) plus a ≤|alphabet+merges|²-row pair
+    aggregate; the 1-row merge choice moves executor→executor as a
+    broadcast. At 100 TB the corpus pass dominates and runs once."""
+    from syslog_kafka_spark.operators.session_cache import session_cache
+
+    d = load_tables(spark, sf_dir).documents
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").contains(_US))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms0 = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    v = session_cache(vocab.select("word", "freq", syms0.alias("syms")))
+
+    out = None
+    for it in range(1, _BPE_APPLY_ITERS + 1):
+        counts = _bpe_pair_counts(v)
+        split_key = F.split("pair_key", _US)
+        ranked = (
+            counts.withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("pair_key"))),
+            )
+            .filter(F.col("rank") <= _BPE_APPLY_TOPK)
+            .select(
+                F.lit(it).alias("iter"),
+                F.col("rank").cast("int").alias("rank"),
+                F.get(split_key, 0).alias("sym_a"),
+                F.get(split_key, 1).alias("sym_b"),
+                "freq",
+            )
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+        if it < _BPE_APPLY_ITERS:
+            top1 = (
+                counts.orderBy(F.desc("freq"), F.asc("pair_key"))
+                .limit(1)
+                .select(
+                    F.get(F.split("pair_key", _US), 0).alias("m_a"),
+                    F.get(F.split("pair_key", _US), 1).alias("m_b"),
+                )
+            )
+            # each rewritten vocab is materialized (session LRU), exactly
+            # like a real trainer's per-merge vocab table: without the
+            # barrier the fold subtree replicates into every LATER
+            # iteration's counts/merge/fold trees (the plan doubles per
+            # iteration — measured 4 BroadcastNestedLoopJoins for 2
+            # applied merges; cached it is one per merge, in the fill)
+            v = session_cache(_bpe_apply_merge(v, top1))
+    return out.orderBy("iter", "rank")

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from syslog_kafka_spark.operators.session_cache import session_checkpoint
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
@@ -129,15 +130,14 @@ def sort_global_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("l_orderkey").asc(),
         F.col("l_linenumber").asc(),
     ]
-    # localCheckpoint pins ONE materialization of the range exchange:
+    # session_checkpoint pins ONE materialization of the range exchange:
     # the sampled range bounds are per-execution, so letting the counts
     # pass and the ranking pass re-run the exchange independently could
     # place rows differently and corrupt the offsets (at warehouse scale
-    # this is the persisted sorted intermediate).
-    parted = (
-        li.repartitionByRange(16, *keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # this is the persisted sorted intermediate). Managed handle so
+    # clear_session_caches releases it between sweep queries.
+    parted = session_checkpoint(
+        li.repartitionByRange(16, *keys).withColumn("_pid", F.spark_partition_id())
     )
     # one row per partition — the bounded driver-side piece
     sizes = {r["_pid"]: r["n"] for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}

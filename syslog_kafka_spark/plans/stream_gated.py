@@ -1454,3 +1454,122 @@ def stream_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_topk_finish(
         drain(bpe_pair_counts_frame(raw), mode="complete"), _BPE_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH near-dup probe (online dedup against the ingested corpus)
+# ---------------------------------------------------------------------------
+
+_LSH_K = 5
+_LSH_HASHES = 16
+_LSH_BANDS = 4
+
+
+def lsh_probe_digest_frame(probe_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame:
+    """Per-band candidate-collision digest of a (possibly streaming)
+    document frame probed against the STATIC corpus' banded LSH base —
+    the pre-drain plan shared by the gate and the multibatch replay test.
+
+    Shape: each arriving document shingles, signs, and bands INSIDE its
+    scan task (the same lsh_base_arrow kernel and banded_buckets
+    expression the batch pipeline uses — one definition each, so the
+    twins cannot diverge); the probe join against the banded base is a
+    STATELESS stream-static equi-join on (band, bucket); the only
+    stateful operator is the complete-mode monitor aggregate, bounded at
+    #bands rows forever. ``base_id < probe_id`` keeps pair orientation
+    identical to the batch self-join's ``id_a < id_b``. No pair-level
+    distinct (that would be unbounded streaming state): the digest
+    counts RAW band collisions — exactly the pre-dedup volume the batch
+    pipeline's first join produces, which is also the quantity an
+    ingest-side monitor watches (candidate volume per band = the LSH
+    parameter-health signal)."""
+    from syslog_kafka_spark.operators.dedup import (
+        banded_buckets,
+        lsh_base_arrow,
+        normalized,
+    )
+    from syslog_kafka_spark.operators.session_cache import session_cache
+    from syslog_kafka_spark.sources.readers import spread
+
+    base = session_cache(
+        lsh_base_arrow(
+            spread(
+                corpus_docs.select(
+                    F.col("doc_id").alias("_id"), normalized("text").alias("_norm")
+                )
+            ),
+            _LSH_K,
+            _LSH_HASHES,
+        )
+    )
+    static_banded = banded_buckets(base, _LSH_HASHES, _LSH_BANDS).select(
+        F.col("_id").alias("base_id"), "_band", "_bucket"
+    )
+    probe_base = lsh_base_arrow(
+        probe_docs.select(
+            F.col("doc_id").alias("_id"), normalized("text").alias("_norm")
+        ),
+        _LSH_K,
+        _LSH_HASHES,
+    )
+    probe_banded = banded_buckets(probe_base, _LSH_HASHES, _LSH_BANDS).select(
+        F.col("_id").alias("probe_id"), "_band", "_bucket"
+    )
+    cands = probe_banded.join(static_banded, ["_band", "_bucket"]).filter(
+        F.col("base_id") < F.col("probe_id")
+    )
+    return cands.groupBy(F.col("_band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("probe_id").cast("bigint").alias("probe_checksum"),
+        F.sum("base_id").cast("bigint").alias("base_checksum"),
+        F.min("base_id").alias("min_base_id"),
+        F.max("probe_id").alias("max_probe_id"),
+    )
+
+
+def _stream_lsh_probe_oracle() -> str:
+    from syslog_kafka_spark.plans.llm import _lsh_banded_cte
+
+    return f"""
+        WITH {_lsh_banded_cte(_LSH_HASHES, _LSH_BANDS)},
+        cand AS (
+          SELECT a.band, a.id AS probe_id, b.id AS base_id
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND b.id < a.id
+        )
+        SELECT CAST(band AS INT) AS band,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(probe_id) AS BIGINT) AS probe_checksum,
+               CAST(sum(base_id) AS BIGINT) AS base_checksum,
+               min(base_id) AS min_base_id,
+               max(probe_id) AS max_probe_id
+        FROM cand GROUP BY band ORDER BY band
+    """
+
+
+@query(
+    "stream_lsh_probe_digest",
+    family="streaming",
+    oracle=_stream_lsh_probe_oracle(),
+)
+def stream_lsh_probe_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE near-duplicate probing — the streaming face of
+    lsh_candidate_pairs, the last §2B.10 batch dedup capability without
+    one: documents arrive as a stream, MinHash-sign inside their scan
+    task, and probe the already-ingested corpus' banded LSH base via a
+    stateless stream-static join; a complete-mode per-band digest
+    (candidate count + id checksums) is the only state, bounded at
+    #bands rows however much data streams through. This is the ingest
+    shape at 100 TB: signature computation is arrival-order-independent
+    (frozen hash family, per-document), the base is the warehouse-side
+    static artifact, and a duplicate is flagged the microbatch its
+    probe collides — before it lands in the training mix.
+
+    The batch-twin oracle recomputes every signature, band bucket, and
+    collision relationally (the SAME _lsh_banded_cte the batch pair
+    oracle uses); a stream that dropped, duplicated, or mis-bucketed
+    any document hash-fails. The multibatch replay test re-runs this
+    exact pre-drain plan at maxFilesPerTrigger=1."""
+    d = load_tables(spark, sf_dir).documents
+    digest = lsh_probe_digest_frame(_stream_docs(spark, sf_dir), d)
+    return drain(digest, mode="complete").orderBy("band")

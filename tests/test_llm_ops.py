@@ -605,3 +605,49 @@ def test_bigram_builder_survives_short_docs(spark):
     base = df.select(tokens("text").alias("_toks"))
     out = base.select(F.explode(_bigrams_col()).alias("bigram")).collect()
     assert [r["bigram"] for r in out] == ["two words"]
+
+
+def test_bpe_merge_apply_fold_is_greedy_left_to_right(spark):
+    """The merge fold must implement CANONICAL greedy non-overlapping
+    BPE application — hand-pinned against reference-trainer behavior,
+    because the DuckDB oracle only proves the two engines AGREE, not
+    that they agree on the right semantics. The overlap cases are the
+    traps: 'aaa' under merge (a,a) → [aa, a] (a freshly merged symbol
+    must not re-match as its left half), 'abab' under (a,b) → [ab, ab],
+    and a merged symbol pairing with its neighbor afterwards."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.plans.mining import _bpe_apply_merge
+
+    v = spark.createDataFrame(
+        [("aaa", 1), ("abab", 1), ("xaby", 1), ("ba", 1)], "word string, freq long"
+    ).select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+
+    def apply(vdf, a, b):
+        top1 = spark.createDataFrame([(a, b)], "m_a string, m_b string")
+        return _bpe_apply_merge(vdf, top1)
+
+    got = {
+        r["word"]: r["syms"]
+        for r in apply(v, "a", "a").collect()
+    }
+    assert got["aaa"] == ["aa", "a"]  # greedy, non-overlapping
+    assert got["abab"] == ["a", "b", "a", "b"]  # untouched
+
+    got = {r["word"]: r["syms"] for r in apply(v, "a", "b").collect()}
+    assert got["abab"] == ["ab", "ab"]  # adjacent occurrences both merge
+    assert got["xaby"] == ["x", "ab", "y"]
+    assert got["ba"] == ["b", "a"]  # ordered pair: (a,b) ≠ (b,a)
+
+    # a merged symbol participates in the NEXT iteration's pairs:
+    # apply (a,b) then (ab,y) — 'xaby' becomes [x, aby]
+    v2 = apply(v, "a", "b")
+    got = {r["word"]: r["syms"] for r in apply(v2, "ab", "y").collect()}
+    assert got["xaby"] == ["x", "aby"]
+    assert got["abab"] == ["ab", "ab"]  # no 'y' neighbor: untouched

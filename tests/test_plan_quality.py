@@ -718,3 +718,49 @@ def test_ivf_refit_frozen_join_is_broadcast(spark, sf_dir):
     assert not any("CartesianProduct" in k for k in ops), ops
     assert any("BroadcastHashJoin" in k for k in ops), ops
     assert not any("SortMergeJoin" in k for k in ops), ops
+
+
+def test_bpe_merge_apply_reads_corpus_once_and_broadcasts_merges(spark, sf_dir):
+    """Three-iteration merge-apply must never rescan the corpus, and
+    every rewritten vocab must be a materialization barrier: without it
+    the fold subtree replicates into every later iteration's trees (the
+    plan doubles per iteration — 4 BroadcastNestedLoopJoins for 2
+    applied merges when unbarriered). Steady state: the query's own tree
+    is all InMemoryTableScans + the bounded pair windows — zero parquet
+    FileScans, zero merge-broadcast replays, nothing cartesian or
+    sort-merged."""
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    # build once so the session cache is filled; the second build's own
+    # tree is then the steady-state plan a sweep executes
+    load_all()["llm_bpe_merge_apply"].build(spark, sf_dir).count()
+    ops = _executed_op_counts(spark, sf_dir, "llm_bpe_merge_apply")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert not any("SortMergeJoin" in k for k in ops), ops
+    scans = sum(v for k, v in ops.items() if k.startswith("FileSourceScan"))
+    assert scans == 0, ops  # vocab cached: no corpus rescan in-plan
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 3, ops
+    bnl = sum(v for k, v in ops.items() if "BroadcastNestedLoop" in k)
+    assert bnl == 0, ops  # merge broadcasts live in the cache fills only
+    clear_session_caches(spark)
+
+
+def test_refit64_blocked_frame_is_cached_and_join_free_of_shuffled_pairs(
+    spark, sf_dir
+):
+    """The refit-64 digest reads the blocked assignment TWICE (occupancy
+    ledger + pair kernel): both references must hit the session-cached
+    frame (no second frozen-sims UDF pass), and the near-dup join-back
+    to labels must broadcast (pairs are sparse; the blocked base is the
+    big side and already partitioned)."""
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    load_all()["llm_embedding_neardup_refit64"].build(spark, sf_dir).count()
+    ops = _executed_op_counts(spark, sf_dir, "llm_embedding_neardup_refit64")
+    assert not any("CartesianProduct" in k for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 2, ops
+    # embeddings parquet is only read by the cache fill, not this tree
+    assert not any(k.startswith("FileSourceScan") for k in ops), ops
+    clear_session_caches(spark)

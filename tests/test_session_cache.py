@@ -18,9 +18,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from syslog_kafka_spark.operators.session_cache import (
+    _CKPTS,
     _LRU,
     clear_session_caches,
+    release_checkpoint,
     session_cache,
+    session_checkpoint,
 )
 
 
@@ -104,3 +107,49 @@ def test_clear_session_caches_unpersists_everything(spark):
     assert clear_session_caches(spark) == 2
     assert len(_LRU.get(spark, {})) == 0
     assert clear_session_caches(spark) == 0  # idempotent
+
+
+def test_same_plan_reregister_keeps_one_handle_per_slot(spark):
+    """The collision-safe slot (r9 ADVICE) stores a LIST of handles; a
+    sameResult re-register must REPLACE its handle, not append — else
+    the common hot path (the LSH base, rebuilt per query) grows a slot
+    per call and eviction unpersists the live entry N times."""
+    clear_session_caches(spark)
+    for _ in range(3):
+        session_cache(spark.range(64).select((F.col("id") * 13).alias("z")))
+    (slot,) = _LRU[spark].values()
+    assert len(slot) == 1
+    clear_session_caches(spark)
+
+
+def _persisted_ids(spark) -> set:
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def test_session_checkpoint_is_released_by_clear(spark):
+    """A managed localCheckpoint registers its pinned RDD ids and
+    clear_session_caches releases them — the r9 ADVICE leak (novelty
+    curve checkpoints accumulating across probe sweeps)."""
+    clear_session_caches(spark)
+    before = _persisted_ids(spark)
+    ck = session_checkpoint(spark.range(1000).select((F.col("id") % 9).alias("k")))
+    assert ck.count() == 1000  # usable while registered
+    pinned = _persisted_ids(spark) - before
+    assert pinned  # the checkpoint actually pinned storage
+    assert clear_session_caches(spark) >= 1
+    assert _persisted_ids(spark) & pinned == set()
+    assert not _CKPTS.get(spark)
+
+
+def test_release_checkpoint_frees_one_generation(spark):
+    clear_session_caches(spark)
+    before = _persisted_ids(spark)
+    gen1 = session_checkpoint(spark.range(100).select(F.col("id").alias("a")))
+    after1 = _persisted_ids(spark) - before
+    gen2 = session_checkpoint(spark.range(100).select((F.col("id") + 1).alias("a")))
+    assert release_checkpoint(gen1) is True
+    assert release_checkpoint(gen1) is False  # idempotent / unregistered
+    assert _persisted_ids(spark) & after1 == set()
+    assert gen2.count() == 100  # the live generation is untouched
+    clear_session_caches(spark)

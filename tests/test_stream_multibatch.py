@@ -352,3 +352,32 @@ def test_stream_bpe_multibatch_counter_merge(spark, sf_dir, duck, tmp_path):
     assert_matches_oracle(
         bpe_topk_finish(counts, _BPE_TOPK), duck, oracle, name="bpe multibatch"
     )
+
+
+def test_stream_lsh_probe_multibatch(spark, sf_dir, duck, tmp_path):
+    """The per-band candidate digest must accumulate across ≥3 probe
+    microbatches to exactly the batch self-join's collision volume: each
+    document's signature and band buckets are arrival-independent, the
+    stream-static probe join is stateless, and the complete-mode monitor
+    merges counts/checksums across triggers — hash-equal to the SAME
+    DuckDB oracle the driver gate uses."""
+    from syslog_kafka_spark.plans.stream_gated import lsh_probe_digest_frame
+
+    d = tmp_path / "probe_docs"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    result, n_batches = _drain_counted(
+        lsh_probe_digest_frame(raw, corpus), "complete"
+    )
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_lsh_probe_digest"].oracle
+    assert_matches_oracle(
+        result.orderBy("band"), duck, oracle, name="lsh probe multibatch"
+    )
