@@ -80,6 +80,14 @@ PROBE = [
     "llm_ivf_refit_drift_audit",
     "stream_ivf_refit_drift",
     "stream_bpe_merge_candidates",
+    # r10 queries: the frozen-64 re-fit near-dup tier (the √N rule as a
+    # gated artifact — its pipeline ratio vs the frozen-16 sibling IS the
+    # deliverable), the iterated BPE merge-apply loop (per-iteration work
+    # must stay vocab-bounded), and the streaming LSH probe twin (stateless
+    # stream-static probe; should track lsh_candidate_pairs' linear tier)
+    "llm_embedding_neardup_refit64",
+    "llm_bpe_merge_apply",
+    "stream_lsh_probe_digest",
 ]
 
 

@@ -1573,3 +1573,187 @@ def stream_lsh_probe_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     digest = lsh_probe_digest_frame(_stream_docs(spark, sf_dir), d)
     return drain(digest, mode="complete").orderBy("band")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom decontamination probe (online contamination flagging)
+# ---------------------------------------------------------------------------
+
+
+def bloom_probe_digest_frame(probe_docs: DataFrame, static_docs: DataFrame) -> DataFrame:
+    """Per-bucket contamination digest of a (possibly streaming) document
+    frame probed against the held-out split's Bloom filter — the
+    pre-drain plan shared by the gate and the multibatch replay test.
+
+    The filter artifact is built BATCH-side from the static corpus: the
+    'test' hash-split's 8-gram probe positions (the identical
+    bloom_position_array the batch decontamination and the streaming
+    filter build use) collapse to ≤m distinct positions, collected into
+    one m-length boolean bitmap and attached to the stream as a 1-row
+    broadcast frame. The collect is bounded at m = 65536 booleans (64 KB)
+    REGARDLESS of corpus size — the same bounded-by-construction class as
+    the adjudicated watermark scalars, and exactly how production
+    runtime filters ship (built once per eval-set refresh, not per
+    microbatch). Each arriving document then evaluates entirely INSIDE
+    its scan task: gram hashes stay in a per-row array (never exploded),
+    and a higher-order fold counts grams whose k probe positions are all
+    set. No per-document state exists anywhere; the only stateful
+    operator is the complete-mode digest, bounded at 64 buckets forever."""
+    from syslog_kafka_spark.functions.hashes import hash64
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.operators.curation import hash_split, ngram_hashes
+    from syslog_kafka_spark.plans.llm_scale import (
+        _BLOOM_M,
+        _BLOOM_N,
+        bloom_position_array,
+    )
+
+    spark = static_docs.sparkSession
+    test_pos = (
+        ngram_hashes(
+            static_docs.select(
+                "doc_id", "text", hash_split("doc_id").alias("split")
+            ).filter(F.col("split") == "test"),
+            n=_BLOOM_N,
+            salt="bloom-v1",
+        )
+        .select(F.explode(bloom_position_array()).alias("pos"))
+        .distinct()
+    )
+    set_pos = {int(r.pos) for r in test_pos.collect()}  # bounded: ≤ m rows
+    bitmap = [i in set_pos for i in range(_BLOOM_M)]
+    bitmap_df = spark.createDataFrame(
+        [(1, bitmap)], "_k int, bloom_bits array<boolean>"
+    )
+
+    probe = (
+        probe_docs.select(
+            "doc_id", hash_split("doc_id").alias("split"), tokens("text").alias("_toks")
+        )
+        .filter((F.col("split") != "test") & (F.size("_toks") >= _BLOOM_N))
+    )
+    starts = F.sequence(F.lit(1), F.size("_toks") - F.lit(_BLOOM_N - 1))
+    grams = F.transform(
+        starts,
+        lambda s: hash64(
+            F.array_join(F.slice("_toks", s, _BLOOM_N), " "), salt="bloom-v1"
+        ),
+    )
+    joined = (
+        probe.select("doc_id", grams.alias("_grams"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(bitmap_df), "_k")
+    )
+    n_hits = F.aggregate(
+        F.col("_grams"),
+        F.lit(0).cast("bigint"),
+        lambda acc, g: acc
+        + F.when(
+            F.forall(
+                bloom_position_array(g),
+                lambda p: F.element_at(F.col("bloom_bits"), p.cast("int") + F.lit(1)),
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    verdicts = joined.select(
+        "doc_id",
+        F.size("_grams").cast("bigint").alias("n_grams"),
+        n_hits.alias("n_hits"),
+    )
+    return verdicts.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(64)).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_hits") > 0).cast("bigint")).cast("bigint").alias("n_flagged"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_hits") > 0, F.col("doc_id"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("flagged_checksum"),
+    )
+
+
+def _stream_decontamination_oracle() -> str:
+    from syslog_kafka_spark.operators.curation import hash_split_sql, ngram_hashes_sql
+    from syslog_kafka_spark.plans.llm_scale import (
+        _BLOOM_K,
+        _BLOOM_N,
+        _bloom_pos_sql,
+    )
+
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+    gram_expr, unnest = ngram_hashes_sql("toks", n=_BLOOM_N, salt="bloom-v1")
+    pos_list = ", ".join(_bloom_pos_sql("gram_hash", i) for i in range(_BLOOM_K))
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {toks} AS toks,
+                 {hash_split_sql('doc_id')} AS split
+          FROM documents
+        ), g AS (
+          SELECT doc_id, split, s, {gram_expr} AS gram_hash
+          FROM d, {unnest}
+          WHERE len(toks) >= {_BLOOM_N}
+        ), test_pos AS (
+          SELECT DISTINCT p AS pos
+          FROM (SELECT DISTINCT gram_hash FROM g WHERE split = 'test') tg,
+               unnest([{pos_list}]) AS _p(p)
+        ), probes AS (
+          SELECT doc_id, s,
+                 count(*) AS n_pos,
+                 sum(CASE WHEN tp.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+          FROM (SELECT doc_id, s, gram_hash, p AS pos
+                FROM g, unnest([{pos_list}]) AS _p(p)
+                WHERE split != 'test') pr
+          LEFT JOIN test_pos tp USING (pos)
+          GROUP BY doc_id, s
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS n_hits
+          FROM probes GROUP BY doc_id
+        )
+        SELECT CAST(doc_id % 64 AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_hits) AS BIGINT) AS total_hits,
+               CAST(COALESCE(sum(CASE WHEN n_hits > 0 THEN doc_id END), 0)
+                    AS BIGINT) AS flagged_checksum
+        FROM per_doc GROUP BY 1 ORDER BY bucket
+    """
+
+
+@query(
+    "stream_decontamination_probe",
+    family="streaming",
+    oracle=_stream_decontamination_oracle(),
+)
+def stream_decontamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE decontamination — the ingest face of
+    llm_bloom_decontamination, closing the last batch curation stage
+    without a streaming twin: documents arrive as a stream, and each one
+    is probed against the held-out split's Bloom filter INSIDE its scan
+    task (gram hashes stay in a per-row array; membership is a
+    higher-order fold over the broadcast 64 KB bitmap), so a
+    benchmark-contaminated document is flagged the microbatch it
+    arrives — before it lands in the training mix. This is the
+    production shape at 100 TB: the eval set is small and static (the
+    filter rebuilds only on eval-set refresh), ingest is the unbounded
+    side, and the flag decision is stateless per document; the only
+    streaming state is the 64-bucket monitor digest (counts + flagged-id
+    checksum), bounded forever.
+
+    The batch-twin oracle recomputes every gram hash, probe position,
+    and all-k-hit verdict RELATIONALLY (distinct test-split positions,
+    left join) — bitmap membership and the relational join are the same
+    predicate by construction, so a stream that dropped, duplicated, or
+    mis-probed any gram hash-fails. The multibatch replay test re-runs
+    this exact pre-drain plan at maxFilesPerTrigger=1."""
+    d = load_tables(spark, sf_dir).documents
+    digest = bloom_probe_digest_frame(_stream_docs(spark, sf_dir), d)
+    return drain(digest, mode="complete").orderBy("bucket")

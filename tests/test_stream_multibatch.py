@@ -381,3 +381,33 @@ def test_stream_lsh_probe_multibatch(spark, sf_dir, duck, tmp_path):
     assert_matches_oracle(
         result.orderBy("band"), duck, oracle, name="lsh probe multibatch"
     )
+
+
+def test_stream_decontamination_multibatch(spark, sf_dir, duck, tmp_path):
+    """The contamination digest must accumulate across ≥3 probe
+    microbatches to exactly the batch recipe's verdicts: the Bloom
+    bitmap is a static artifact (built once, before the stream starts),
+    each document's flag decision is scan-local and arrival-independent,
+    and the complete-mode 64-bucket monitor merges counts/checksums
+    across triggers — hash-equal to the SAME DuckDB oracle the driver
+    gate uses."""
+    from syslog_kafka_spark.plans.stream_gated import bloom_probe_digest_frame
+
+    d = tmp_path / "probe_docs"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    result, n_batches = _drain_counted(
+        bloom_probe_digest_frame(raw, corpus), "complete"
+    )
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_decontamination_probe"].oracle
+    assert_matches_oracle(
+        result.orderBy("bucket"), duck, oracle, name="decontamination multibatch"
+    )
