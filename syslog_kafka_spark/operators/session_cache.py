@@ -130,24 +130,34 @@ def session_checkpoint(df: DataFrame) -> DataFrame:
     offsets derived from the first run. But the pinned RDD lives outside
     the CacheManager, so a bare ``localCheckpoint`` accumulates executor
     storage forever (the r9 ADVICE leak: repeated novelty-curve builds
-    across a probe sweep). This wrapper diffs the context's persistent
-    RDD map around the checkpoint and records the new RDD ids, so
-    :func:`clear_session_caches` can release them between queries.
+    across a probe sweep). This wrapper records the checkpointed RDD's
+    id — read EXACTLY off the returned frame's LogicalRDD plan node, not
+    inferred — so :func:`clear_session_caches` can release it between
+    queries.
+
+    The id must be exact, never a before/after diff of the context's
+    persistent-RDD map: lazy ``session_cache(..., eager=False)`` entries
+    register their column-buffer RDDs at FIRST materialization, which is
+    often the eager checkpoint action itself, and a diff attributes
+    those cache RDDs to the checkpoint — ``release_checkpoint`` then
+    unpersists a live cache mid-loop and every later iteration rebuilds
+    the cached pipeline from scratch (measured: the sf10 cohesion audit
+    went 42 s → 117 s cold, 2 s → 27 s warm, under the diff version).
 
     NOT an LRU: unpersisting a local checkpoint truncated its lineage —
     a later read fails outright rather than recomputing — so eviction
     can never be a mid-use event. Release happens only at the explicit
-    sweep boundary, where no returned frame is still live. The RDD-id
-    diff assumes builds are single-threaded per session (true for every
-    harness here); a concurrent persist between the two snapshots would
-    be misattributed.
+    sweep boundary, where no returned frame is still live.
     """
     spark = df.sparkSession
-    jsc = spark.sparkContext._jsc
-    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
     ck = df.localCheckpoint(eager=True)
-    after = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
-    _CKPTS.setdefault(spark, []).append((ck, frozenset(after - before)))
+    try:
+        # localCheckpoint returns a frame whose analyzed plan IS the
+        # LogicalRDD over the pinned RDD.
+        ids = frozenset([int(ck._jdf.queryExecution().analyzed().rdd().id())])
+    except Exception:
+        ids = frozenset()  # unexpected plan shape: keep the frame, leak one RDD
+    _CKPTS.setdefault(spark, []).append((ck, ids))
     return ck
 
 

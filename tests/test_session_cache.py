@@ -153,3 +153,31 @@ def test_release_checkpoint_frees_one_generation(spark):
     assert _persisted_ids(spark) & after1 == set()
     assert gen2.count() == 100  # the live generation is untouched
     clear_session_caches(spark)
+
+
+def test_release_checkpoint_never_touches_lazy_caches(spark):
+    """Regression pin (r10): a lazy session_cache entry materializes its
+    column-buffer RDD during the FIRST downstream action — often an
+    eager session_checkpoint. The checkpoint's recorded ids must come
+    off its LogicalRDD plan node, not a persistent-map diff, or
+    release_checkpoint unpersists the live cache and every later
+    iteration rebuilds the cached pipeline (the sf10 cohesion-audit
+    regression: 2 s → 27 s warm)."""
+    from syslog_kafka_spark.operators.session_cache import session_cache
+
+    clear_session_caches(spark)
+    base = session_cache(
+        spark.range(50000).select((F.col("id") * 3).alias("v")), eager=False
+    )
+    dep = base.groupBy((F.col("v") % 11).alias("k")).agg(F.sum("v").alias("s"))
+    ck = session_checkpoint(dep)  # first action: fills the lazy cache too
+    assert ck.count() == 11
+    assert release_checkpoint(ck) is True
+    # the lazy cache must still hold storage after the release
+    jspark = spark._jsparkSession
+    in_mem = jspark.sharedState().cacheManager().lookupCachedData(base._jdf)
+    assert in_mem.isDefined()
+    rdds = spark.sparkContext._jsc.getPersistentRDDs()
+    assert rdds.size() >= 1  # cache buffers survive the checkpoint release
+    assert base.count() == 50000
+    clear_session_caches(spark)
