@@ -764,3 +764,45 @@ def test_refit64_blocked_frame_is_cached_and_join_free_of_shuffled_pairs(
     # embeddings parquet is only read by the cache fill, not this tree
     assert not any(k.startswith("FileSourceScan") for k in ops), ops
     clear_session_caches(spark)
+
+
+def test_decontamination_probe_is_scan_local(spark, sf_dir):
+    """The Bloom probe's per-document work must stay INSIDE the scan
+    task: gram hashes live in a per-row array (never exploded to rows —
+    zero Generate nodes), membership is expression-level against the
+    broadcast 64 KB bitmap (a BroadcastHashJoin on the dummy key; never
+    sort-merged), and the only aggregation is the 64-bucket digest. An
+    explode here would shuffle the token stream once per gram — the
+    exact cost class the scan-local fold exists to avoid at 100 TB."""
+    import os
+
+    from syslog_kafka_spark.plans.stream_gated import bloom_probe_digest_frame
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    digest = bloom_probe_digest_frame(docs, docs)
+    digest.count()
+    jexec = digest._jdf.queryExecution()
+    counts: dict[str, int] = {}
+
+    def walk(p) -> None:
+        cls = p.getClass().getSimpleName()
+        counts[cls] = counts.get(cls, 0) + 1
+        if cls.startswith("InMemoryTableScan"):
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(p.executedPlan())
+            return
+        for i in range(p.children().size()):
+            walk(p.children().apply(i))
+
+    walk(jexec.executedPlan())
+    assert not any(k.startswith("Generate") for k in counts), counts
+    assert not any("SortMergeJoin" in k for k in counts), counts
+    assert not any("CartesianProduct" in k for k in counts), counts
+    # the dummy-key equi-join constant-folds (both sides literal 1), so
+    # Catalyst plans a BroadcastNestedLoopJoin over the 1-ROW bitmap frame
+    # — still a broadcast of 64 KB to every scan task, which is the
+    # contract; any non-broadcast join here would shuffle the corpus
+    assert any("Broadcast" in k and "Join" in k for k in counts), counts
+    # partial + final of the one digest aggregate (bucket cardinality 64)
+    assert sum(v for k, v in counts.items() if k.startswith("HashAggregate")) <= 2, counts
