@@ -105,6 +105,10 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     subset = {n.strip() for n in only.split(",")} if only else None
 
+    from syslog_kafka_spark.operators.session_cache import (
+        release_session_checkpoints,
+    )
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
@@ -117,6 +121,13 @@ def main() -> None:
         except Exception as exc:  # keep the bench line well-formed on a bad query
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Sweep-boundary hygiene: caches stay warm (the LRU bounds them;
+        # cross-query reuse is part of what the sweep measures) but
+        # checkpoint pins are per-build artifacts no later query reuses —
+        # without this release the inventory sweep accumulates one pinned
+        # RDD per checkpointing query, the unbounded-growth class the
+        # session-cache module exists to prevent.
+        release_session_checkpoints(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

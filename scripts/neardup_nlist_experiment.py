@@ -42,24 +42,14 @@ def blocked_pairs_time(spark, sf_dir: str, centroids: list[list[float]], tag: st
     import pyspark.sql.functions as F
 
     from syslog_kafka_spark.operators.similarity import (
+        blocked_assignment,
         embedding_neardup_pairs,
-        frozen_sims_udf,
     )
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    sims = frozen_sims_udf(centroids)
-    blocked = (
-        emb.filter(F.col("label").isNotNull())
-        .withColumn("_sims", sims(F.col("embedding")))
-        .select(
-            "vec_id",
-            "embedding",
-            (
-                F.col("label").cast("bigint") * len(centroids)
-                + (F.array_position("_sims", F.array_max("_sims")) - 1)
-            ).alias("blk"),
-        )
-    )
+    # the SAME blk arithmetic the gated tiers run — the experiment must
+    # measure the production assignment, not a hand-synced copy of it
+    blocked = blocked_assignment(emb, centroids)
     occ = blocked.groupBy("blk").count().agg(
         F.count(F.lit(1)).alias("n_blocks"),
         F.max("count").alias("max_block"),

@@ -212,6 +212,31 @@ def banded_buckets(base: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def cached_lsh_base(
+    df: DataFrame, k: int, n_hashes: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The session-cached (_id, _shingles, _sig) MinHash base — ONE
+    construction (normalize → spread → Arrow kernel → session_cache)
+    shared by the batch candidate pipeline and the streaming probe twin.
+    The sharing is the point: both callers must produce semanticHash-
+    identical plans so the LRU holds one corpus-sized entry, not two,
+    and the probe's bucket inputs cannot drift from the batch pair
+    pipeline's. spread() first: a single-file scan is ONE split and the
+    per-doc hashing kernel parallelizes over splits."""
+    return session_cache(
+        lsh_base_arrow(
+            spread(
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    normalized(text_col).alias("_norm"),
+                )
+            ),
+            k,
+            n_hashes,
+        )
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -257,35 +282,16 @@ def lsh_candidate_pairs(
     5.7 s for the join-back shape, identical output. At 100 TB the gap
     widens: arrays cross the wire once per matched document, not once
     per band replica plus once per bucket collision."""
-    # cache() is a deliberate materialization barrier: the self-join below
-    # references this frame twice, and shingles + signatures are the
-    # expensive columns (at warehouse scale this would be a checkpoint or
-    # intermediate table). Carrying the shingle arrays through the join
-    # means the verify stage never re-shingles a document.
-    # spread() first: a single-file scan is ONE split, and the per-doc
-    # hashing kernel parallelizes over splits — without the guard it runs
-    # on one core (sources/readers.spread).
-    # Eager fill + LRU bound (operators/session_cache): the plan
-    # references base FOUR times (banded + two join-backs), and Spark
-    # submits those as concurrent map stages — on a cold cache each
-    # stage races to compute the kernel partitions (measured 36 s vs
-    # 16 s cold at sf1). session_cache fills it in a single pass and
-    # shares the entry with every same-plan query in the session
-    # (pairs, components, containment), while the LRU budget keeps a
-    # long session's working set bounded (the r8 sf10 sweep blew an
+    # Eager fill + LRU bound (operators/session_cache, via the shared
+    # cached_lsh_base): the plan references base FOUR times (banded + two
+    # join-backs), and Spark submits those as concurrent map stages — on
+    # a cold cache each stage races to compute the kernel partitions
+    # (measured 36 s vs 16 s cold at sf1). The cache entry is shared with
+    # every same-plan consumer in the session (pairs, components,
+    # containment, the streaming probe twin), while the LRU budget keeps
+    # a long session's working set bounded (the r8 sf10 sweep blew an
     # 8 GiB driver heap on unbounded accumulation).
-    base = session_cache(
-        lsh_base_arrow(
-            spread(
-                df.select(
-                    F.col(id_col).alias("_id"),
-                    normalized(text_col).alias("_norm"),
-                )
-            ),
-            k,
-            n_hashes,
-        )
-    )
+    base = cached_lsh_base(df, k, n_hashes, text_col, id_col)
 
     # band value = hash64 of the band's signature slice, exploded to
     # (band_idx, band_hash) rows: the LSH bucket key. Ids only — the

@@ -96,7 +96,7 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
         try:
             same = handle._jdf.queryExecution().analyzed().sameResult(analyzed)
         except Exception:
-            same = False  # dead handle; drop it
+            continue  # dead handle (JVM-side frame gone): drop it
         if not same:
             kept.append(handle)
     kept.append(cached)
@@ -190,6 +190,34 @@ def release_checkpoint(ck: DataFrame) -> bool:
     return False
 
 
+def release_session_checkpoints(spark: SparkSession) -> int:
+    """Release EVERY registered checkpoint's pinned RDDs, keep the LRU.
+
+    The sweep-boundary call for harnesses that WANT warm caches across
+    queries (bench.py: the LRU budget already bounds cache storage, and
+    cross-query cache reuse is part of what the sweep measures) but must
+    not accumulate checkpoint pins — checkpoints are per-build artifacts
+    that no later query can ever reuse (a new build makes new frames),
+    so between queries they are pure dead weight. Returns the number of
+    checkpoint frames released.
+    """
+    n = 0
+    ckpts: list | None = _CKPTS.get(spark)
+    if ckpts:
+        try:
+            rdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for _frame, ids in ckpts:
+                for rid in ids:
+                    handle = rdds.get(rid)
+                    if handle is not None:
+                        handle.unpersist(False)
+                n += 1
+        except Exception:
+            pass  # session shutting down mid-clear is fine
+        ckpts.clear()
+    return n
+
+
 def clear_session_caches(spark: SparkSession) -> int:
     """Unpersist every frame and checkpoint this registry holds for
     ``spark``.
@@ -208,17 +236,4 @@ def clear_session_caches(spark: SparkSession) -> int:
                 evicted.unpersist(blocking=False)
             except Exception:
                 pass
-    ckpts: list | None = _CKPTS.get(spark)
-    if ckpts:
-        try:
-            rdds = spark.sparkContext._jsc.getPersistentRDDs()
-            for _frame, ids in ckpts:
-                for rid in ids:
-                    handle = rdds.get(rid)
-                    if handle is not None:
-                        handle.unpersist(False)
-                n += 1
-        except Exception:
-            pass  # session shutting down mid-clear is fine
-        ckpts.clear()
-    return n
+    return n + release_session_checkpoints(spark)

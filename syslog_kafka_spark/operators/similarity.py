@@ -288,6 +288,35 @@ def frozen_sims_udf(centroids: list[list[float]]):
     return sims
 
 
+def blocked_assignment(
+    emb: "DataFrame", centroids: list[list[float]], *, keep_label: bool = False
+) -> "DataFrame":
+    """(label × frozen-IVF-list) refined block assignment: every non-null
+    -label vector gets blk = label · nlist + argmax(frozen centroid
+    dots). ONE definition of the blk arithmetic shared by the 16-list
+    blocked tier, the re-fit-64 tier, and the nlist experiment script —
+    three hand-synced copies of the cast/argmax/offset expression is
+    exactly how quantizer generations de-twin silently."""
+    import pyspark.sql.functions as F
+
+    sims = frozen_sims_udf(centroids)
+    label = F.col("label").cast("bigint")
+    cols = ["vec_id", "embedding"]
+    if keep_label:
+        cols.append(label.alias("label"))
+    return (
+        emb.filter(F.col("label").isNotNull())
+        .withColumn("_sims", sims(F.col("embedding")))
+        .select(
+            *cols,
+            (
+                label * len(centroids)
+                + (F.array_position("_sims", F.array_max("_sims")) - 1)
+            ).alias("blk"),
+        )
+    )
+
+
 def srp_topk_frozen(
     corpus: DataFrame,
     queries: DataFrame,

@@ -562,23 +562,12 @@ def _blocked_neardup(
 ) -> DataFrame:
     """Shared (label × frozen-IVF-list) blocked pair scan — one body for
     every quantizer generation, so the 16-list and re-fit-64 tiers
-    cannot de-twin."""
-    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+    cannot de-twin (and blocked_assignment is the one definition of the
+    blk arithmetic itself, shared with the nlist experiment script)."""
+    from syslog_kafka_spark.operators.similarity import blocked_assignment
 
     emb = load_tables(spark, sf_dir).embeddings
-    sims = frozen_sims_udf(centroids)
-    blocked = (
-        emb.filter(F.col("label").isNotNull())
-        .withColumn("_sims", sims(F.col("embedding")))
-        .select(
-            "vec_id",
-            "embedding",
-            (
-                F.col("label").cast("bigint") * len(centroids)
-                + (F.array_position("_sims", F.array_max("_sims")) - 1)
-            ).alias("blk"),
-        )
-    )
+    blocked = blocked_assignment(emb, centroids)
     return embedding_neardup_pairs(blocked, label_col="blk", threshold=0.4).orderBy(
         "id_a", "id_b"
     )
@@ -674,25 +663,14 @@ def llm_embedding_neardup_refit64(spark: SparkSession, sf_dir: str) -> DataFrame
     gates. Per-block kernel unchanged (vectors cross Arrow once)."""
     from syslog_kafka_spark.operators.ivf_refit_frozen import IVF64_CENTROIDS
     from syslog_kafka_spark.operators.session_cache import session_cache
-    from syslog_kafka_spark.operators.similarity import frozen_sims_udf
+    from syslog_kafka_spark.operators.similarity import blocked_assignment
 
     nlist = len(IVF64_CENTROIDS)
     emb = load_tables(spark, sf_dir).embeddings
-    sims = frozen_sims_udf(IVF64_CENTROIDS)
     # blocked is read twice (occupancy ledger + pair kernel): session
     # LRU entry, eagerly filled, so the frozen-sims UDF runs one pass
     blocked = session_cache(
-        emb.filter(F.col("label").isNotNull())
-        .withColumn("_sims", sims(F.col("embedding")))
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("label").cast("bigint").alias("label"),
-            (
-                F.col("label").cast("bigint") * nlist
-                + (F.array_position("_sims", F.array_max("_sims")) - 1)
-            ).alias("blk"),
-        )
+        blocked_assignment(emb, IVF64_CENTROIDS, keep_label=True)
     )
     occ = blocked.groupBy("blk", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

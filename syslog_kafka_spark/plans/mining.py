@@ -293,8 +293,13 @@ def llm_idf_topk_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window anywhere. Spark plans the rank<=k filter as
     WindowGroupLimit, so each task keeps k rows per doc, not the full
     term list."""
+    from syslog_kafka_spark.operators.session_cache import session_cache
+
     d = load_tables(spark, sf_dir).documents
-    tf = (
+    # three consumers read the (doc, term) aggregate (the df rollup, the
+    # N scalar, the scoring join): the barrier makes the explode +
+    # hash-agg run once instead of re-planning per consumer
+    tf = session_cache(
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -401,8 +406,15 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash64("bigram", salt="ppl-v1").alias("gram_h"),
         hash64(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)), salt="ppl-v1").alias("w1_h"),
     )
-    db = doc_big.groupBy("doc_id", "gram_h", "w1_h").agg(
-        F.count(F.lit(1)).alias("k")
+    from syslog_kafka_spark.operators.session_cache import session_cache
+
+    # three consumers read the per-(doc, bigram) pre-aggregate (both LM
+    # rollups and the scoring join): cache it so the token-stream explode
+    # + hash-agg runs once
+    db = session_cache(
+        doc_big.groupBy("doc_id", "gram_h", "w1_h").agg(
+            F.count(F.lit(1)).alias("k")
+        )
     )
     c12 = db.groupBy("gram_h").agg(F.sum("k").alias("c12"))
     c1 = db.groupBy("w1_h").agg(F.sum("k").alias("c1"))

@@ -1485,23 +1485,15 @@ def lsh_probe_digest_frame(probe_docs: DataFrame, corpus_docs: DataFrame) -> Dat
     parameter-health signal)."""
     from syslog_kafka_spark.operators.dedup import (
         banded_buckets,
+        cached_lsh_base,
         lsh_base_arrow,
         normalized,
     )
-    from syslog_kafka_spark.operators.session_cache import session_cache
-    from syslog_kafka_spark.sources.readers import spread
 
-    base = session_cache(
-        lsh_base_arrow(
-            spread(
-                corpus_docs.select(
-                    F.col("doc_id").alias("_id"), normalized("text").alias("_norm")
-                )
-            ),
-            _LSH_K,
-            _LSH_HASHES,
-        )
-    )
+    # the SAME construction (and therefore the same semanticHash → the
+    # same session-cache entry) as the batch candidate pipeline's base —
+    # one corpus-sized cached frame under the LRU budget, never two
+    base = cached_lsh_base(corpus_docs, _LSH_K, _LSH_HASHES)
     static_banded = banded_buckets(base, _LSH_HASHES, _LSH_BANDS).select(
         F.col("_id").alias("base_id"), "_band", "_bucket"
     )
