@@ -1,0 +1,84 @@
+"""Fit and FREEZE the BPE merge table for llm_bpe_encode_frozen.
+
+Runs the trainer loop (the exact `_bpe_pair_counts` + `bpe_apply_fold`
+pair llm_bpe_merge_apply gates) for K merges over the sf0.01 corpus —
+the driver's correctness scale, so the frozen artifact is the table the
+gated trainer would produce there — and writes the result as
+`operators/bpe_frozen.py`. Freezing makes the encoder a pure function
+both engines hash-compare (the ivf_refit_frozen precedent: fit offline,
+freeze, gate forever).
+
+Usage: python scripts/fit_bpe_merges.py [--sf-dir DIR] [--k K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K_DEFAULT = 8
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--k", type=int, default=K_DEFAULT)
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.plans.mining import _US, _bpe_apply_merge, _bpe_pair_counts
+    from syslog_kafka_spark.session import get_spark
+
+    spark = get_spark("fit-bpe-merges")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").contains(_US))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms0 = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    v = vocab.select("word", "freq", syms0.alias("syms")).cache()
+    v.count()
+
+    merges: list[tuple[str, str]] = []
+    for it in range(args.k):
+        counts = _bpe_pair_counts(v)
+        top = counts.orderBy(F.desc("freq"), F.asc("pair_key")).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["pair_key"].split(_US)
+        merges.append((a, b))
+        print(f"merge {it + 1}: ({a!r}, {b!r}) freq={top[0]['freq']}")
+        top1 = spark.createDataFrame([(a, b)], "m_a string, m_b string")
+        nxt = _bpe_apply_merge(v, top1).cache()
+        nxt.count()
+        v.unpersist()
+        v = nxt
+
+    out = os.path.join(REPO, "syslog_kafka_spark", "operators", "bpe_frozen.py")
+    with open(out, "w") as fh:
+        fh.write(
+            '"""FROZEN BPE merge table — GENERATED FILE.\n\n'
+            f"Derived by scripts/fit_bpe_merges.py ({len(merges)} merges, fit on\n"
+            f"{args.sf_dir} with the exact trainer loop llm_bpe_merge_apply\n"
+            "gates). Frozen so llm_bpe_encode_frozen is a pure function both\n"
+            "engines hash-compare. Regenerate with the script; never\n"
+            'hand-edit."""\n\n'
+            "# rank-ordered (first merge applies first, exactly as trained)\n"
+            f"BPE_MERGES: list[tuple[str, str]] = {merges!r}\n"
+        )
+    print(f"wrote {out} ({len(merges)} merges)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -534,11 +534,7 @@ _US = "\x1f"  # symbol delimiter: unit separator, below any printable char
 
 
 def _bpe_apply_oracle() -> str:
-    fold = (
-        "list_filter(string_split(list_reduce(syms, (acc, x) -> CASE "
-        "WHEN (acc = m.m_a OR ends_with(acc, chr(31) || m.m_a)) AND x = m.m_b "
-        "THEN acc || x ELSE acc || chr(31) || x END), chr(31)), s -> s != '')"
-    )
+    fold = bpe_apply_fold_sql("syms", "m.m_a", "m.m_b")
 
     def counts(i: int) -> str:
         return f"""c{i} AS (
@@ -621,31 +617,48 @@ def _bpe_pair_counts(v: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_apply_merge(v: DataFrame, top1: DataFrame) -> DataFrame:
+def bpe_apply_fold(syms, m_a, m_b):
     """Greedy left-to-right non-overlapping application of ONE merge pair
-    to every vocab word's symbol sequence — the canonical BPE trainer
-    step. A left fold with a delimited-string accumulator: if the
-    accumulator's LAST symbol is exactly m_a and the incoming symbol is
-    m_b, append the characters (the last symbol becomes the merged one —
-    which immediately stops it re-matching m_a, so overlapping runs
-    merge greedily like the reference trainers); otherwise append the
-    symbol with its delimiter. DuckDB's list_reduce seeds with the first
-    ELEMENT (no init), Spark's aggregate with '' — the `acc = m_a` arm
-    of the oracle's condition covers exactly that representational
-    difference, and both engines split the same final string."""
+    to a symbol-sequence column — the canonical BPE trainer step, and the
+    SAME expression the frozen-merge encoder replays (one definition, so
+    training and encoding cannot de-twin). A left fold with a
+    delimited-string accumulator: if the accumulator's LAST symbol is
+    exactly m_a and the incoming symbol is m_b, append the characters
+    (the last symbol becomes the merged one — which immediately stops it
+    re-matching m_a, so overlapping runs merge greedily like the
+    reference trainers); otherwise append the symbol with its delimiter.
+    DuckDB's list_reduce seeds with the first ELEMENT (no init), Spark's
+    aggregate with '' — the `acc = m_a` arm of the oracle's condition
+    covers exactly that representational difference, and both engines
+    split the same final string."""
     merged = F.aggregate(
-        F.col("syms"),
+        syms,
         F.lit(""),
         lambda acc, x: F.when(
-            acc.endswith(F.concat(F.lit(_US), F.col("m_a")))
-            & (x == F.col("m_b")),
+            acc.endswith(F.concat(F.lit(_US), m_a)) & (x == m_b),
             F.concat(acc, x),
         ).otherwise(F.concat(acc, F.lit(_US), x)),
     )
+    return F.filter(F.split(merged, _US), lambda s: s != F.lit(""))
+
+
+def bpe_apply_fold_sql(syms: str, m_a: str, m_b: str) -> str:
+    """DuckDB twin of :func:`bpe_apply_fold` over SQL expressions for the
+    merge pair (column references or quoted literals)."""
+    return (
+        f"list_filter(string_split(list_reduce({syms}, (acc, x) -> CASE "
+        f"WHEN (acc = {m_a} OR ends_with(acc, chr(31) || {m_a})) AND x = {m_b} "
+        f"THEN acc || x ELSE acc || chr(31) || x END), chr(31)), s -> s != '')"
+    )
+
+
+def _bpe_apply_merge(v: DataFrame, top1: DataFrame) -> DataFrame:
+    """Apply the broadcast 1-row merge choice to every vocab word via the
+    shared :func:`bpe_apply_fold`."""
     return v.crossJoin(F.broadcast(top1)).select(
         "word",
         "freq",
-        F.filter(F.split(merged, _US), lambda s: s != F.lit("")).alias("syms"),
+        bpe_apply_fold(F.col("syms"), F.col("m_a"), F.col("m_b")).alias("syms"),
     )
 
 
@@ -728,3 +741,102 @@ def llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             # applied merges; cached it is one per merge, in the fill)
             v = session_cache(_bpe_apply_merge(v, top1))
     return out.orderBy("iter", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Frozen-merge BPE encoding (tokenizer-training step 3: USE the tokenizer)
+# ---------------------------------------------------------------------------
+
+_ENC_MAX_BUCKET = 6  # tokens-per-word histogram clamp (6 = "6 or more")
+
+
+def _bpe_encode_oracle() -> str:
+    from syslog_kafka_spark.operators.bpe_frozen import BPE_MERGES
+
+    cur = (
+        "list_transform(generate_series(1, length(word)),"
+        " i -> substring(word, i, 1))"
+    )
+    for a, b in BPE_MERGES:
+        qa = "'" + a.replace("'", "''") + "'"
+        qb = "'" + b.replace("'", "''") + "'"
+        cur = bpe_apply_fold_sql(cur, qa, qb)
+    return f"""
+        WITH tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS freq FROM tok
+          WHERE word NOT LIKE '%' || chr(31) || '%'
+          GROUP BY word
+        ), enc AS (
+          SELECT word, freq, len({cur}) AS n_tokens FROM vocab
+        )
+        SELECT CAST(LEAST(n_tokens, {_ENC_MAX_BUCKET}) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(freq) AS BIGINT) AS corpus_freq,
+               CAST(sum(freq * length(word)) AS BIGINT) AS total_chars,
+               CAST(sum(freq * n_tokens) AS BIGINT) AS total_tokens
+        FROM enc GROUP BY 1 ORDER BY bucket
+    """
+
+
+@query("llm_bpe_encode_frozen", family="llm", oracle=_bpe_encode_oracle())
+def llm_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained tokenizer — the step after
+    llm_bpe_merge_candidates (count) and llm_bpe_merge_apply (train):
+    every vocab word's character sequence replays the FROZEN rank-ordered
+    merge table (operators/bpe_frozen.py, fit by scripts/fit_bpe_merges.py
+    with the exact gated trainer loop), via the SAME bpe_apply_fold
+    expression the trainer uses — one definition, so training and
+    encoding cannot de-twin. This is the production tokenization pass: a
+    real run encodes the token stream; encoding the VOCAB weighted by
+    frequency computes the identical corpus statistics at vocab-bounded
+    cost, and the tokens-per-word histogram (with corpus-frequency,
+    char, and token mass per bucket) is the fertility/compression
+    surface a tokenizer owner actually monitors.
+
+    Hash-gate: every bucket row pins the exact post-merge token count of
+    every vocab word (a single mis-applied or mis-ordered merge moves
+    words across buckets and shifts total_tokens integer-exactly). No
+    float surface at all.
+
+    Distributed shape: ONE corpus-scale pass (token explode →
+    map-side-combined vocab aggregate); the 8-merge fold chain is a
+    single vocab-sized projection with zero joins and zero extra
+    shuffles (the merge table is code, not data — it ships inside the
+    task binary exactly like a production tokenizer's merges file); the
+    histogram is a ≤6-row aggregate. At 100 TB the corpus pass
+    dominates and runs once."""
+    from syslog_kafka_spark.operators.bpe_frozen import BPE_MERGES
+
+    d = load_tables(spark, sf_dir).documents
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").contains(_US))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    for a, b in BPE_MERGES:
+        cur = bpe_apply_fold(cur, F.lit(a), F.lit(b))
+    enc = vocab.select("word", "freq", F.size(cur).alias("n_tokens"))
+    return (
+        enc.groupBy(
+            F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("corpus_freq"),
+            F.sum(F.col("freq") * F.length("word"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.sum(F.col("freq") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .orderBy("bucket")
+    )

@@ -90,10 +90,11 @@ def query(
 # aggregation family keeps 9 other entries in-window, every deferred query
 # stays oracle-covered on each pytest run by tests/test_inventory_oracle).
 #
-# Round-11 rotation pool, in priority order: FIRST
-# stream_decontamination_probe (registered after the r10 window filled —
-# the late-registration precedent; oracle-verified on every pytest run by
-# tests/test_inventory_oracle in the meantime), then the four deferred r5
+# Round-11 rotation pool, in priority order: FIRST the two queries
+# registered after the r10 window filled — stream_decontamination_probe
+# and llm_bpe_encode_frozen (the late-registration precedent; both
+# oracle-verified on every pytest run by tests/test_inventory_oracle in
+# the meantime), then the four deferred r5
 # stamps above, then the r6-stamp cohort (the oldest after the r10 gate;
 # 47 entries once sort_top_orders / syslog_named_levels take r10 pin
 # stamps below): agg_collect_sorted, agg_pricing_summary,
@@ -113,9 +114,9 @@ def query(
 # scalar_array_advanced, scalar_casts_conditionals, scalar_datetime_funcs,
 # scalar_from_json_struct, scalar_json_roundtrip, scan_catalog_ctas,
 # setop_except, stream_custom_state_profile, window_first_last_value
-# (1 + 4 + 47 = 52 > 50: the TWO tail entries deferring to r12 are
-# stream_custom_state_profile and window_first_last_value — both stay
-# oracle-covered on every pytest run in the meantime).
+# (2 + 4 + 47 = 53 > 50: the THREE tail entries deferring to r12 are
+# setop_except, stream_custom_state_profile, and window_first_last_value —
+# all stay oracle-covered on every pytest run in the meantime).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # --- late-r9 registrations: first driver stamps (verdict item #1) ---
     "llm_bpe_merge_candidates",
