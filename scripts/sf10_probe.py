@@ -88,6 +88,11 @@ PROBE = [
     "llm_embedding_neardup_refit64",
     "llm_bpe_merge_apply",
     "stream_lsh_probe_digest",
+    # late-r10 registrations (first probe rows measured standalone in
+    # BENCH_SF10.md r10; in-probe from r11): the online Bloom
+    # decontamination gate and the frozen-merge corpus encoder
+    "stream_decontamination_probe",
+    "llm_bpe_encode_frozen",
 ]
 
 

@@ -806,3 +806,15 @@ def test_decontamination_probe_is_scan_local(spark, sf_dir):
     assert any("Broadcast" in k and "Join" in k for k in counts), counts
     # partial + final of the one digest aggregate (bucket cardinality 64)
     assert sum(v for k, v in counts.items() if k.startswith("HashAggregate")) <= 2, counts
+
+
+def test_bpe_encode_frozen_has_no_joins_and_one_scan(spark, sf_dir):
+    """The frozen-merge encoder's merge table is CODE (literals inside
+    the fold expressions), not data: the plan must contain zero joins of
+    any kind and exactly one parquet scan (the vocab pass) — a join or
+    broadcast here would mean the merge table regressed into a data-side
+    artifact, and a second scan would mean the corpus is read per
+    consumer."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_bpe_encode_frozen")
+    assert not any("Join" in k for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("FileSourceScan")) == 1, ops
