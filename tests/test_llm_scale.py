@@ -308,6 +308,11 @@ def test_float_stats_are_parallelism_invariant(spark, sf_dir):
         # k-weighted NLL mean and the per-(list,dim) refit means
         "llm_perplexity_buckets",
         "llm_ivf_refit_drift_audit",
+        # r10 additions (integer-exact by design — this pins that claim:
+        # fold-encoded token counts and bitmap-probe digests must be
+        # placement-independent)
+        "llm_bpe_encode_frozen",
+        "stream_decontamination_probe",
     ]
     from syslog_kafka_spark.plans.registry import load_all
 
