@@ -31,22 +31,22 @@ def main() -> int:
 
     import pyspark.sql.functions as F
 
-    from syslog_kafka_spark.functions.text import tokens
-    from syslog_kafka_spark.plans.mining import _US, _bpe_apply_merge, _bpe_pair_counts
+    from syslog_kafka_spark.plans.mining import (
+        _US,
+        _bpe_apply_merge,
+        _bpe_pair_counts,
+        bpe_vocab,
+    )
     from syslog_kafka_spark.session import get_spark
 
     spark = get_spark("fit-bpe-merges")
     spark.sparkContext.setLogLevel("ERROR")
 
     d = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
-    vocab = (
-        d.select(F.explode(tokens("text")).alias("word"))
-        .filter(~F.col("word").contains(_US))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    syms0 = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    v = vocab.select("word", "freq", syms0.alias("syms")).cache()
+    # the SAME vocab definition the trainer gates and the encoder reads —
+    # a drifted copy here would train merges on words the encoder never
+    # sees, and no hash gate could catch it
+    v = bpe_vocab(d).cache()
     v.count()
 
     merges: list[tuple[str, str]] = []
@@ -58,11 +58,12 @@ def main() -> int:
         a, b = top[0]["pair_key"].split(_US)
         merges.append((a, b))
         print(f"merge {it + 1}: ({a!r}, {b!r}) freq={top[0]['freq']}")
-        top1 = spark.createDataFrame([(a, b)], "m_a string, m_b string")
-        nxt = _bpe_apply_merge(v, top1).cache()
-        nxt.count()
-        v.unpersist()
-        v = nxt
+        if it < args.k - 1:  # the k-th rewritten vocab is never read
+            top1 = spark.createDataFrame([(a, b)], "m_a string, m_b string")
+            nxt = _bpe_apply_merge(v, top1).cache()
+            nxt.count()
+            v.unpersist()
+            v = nxt
 
     out = os.path.join(REPO, "syslog_kafka_spark", "operators", "bpe_frozen.py")
     with open(out, "w") as fh:

@@ -533,6 +533,47 @@ _BPE_APPLY_TOPK = 5
 _US = "\x1f"  # symbol delimiter: unit separator, below any printable char
 
 
+def bpe_vocab(d: DataFrame) -> DataFrame:
+    """(word, freq, syms) corpus-weighted symbol vocabulary — ONE
+    definition shared by the trainer (llm_bpe_merge_apply), the
+    frozen-merge encoder, and scripts/fit_bpe_merges.py. The sharing is
+    load-bearing: if the fit script trained on a drifted vocab (a
+    tokenization or chr(31)-filter change applied in one copy), the
+    encoder would apply merges to words they were never trained on and
+    EVERY hash gate would still pass, because each query's Spark and
+    DuckDB sides would share the drifted copy."""
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(~F.col("word").contains(_US))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+    )
+
+
+def bpe_vocab_cte() -> str:
+    """DuckDB twin of :func:`bpe_vocab`: the tok/vocab/v0 CTE chain
+    (fold inputs read word/freq/syms FROM v0)."""
+    return f"""tok AS (
+          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS freq FROM tok
+          WHERE word NOT LIKE '%' || chr(31) || '%'
+          GROUP BY word
+        ), v0 AS (
+          SELECT word, freq,
+                 list_transform(generate_series(1, length(word)),
+                                i -> substring(word, i, 1)) AS syms
+          FROM vocab
+        )"""
+
+
 def _bpe_apply_oracle() -> str:
     fold = bpe_apply_fold_sql("syms", "m.m_a", "m.m_b")
 
@@ -579,18 +620,7 @@ def _bpe_apply_oracle() -> str:
         f"({ranked(i)})" for i in range(1, _BPE_APPLY_ITERS + 1)
     )
     return f"""
-        WITH tok AS (
-          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
-        ), vocab AS (
-          SELECT word, count(*) AS freq FROM tok
-          WHERE word NOT LIKE '%' || chr(31) || '%'
-          GROUP BY word
-        ), v0 AS (
-          SELECT word, freq,
-                 list_transform(generate_series(1, length(word)),
-                                i -> substring(word, i, 1)) AS syms
-          FROM vocab
-        ),
+        WITH {bpe_vocab_cte()},
         {body}
         SELECT * FROM ({unioned}) ORDER BY iter, rank
     """
@@ -694,16 +724,7 @@ def llm_bpe_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.operators.session_cache import session_cache
 
     d = load_tables(spark, sf_dir).documents
-    vocab = (
-        d.select(F.explode(tokens("text")).alias("word"))
-        .filter(~F.col("word").contains(_US))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    syms0 = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-    )
-    v = session_cache(vocab.select("word", "freq", syms0.alias("syms")))
+    v = session_cache(bpe_vocab(d))
 
     out = None
     for it in range(1, _BPE_APPLY_ITERS + 1):
@@ -753,23 +774,14 @@ _ENC_MAX_BUCKET = 6  # tokens-per-word histogram clamp (6 = "6 or more")
 def _bpe_encode_oracle() -> str:
     from syslog_kafka_spark.operators.bpe_frozen import BPE_MERGES
 
-    cur = (
-        "list_transform(generate_series(1, length(word)),"
-        " i -> substring(word, i, 1))"
-    )
+    cur = "syms"
     for a, b in BPE_MERGES:
         qa = "'" + a.replace("'", "''") + "'"
         qb = "'" + b.replace("'", "''") + "'"
         cur = bpe_apply_fold_sql(cur, qa, qb)
     return f"""
-        WITH tok AS (
-          SELECT unnest({_TOKENS_SQL}) AS word FROM documents
-        ), vocab AS (
-          SELECT word, count(*) AS freq FROM tok
-          WHERE word NOT LIKE '%' || chr(31) || '%'
-          GROUP BY word
-        ), enc AS (
-          SELECT word, freq, len({cur}) AS n_tokens FROM vocab
+        WITH {bpe_vocab_cte()}, enc AS (
+          SELECT word, freq, len({cur}) AS n_tokens FROM v0
         )
         SELECT CAST(LEAST(n_tokens, {_ENC_MAX_BUCKET}) AS INT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_words,
@@ -810,18 +822,10 @@ def llm_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.operators.bpe_frozen import BPE_MERGES
 
     d = load_tables(spark, sf_dir).documents
-    vocab = (
-        d.select(F.explode(tokens("text")).alias("word"))
-        .filter(~F.col("word").contains(_US))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    cur = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-    )
+    cur = F.col("syms")
     for a, b in BPE_MERGES:
         cur = bpe_apply_fold(cur, F.lit(a), F.lit(b))
-    enc = vocab.select("word", "freq", F.size(cur).alias("n_tokens"))
+    enc = bpe_vocab(d).select("word", "freq", F.size(cur).alias("n_tokens"))
     return (
         enc.groupBy(
             F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
