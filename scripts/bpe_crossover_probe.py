@@ -1,0 +1,106 @@
+"""Measure the expression-path vs table-path BPE encode crossover.
+
+The frozen-expression encoder inlines each merge as one nested
+higher-order fold; the table path ships the merges as data through an
+Arrow kernel. This probe times BOTH paths end-to-end (build + collect
+of the tokens-per-word histogram) at growing merge counts, prefixes of
+the frozen-to-convergence table, and prints one JSON line per k — the
+evidence behind llm_bpe_encode_table's "merge tables ship as data at
+production counts" claim.
+
+Expected shape: the expression path wins at k=8 (pure JVM codegen,
+zero Python) but its analysis + codegen cost grows superlinearly with
+the chain; the kernel path is flat in k until the per-word Python loop
+dominates. DuckDB's binder refuses the expression path outright past
+64 nested folds, so on the oracle side the crossover is a hard wall.
+
+Usage: python scripts/bpe_crossover_probe.py [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+    from syslog_kafka_spark.operators.bpe_kernel import bpe_encode_tokens
+    from syslog_kafka_spark.plans.mining import (
+        _bpe_histogram,
+        bpe_apply_fold,
+        bpe_vocab,
+    )
+    from syslog_kafka_spark.plans.tpch_like import load_tables
+    from syslog_kafka_spark.session import get_spark
+
+    spark = get_spark("bpe-crossover-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = load_tables(spark, args.sf_dir).documents
+    vocab = bpe_vocab(d)
+    vocab.collect()  # warm the corpus pass out of both measurements
+
+    def expr_path(k: int):
+        cur = F.col("syms")
+        for a, b in BPE_MERGES_FULL[:k]:
+            cur = bpe_apply_fold(cur, F.lit(a), F.lit(b))
+        return _bpe_histogram(
+            vocab.select("word", "freq", F.size(cur).alias("n_tokens"))
+        )
+
+    def table_path(k: int):
+        enc = bpe_encode_tokens(BPE_MERGES_FULL[:k])
+        return _bpe_histogram(
+            vocab.select(
+                "word", "freq", F.size(enc(F.col("syms"))).alias("n_tokens")
+            )
+        )
+
+    for k in (8, 16, 32, 48, 56, 64, len(BPE_MERGES_FULL)):
+        row = {"k": k, "sf_dir": args.sf_dir}
+        results = {}
+        for label, builder in (("expr", expr_path), ("table", table_path)):
+            times = []
+            out = None
+            err = None
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                try:
+                    out = [tuple(r) for r in builder(k).collect()]
+                except Exception as exc:  # the expression path has a hard wall
+                    # skip the Py4J wrapper header; the JVM cause is line 2
+                    lines = [ln for ln in str(exc).splitlines() if ln.strip()]
+                    err = f"{type(exc).__name__}: {' / '.join(lines[:2])[:220]}"
+                    break
+                times.append(round(time.perf_counter() - t0, 3))
+            if err is not None:
+                # e.g. Catalyst: "Max iterations (100) reached for batch
+                # Resolution" at 64 nested folds — the wall itself IS the
+                # probe's finding; record it and keep going.
+                row[f"{label}_error"] = err
+            else:
+                row[f"{label}_sec"] = min(times)
+                row[f"{label}_runs"] = times
+                results[label] = out
+        # both paths must agree before their timings mean anything
+        if "expr" in results and "table" in results:
+            row["paths_agree"] = results["expr"] == results["table"]
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

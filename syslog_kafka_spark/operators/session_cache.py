@@ -96,7 +96,15 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
         try:
             same = handle._jdf.queryExecution().analyzed().sameResult(analyzed)
         except Exception:
-            continue  # dead handle (JVM-side frame gone): drop it
+            # Dead or unreadable handle (JVM-side frame gone, or a
+            # transient Py4J failure). Dropping it from the slot makes its
+            # storage unreachable by eviction/clear, so best-effort
+            # unpersist first — a no-op on a truly dead frame.
+            try:
+                handle.unpersist(blocking=False)
+            except Exception:
+                pass
+            continue
         if not same:
             kept.append(handle)
     kept.append(cached)

@@ -473,6 +473,7 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         ORDER BY id_a, id_b
     """,
+    bench=False,
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked on the label column
@@ -480,13 +481,16 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrated to this corpus (random vectors: same-label max cosine
     ≈0.47, so only genuinely-similar pairs surface).
 
-    SMALL-CORPUS EXACT TIER. The label column has FIXED cardinality, so
-    block populations grow ~N/16 and the per-block all-pairs work grows
-    ~N² — measured 108.9× at sf1→sf10 (BENCH_SF10.md). At corpus scale
-    use llm_embedding_neardup_blocked, whose (label × frozen-IVF-list)
-    key refines every block by the quantizer so per-block work stays
-    bounded; this exact variant remains the within-label ground truth
-    the blocked tier's recall is priced against."""
+    SMALL-CORPUS EXACT TIER — CORRECTNESS FIXTURE, bench=False. The label
+    column has FIXED cardinality, so block populations grow ~N/16 and the
+    per-block all-pairs work grows ~N² — measured 108.9× at sf1→sf10
+    (BENCH_SF10.md); at 100 TB this is the one plan shape that cannot
+    complete, so it is NOT a benched face (same demotion pattern as
+    llm_simhash_multiprobe → llm_simhash_pair_digest). The benched/gated
+    scale paths are llm_embedding_neardup_blocked (label × frozen-IVF-list
+    blocking) and llm_embedding_neardup_refit64 (√N re-fit quantizer);
+    this exact variant remains hash-gated as the within-label ground
+    truth the blocked tiers' recall is priced against."""
     emb = load_tables(spark, sf_dir).embeddings
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 

@@ -826,6 +826,18 @@ def llm_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in BPE_MERGES:
         cur = bpe_apply_fold(cur, F.lit(a), F.lit(b))
     enc = bpe_vocab(d).select("word", "freq", F.size(cur).alias("n_tokens"))
+    return _bpe_histogram(enc)
+
+
+# ---------------------------------------------------------------------------
+# Merge-table-as-DATA BPE encoding (production merge counts)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_histogram(enc: DataFrame) -> DataFrame:
+    """The tokens-per-word histogram both encode queries share — one
+    definition so the expression path and the table path cannot diverge
+    in the aggregate surface."""
     return (
         enc.groupBy(
             F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
@@ -843,4 +855,116 @@ def llm_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_tokens"),
         )
         .orderBy("bucket")
+    )
+
+
+# Compression-curve checkpoints: 8 = the frozen-expression table's size
+# (that slice of the output must equal llm_bpe_encode_frozen's histogram —
+# pinned by tests/test_bpe_kernel.py), 64 = past BOTH engines' expression
+# walls (~48 nested folds: Catalyst analyzer max-iterations, DuckDB
+# binder recursion depth — the ranks where encode NEEDS table-as-data),
+# 89 = convergence (this corpus's entire pair space).
+_BPE_CURVE_CHECKPOINTS = (8, 16, 32, 64, 89)
+
+
+def _bpe_encode_table_oracle() -> str:
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({i + 1}, {q(a)}, {q(b)})" for i, (a, b) in enumerate(BPE_MERGES_FULL)
+    )
+    cks = ", ".join(str(c) for c in _BPE_CURVE_CHECKPOINTS)
+    fold = bpe_apply_fold_sql("e.syms", "m.m_a", "m.m_b")
+    return f"""
+        WITH RECURSIVE {bpe_vocab_cte()},
+        m(rank, m_a, m_b) AS (VALUES {vals}),
+        stepped AS (
+          SELECT 0 AS r, word, freq, syms FROM v0
+          UNION ALL
+          SELECT e.r + 1, e.word, e.freq, {fold} AS syms
+          FROM stepped e JOIN m ON m.rank = e.r + 1
+        ), enc AS (
+          SELECT r, word, freq, len(syms) AS n_tokens
+          FROM stepped WHERE r IN ({cks})
+        )
+        SELECT CAST(r AS INT) AS merges_applied,
+               CAST(LEAST(n_tokens, {_ENC_MAX_BUCKET}) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(freq) AS BIGINT) AS corpus_freq,
+               CAST(sum(freq * n_tokens) AS BIGINT) AS total_tokens
+        FROM enc GROUP BY 1, 2 ORDER BY merges_applied, bucket
+    """
+
+
+@query("llm_bpe_encode_table", family="llm", oracle=_bpe_encode_table_oracle())
+def llm_bpe_encode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the merge table as DATA — the production
+    merge-count path, gated as the tokenizer's COMPRESSION CURVE.
+    llm_bpe_encode_frozen inlines each merge as one fold expression, the
+    fastest shape at 8 merges but one whose plan grows with the table:
+    measured (scripts/bpe_crossover_probe.py, sf0.01) the expression
+    path runs 1.5 s at 8 merges, 2.4 s at 32, 5–10 s at 48, and
+    HARD-FAILS past ~48 — Catalyst analyzer max-iterations; DuckDB's
+    binder refuses the same depths — while the table path stays flat
+    ~0.6–0.9 s through all 89. A real tokenizer's 32k–100k merges
+    therefore ship as DATA: here the FULL to-convergence table
+    (operators/bpe_frozen_full.py — 89 merges, this corpus's entire
+    pair space, fit by scripts/fit_bpe_merges.py --k 0 with the exact
+    gated trainer loop) rides the Arrow kernel's closure to every
+    executor (one copy per executor, a broadcast's distribution shape)
+    and encoding is a vocab-sized Arrow-batched pass
+    (operators/bpe_kernel.py).
+
+    Output: the tokens-per-word histogram AT EACH checkpoint rank
+    (8/16/32/64/89 merges applied) — the fertility-vs-vocab-size curve a
+    tokenizer owner plots to pick the merge budget. Gating the curve
+    rather than the converged state is load-bearing twice over: at
+    convergence every word is 1 token (a kernel that ignored the table
+    would hash-match), and the intermediate checkpoints pin every
+    merge's rank ORDER, not just the final partition. The DuckDB oracle
+    replays the SAME table as a rank-joined recursive CTE over the SAME
+    fold SQL the trainer gates; the merges_applied=8 slice must equal
+    llm_bpe_encode_frozen's histogram (tests/test_bpe_kernel.py), so
+    the expression path and the data path cannot de-twin.
+
+    Distributed shape: ONE corpus-scale pass (token explode →
+    map-side-combined vocab aggregate); the encode is a vocab-sized
+    Arrow projection (zero joins, zero extra shuffles) returning one
+    count per checkpoint; posexplode is vocab × |checkpoints|; the
+    histogram is a ≤30-row aggregate. At 100 TB the corpus pass
+    dominates and runs once; the Python cost is |vocab|-bounded, never
+    |tokens|-bounded."""
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+    from syslog_kafka_spark.operators.bpe_kernel import bpe_checkpoint_token_counts
+
+    d = load_tables(spark, sf_dir).documents
+    curve = bpe_checkpoint_token_counts(BPE_MERGES_FULL, _BPE_CURVE_CHECKPOINTS)
+    ranks = F.array(*[F.lit(c) for c in _BPE_CURVE_CHECKPOINTS])
+    enc = (
+        bpe_vocab(d)
+        .select("word", "freq", F.posexplode(curve(F.col("syms"))))
+        .select(
+            F.get(ranks, F.col("pos")).cast("int").alias("merges_applied"),
+            "freq",
+            F.col("col").alias("n_tokens"),
+        )
+    )
+    return (
+        enc.groupBy(
+            "merges_applied",
+            F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("corpus_freq"),
+            F.sum(F.col("freq") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .orderBy("merges_applied", "bucket")
     )

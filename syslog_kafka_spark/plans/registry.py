@@ -73,105 +73,101 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-10 window (the r9 verdict's prescription): FIRST
-# the four queries registered after the r9 window closed — the only
-# then-inventory entries the driver had never independently stamped
-# (llm_bpe_merge_candidates, llm_ivf_refit_drift_audit,
-# stream_ivf_refit_drift, stream_bpe_merge_candidates — the
-# stream_ivf_list_routing / late-r8 precedent), then the three queries
-# ADDED in round 10 taking first stamps (the frozen-64 re-fit near-dup
-# tier, the iterated BPE merge-apply loop, and the streaming LSH probe
-# twin), then 40 of the 44-query r5-stamp pool the r9 registry comment
-# named, then one family-coverage pin per family the pool misses (kafka /
-# sorts / syslog — the oldest stamp in each). The window was
-# over-subscribed by one before the three r10 additions (4+44+3 = 51); the
-# four r5-pool entries DEFERRED to r11 are: agg_conditional,
-# agg_cube_orders, agg_grouping_sets, agg_min_max_extremes (the
-# aggregation family keeps 9 other entries in-window, every deferred query
-# stays oracle-covered on each pytest run by tests/test_inventory_oracle).
-#
-# Round-11 rotation pool, in priority order: FIRST the two queries
-# registered after the r10 window filled — stream_decontamination_probe
-# and llm_bpe_encode_frozen (the late-registration precedent; both
+# iteration order. Round-11 window (the r10 verdict's prescription,
+# VERDICT.md item #1): FIRST the two queries registered after the r10
+# window filled — the only inventory entries the driver has never
+# independently stamped (stream_decontamination_probe,
+# llm_bpe_encode_frozen — the late-registration precedent; both
 # oracle-verified on every pytest run by tests/test_inventory_oracle in
-# the meantime), then the four deferred r5
-# stamps above, then the r6-stamp cohort (the oldest after the r10 gate;
-# 47 entries once sort_top_orders / syslog_named_levels take r10 pin
-# stamps below): agg_collect_sorted, agg_pricing_summary,
-# join_cross_region_nation, join_exists_correlated,
-# join_full_outer_nation_counts, join_in_subquery_vip_orders,
-# join_left_outer_order_counts, join_local_supplier_volume,
-# join_range_error_burst, join_semi_active_customers,
-# join_shipping_priority, llm_ann_ivf_topk, llm_ann_srp_topk,
-# llm_bpe_token_counts, llm_decontamination, llm_dedup_exact_stats,
-# llm_dedup_groups, llm_embedding_neardup, llm_fingerprint_collisions,
-# llm_jaccard_neardup, llm_langid_confusion, llm_media_features,
-# llm_minhash_estimate, llm_minhash_lsh_pairs, llm_pack_assignment,
-# llm_quality_repetition, llm_quality_scores, llm_semantic_dedup,
-# llm_simhash_neardup, llm_similarity_topk, llm_term_freq, llm_tfidf_rank,
-# llm_token_stats, llm_unigram_logprob, llm_winnowing_fingerprints,
-# llm_word_bigrams, reshape_pivot_event_counts, reshape_unpivot_acctbal,
-# scalar_array_advanced, scalar_casts_conditionals, scalar_datetime_funcs,
-# scalar_from_json_struct, scalar_json_roundtrip, scan_catalog_ctas,
-# setop_except, stream_custom_state_profile, window_first_last_value
-# (2 + 4 + 47 = 53 > 50: the THREE tail entries deferring to r12 are
-# setop_except, stream_custom_state_profile, and window_first_last_value —
-# all stay oracle-covered on every pytest run in the meantime).
+# the meantime), then the FOUR r5-stamp stragglers deferred from the r10
+# window (agg_conditional, agg_cube_orders, agg_grouping_sets,
+# agg_min_max_extremes — after this window no stamp predates r6 except
+# the named tail deferrals), then ONE family-coverage pin per family the
+# rest of the window misses (the oldest stamp in each:
+# kafka_partitioner_histogram r9, setop_except r6, sort_nulls_ordering
+# r7, syslog_parse_corpus r7, window_first_last_value r6 — setop_except
+# and window_first_last_value double as their cohort's oldest stamps, so
+# the r10 verdict's plan to defer them yields to the
+# every-family-in-window invariant), then 39 of the 47-entry r6-stamp
+# cohort the r10 registry comment named. 2 + 4 + 5 + 47 - 2(pinned
+# above) = 56 > 50: the SIX entries DEFERRED to r12 are
+# stream_custom_state_profile (the verdict's named tail deferral) plus
+# five from the text-stats corner of the llm family, whose window
+# representation stays 25-strong (llm_langid_confusion,
+# llm_quality_repetition, llm_term_freq, llm_token_stats,
+# llm_word_bigrams) — all six stay oracle-covered on every pytest run in
+# the meantime.
+#
+# Round-12 rotation pool, in priority order: FIRST any query registered
+# after this window filled (r11 additions take their first stamps — keep
+# this list current as they land: llm_bpe_encode_table and the other r11
+# registrations named at the end of this comment block), then the three
+# r12 deferrals above, then the r7-stamp cohort (the oldest after the r11
+# gate): llm_bloom_decontamination, llm_chunk_dedup_removal,
+# llm_cms_heavy_hitters, llm_curation_pipeline, llm_dedup_components,
+# llm_doc_chunks, llm_domain_temperature_mix, llm_embedding_dim_stats,
+# llm_epoch_upsample_plan, llm_kmv_source_overlap,
+# llm_length_quantile_sketch, llm_mixture_subsample,
+# llm_scale_curation_funnel, llm_semantic_decontamination,
+# llm_session_transcripts, llm_shard_shuffle_assignment,
+# llm_source_overlap_matrix, scan_json_lines, stream_cms_sketch_build,
+# stream_ivf_list_routing, stream_session_transcripts,
+# syslog_parse_corpus — then r8-stamp entries to fill the window.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- late-r9 registrations: first driver stamps (verdict item #1) ---
-    "llm_bpe_merge_candidates",
-    "llm_ivf_refit_drift_audit",
-    "stream_ivf_refit_drift",
-    "stream_bpe_merge_candidates",
-    # --- fresh r10 queries (first stamp) ---
-    "llm_embedding_neardup_refit64",
-    "llm_bpe_merge_apply",
-    "stream_lsh_probe_digest",
-    # --- 40 of the r5-stamp cohort (the r9 verdict's pool) ---
-    "agg_count_if_extrema_by",
-    "agg_exact_percentiles",
-    "agg_group_by_all",
-    "agg_having_big_customers",
-    "agg_integrity_audit",
-    "agg_multi_distinct",
-    "agg_revenue_forecast",
-    "agg_rollup_revenue",
-    "agg_stats_moments",
-    "join_anti_silent_customers",
-    "join_asof_last_error",
-    "join_broadcast_brand_volume",
-    "join_lateral_dataframe_api",
-    "join_scd2_point_in_time",
-    "llm_arrow_native_lengths",
-    "llm_chunk_dedup",
-    "llm_domain_mixture",
-    "llm_dsir_importance",
-    "llm_embedding_centroid_audit",
-    "llm_gopher_rules",
-    "llm_leakage_safe_split",
-    "llm_media_frame_sample",
-    "llm_tokenizer_fertility",
-    "llm_url_canonical_dedup",
-    "reshape_pivot_multi_agg",
-    "scalar_collation_caseless",
-    "scalar_interval_arithmetic",
-    "scalar_sql_scripting",
-    "scalar_sql_udf",
-    "scan_agg_pushdown",
-    "scan_csv_typed",
-    "scan_observe_metrics",
-    "scan_xml_roundtrip",
-    "setop_union_distinct",
-    "stream_available_now_trigger",
-    "stream_static_anti_dedup",
-    "stream_stream_left_outer_join",
-    "stream_tumbling_window_agg",
-    "window_cohort_retention",
-    "window_nth_value_snapshots",
-    # --- family coverage (oldest stamp per family the pool misses) ---
-    "kafka_decode_roundtrip",
-    "sort_top_orders",
-    "syslog_named_levels",
+    # --- late-r10 registrations: first driver stamps (verdict item #1) ---
+    "stream_decontamination_probe",
+    "llm_bpe_encode_frozen",
+    # --- the four r5-stamp stragglers deferred from the r10 window ---
+    "agg_conditional",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_min_max_extremes",
+    # --- family coverage (oldest stamp per family the cohort misses) ---
+    "kafka_partitioner_histogram",
+    "setop_except",
+    "sort_nulls_ordering",
+    "syslog_parse_corpus",
+    "window_first_last_value",
+    # --- 39 of the 47-entry r6-stamp cohort (r10 registry comment) ---
+    "agg_collect_sorted",
+    "agg_pricing_summary",
+    "join_cross_region_nation",
+    "join_exists_correlated",
+    "join_full_outer_nation_counts",
+    "join_in_subquery_vip_orders",
+    "join_left_outer_order_counts",
+    "join_local_supplier_volume",
+    "join_range_error_burst",
+    "join_semi_active_customers",
+    "join_shipping_priority",
+    "llm_ann_ivf_topk",
+    "llm_ann_srp_topk",
+    "llm_bpe_token_counts",
+    "llm_decontamination",
+    "llm_dedup_exact_stats",
+    "llm_dedup_groups",
+    "llm_embedding_neardup",
+    "llm_fingerprint_collisions",
+    "llm_jaccard_neardup",
+    "llm_media_features",
+    "llm_minhash_estimate",
+    "llm_minhash_lsh_pairs",
+    "llm_pack_assignment",
+    "llm_quality_scores",
+    "llm_semantic_dedup",
+    "llm_simhash_neardup",
+    "llm_similarity_topk",
+    "llm_tfidf_rank",
+    "llm_unigram_logprob",
+    "llm_winnowing_fingerprints",
+    "reshape_pivot_event_counts",
+    "reshape_unpivot_acctbal",
+    "scalar_array_advanced",
+    "scalar_casts_conditionals",
+    "scalar_datetime_funcs",
+    "scalar_from_json_struct",
+    "scalar_json_roundtrip",
+    "scan_catalog_ctas",
 )
 
 

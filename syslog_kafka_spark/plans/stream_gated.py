@@ -1708,7 +1708,7 @@ def _stream_decontamination_oracle() -> str:
                  sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS n_hits
           FROM probes GROUP BY doc_id
         )
-        SELECT CAST(doc_id % 64 AS INT) AS bucket,
+        SELECT CAST(((doc_id % 64) + 64) % 64 AS INT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_flagged,

@@ -29,6 +29,13 @@ def _executed_op_counts(spark, sf_dir, name: str) -> dict[str, int]:
     dumps (a cached table inside a cached frame) leak phantom nodes into
     any indent-based scan of the text."""
     df = load_all()[name].build(spark, sf_dir)
+    return _frame_op_counts(df)
+
+
+def _frame_op_counts(df) -> dict[str, int]:
+    """The tree walk behind :func:`_executed_op_counts`, for frames that
+    don't come from the registry. Handles QueryStageExec so it is safe on
+    both un-executed and executed adaptive plans."""
     counts: dict[str, int] = {}
 
     def walk(p) -> None:
@@ -780,22 +787,7 @@ def test_decontamination_probe_is_scan_local(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     digest = bloom_probe_digest_frame(docs, docs)
-    digest.count()
-    jexec = digest._jdf.queryExecution()
-    counts: dict[str, int] = {}
-
-    def walk(p) -> None:
-        cls = p.getClass().getSimpleName()
-        counts[cls] = counts.get(cls, 0) + 1
-        if cls.startswith("InMemoryTableScan"):
-            return
-        if cls == "AdaptiveSparkPlanExec":
-            walk(p.executedPlan())
-            return
-        for i in range(p.children().size()):
-            walk(p.children().apply(i))
-
-    walk(jexec.executedPlan())
+    counts = _frame_op_counts(digest)
     assert not any(k.startswith("Generate") for k in counts), counts
     assert not any("SortMergeJoin" in k for k in counts), counts
     assert not any("CartesianProduct" in k for k in counts), counts
@@ -818,3 +810,17 @@ def test_bpe_encode_frozen_has_no_joins_and_one_scan(spark, sf_dir):
     ops = _executed_op_counts(spark, sf_dir, "llm_bpe_encode_frozen")
     assert not any("Join" in k for k in ops), ops
     assert sum(v for k, v in ops.items() if k.startswith("FileSourceScan")) == 1, ops
+
+
+def test_bpe_encode_table_is_one_arrow_projection_no_joins(spark, sf_dir):
+    """The table path ships the merge table inside the Arrow kernel's
+    closure — NOT as a data-side relation: the plan must contain zero
+    joins (a join would mean the table regressed into a DataFrame), one
+    parquet scan (the vocab pass), and exactly one Arrow Python node
+    (one vocab-sized kernel pass for ALL checkpoint ranks — a node per
+    checkpoint would re-run the merge replay five times)."""
+    ops = _executed_op_counts(spark, sf_dir, "llm_bpe_encode_table")
+    assert not any("Join" in k for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("FileSourceScan")) == 1, ops
+    arrow = sum(v for k, v in ops.items() if "ArrowEvalPython" in k)
+    assert arrow == 1, ops

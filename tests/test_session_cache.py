@@ -181,3 +181,73 @@ def test_release_checkpoint_never_touches_lazy_caches(spark):
     assert rdds.size() >= 1  # cache buffers survive the checkpoint release
     assert base.count() == 50000
     clear_session_caches(spark)
+
+
+def test_collision_shaped_slots_evict_every_handle(spark, monkeypatch):
+    """Stress the per-slot handle LIST (r10 hardening) through eviction
+    under a budget of 2: forge TWO collision-shaped slots — each holding
+    a second DISTINCT cached frame, exactly the state a 32-bit
+    semanticHash collision produces — then push both out of the LRU and
+    assert every handle's storage was released (the pre-r10 bug: a slot
+    stored ONE handle, so the displaced plan's storage leaked beyond
+    eviction and clear)."""
+    clear_session_caches(spark)
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_ENTRIES", "2")
+    a = session_cache(spark.range(30).select((F.col("id") + 101).alias("a")))
+    b = session_cache(spark.range(30).select((F.col("id") + 103).alias("b")))
+    foreigners = []
+    for df, key in zip((a, b), list(_LRU[spark])):
+        f = df.sparkSession.range(30).select(
+            (F.col("id") + 1000 + len(foreigners)).alias("f")
+        )
+        f = f.cache()
+        f.count()
+        foreigners.append(f)
+        _LRU[spark][key].append(f)  # the collision-shaped state
+    assert all(_is_cached(f) for f in foreigners)
+    # two fresh plans evict both collision slots
+    session_cache(spark.range(30).select((F.col("id") + 105).alias("c")))
+    session_cache(spark.range(30).select((F.col("id") + 107).alias("d")))
+    import time
+
+    for _ in range(50):
+        if not any(
+            _is_cached(x) for x in (a, b, *foreigners)
+        ):
+            break
+        time.sleep(0.1)
+    assert not _is_cached(a) and not _is_cached(b)
+    assert not any(_is_cached(f) for f in foreigners)
+    assert len(_LRU[spark]) == 2
+    clear_session_caches(spark)
+
+
+def test_dead_handle_gets_best_effort_unpersist_before_drop(spark):
+    """r10 ADVICE: when a stored handle's sameResult probe throws, the
+    handle must get a best-effort unpersist BEFORE being dropped from
+    the slot — silently dropping it would strand its storage beyond
+    both eviction and clear."""
+    clear_session_caches(spark)
+    a = session_cache(spark.range(40).select((F.col("id") + 211).alias("a")))
+
+    class _Boom:
+        unpersisted = False
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("transient Py4J failure")
+
+        def unpersist(self, blocking=False):
+            self.unpersisted = True
+            return self
+
+    boom = _Boom()
+    key = next(iter(_LRU[spark]))
+    _LRU[spark][key].append(boom)
+    # re-registering the same plan walks the slot, hits the raising
+    # handle, and must attempt its unpersist before dropping it
+    session_cache(spark.range(40).select((F.col("id") + 211).alias("a")))
+    assert boom.unpersisted
+    assert all(h is not boom for h in _LRU[spark][key])
+    assert _is_cached(a)  # the live handle is untouched
+    clear_session_caches(spark)
