@@ -118,6 +118,28 @@ def main() -> None:
         release_session_checkpoints,
     )
 
+    # Host-speed probe sample at SWEEP START: the sweep's own
+    # stream_replay_throughput row lands alphabetically near the end of a
+    # ~6 min run, and host load drifts within a sweep (r11: two same-day
+    # cuts measured 143k-at-start-shape vs 173k — on the cut whose sweep
+    # ran 11% slower). Two samples bracketing the sweep average out that
+    # drift; both land in the payload.
+    lps_samples: list[float] = []
+    replay_spec = specs.get("stream_replay_throughput")
+    if replay_spec is not None and replay_spec.bench and subset is None:
+        from syslog_kafka_spark.plans.extras import replay_line_count
+
+        try:
+            # one untimed pass first: the session's FIRST streaming query
+            # pays one-time machinery costs (measured 57k vs 198k lines/s
+            # cold-vs-warm in the same sweep) that are not host speed
+            replay_spec.build(spark, sf_dir).collect()
+            t0 = time.perf_counter()
+            replay_spec.build(spark, sf_dir).collect()
+            lps_samples.append(replay_line_count() / (time.perf_counter() - t0))
+        except Exception as exc:
+            print(f"bench: start-of-sweep replay probe failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
@@ -230,8 +252,11 @@ def main() -> None:
     if replay_wall and replay_wall > 0:
         from syslog_kafka_spark.plans.extras import replay_line_count
 
-        lps = round(replay_line_count() / replay_wall)
+        lps_samples.append(replay_line_count() / replay_wall)
+    if lps_samples:
+        lps = round(sum(lps_samples) / len(lps_samples))
         payload["replay_lines_per_sec"] = lps
+        payload["replay_lps_samples"] = [round(s) for s in lps_samples]
         # Host-speed normalization (pinned round 11): absolute sweep seconds
         # swing with host state (r9/r10 both needed hand adjudication — the
         # cache-free replay probe traced 197k -> 81k lines/s on identical

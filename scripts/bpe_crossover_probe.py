@@ -99,6 +99,39 @@ def main() -> int:
         if "expr" in results and "table" in results:
             row["paths_agree"] = results["expr"] == results["table"]
         print(json.dumps(row), flush=True)
+
+    # Kernel cost vs TABLE LENGTH beyond this corpus's 89-merge pair
+    # space: pad with merges that can never match (symbols outside the
+    # corpus alphabet) up to production-scale counts. Throughput-only —
+    # the padded ranks are no-ops by construction, so the output equals
+    # the k=89 result (asserted); what's measured is the per-word
+    # rank-scan cost a 32k-merge table would pay.
+    base = [tuple(r) for r in table_path(len(BPE_MERGES_FULL)).collect()]
+    for k_pad in (256, 1024, 4096):
+        pad = BPE_MERGES_FULL + [
+            (f"\x02{i}", f"\x03{i}") for i in range(k_pad - len(BPE_MERGES_FULL))
+        ]
+        enc = bpe_encode_tokens(pad)
+        frame = _bpe_histogram(
+            vocab.select("word", "freq", F.size(enc(F.col("syms"))).alias("n_tokens"))
+        )
+        times = []
+        out = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = [tuple(r) for r in frame.collect()]
+            times.append(round(time.perf_counter() - t0, 3))
+        print(
+            json.dumps(
+                {
+                    "k_padded": k_pad,
+                    "table_sec": min(times),
+                    "table_runs": times,
+                    "equals_k89": out == base,
+                }
+            ),
+            flush=True,
+        )
     return 0
 
 

@@ -93,6 +93,10 @@ PROBE = [
     # decontamination gate and the frozen-merge corpus encoder
     "stream_decontamination_probe",
     "llm_bpe_encode_frozen",
+    # r11: the merge-table-as-data encoder (Arrow kernel, vocab-bounded
+    # Python — should track llm_bpe_encode_frozen's scan-bound tier; the
+    # kernel cost is |vocab|-fixed so the ratio is the corpus pass alone)
+    "llm_bpe_encode_table",
 ]
 
 
