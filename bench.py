@@ -118,28 +118,6 @@ def main() -> None:
         release_session_checkpoints,
     )
 
-    # Host-speed probe sample at SWEEP START: the sweep's own
-    # stream_replay_throughput row lands alphabetically near the end of a
-    # ~6 min run, and host load drifts within a sweep (r11: two same-day
-    # cuts measured 143k-at-start-shape vs 173k — on the cut whose sweep
-    # ran 11% slower). Two samples bracketing the sweep average out that
-    # drift; both land in the payload.
-    lps_samples: list[float] = []
-    replay_spec = specs.get("stream_replay_throughput")
-    if replay_spec is not None and replay_spec.bench and subset is None:
-        from syslog_kafka_spark.plans.extras import replay_line_count
-
-        try:
-            # one untimed pass first: the session's FIRST streaming query
-            # pays one-time machinery costs (measured 57k vs 198k lines/s
-            # cold-vs-warm in the same sweep) that are not host speed
-            replay_spec.build(spark, sf_dir).collect()
-            t0 = time.perf_counter()
-            replay_spec.build(spark, sf_dir).collect()
-            lps_samples.append(replay_line_count() / (time.perf_counter() - t0))
-        except Exception as exc:
-            print(f"bench: start-of-sweep replay probe failed: {exc}", file=sys.stderr)
-
     timings: dict[str, float] = {}
     for name in sorted(specs):
         spec = specs[name]
@@ -159,6 +137,32 @@ def main() -> None:
         # RDD per checkpointing query, the unbounded-growth class the
         # session-cache module exists to prevent.
         release_session_checkpoints(spark)
+
+    # Host-speed probe, SECOND sample right after the sweep: the sweep's
+    # own stream_replay_throughput row is the first (steady-state, fully
+    # warm — it lands alphabetically ~85% through the run and carries the
+    # one-time streaming machinery cost exactly like every prior round's
+    # archive, so sweep totals stay cross-round comparable). Both samples
+    # are steady-state by construction — a pre-sweep sample is NOT (r11
+    # measured the session's 2nd replay run still 1.9x slower than its
+    # 3rd), and averaging a machinery-polluted sample into the factor
+    # flips the normalization direction on a fast host.
+    lps_samples: list[float] = []
+    replay_spec = specs.get("stream_replay_throughput")
+    if (
+        replay_spec is not None
+        and replay_spec.bench
+        and subset is None
+        and timings.get("stream_replay_throughput", -1) > 0
+    ):
+        from syslog_kafka_spark.plans.extras import replay_line_count
+
+        try:
+            t0 = time.perf_counter()
+            replay_spec.build(spark, sf_dir).collect()
+            lps_samples.append(replay_line_count() / (time.perf_counter() - t0))
+        except Exception as exc:
+            print(f"bench: post-sweep replay probe failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
@@ -252,7 +256,8 @@ def main() -> None:
     if replay_wall and replay_wall > 0:
         from syslog_kafka_spark.plans.extras import replay_line_count
 
-        lps_samples.append(replay_line_count() / replay_wall)
+        # in-sweep sample leads the list; the post-sweep re-measure follows
+        lps_samples.insert(0, replay_line_count() / replay_wall)
     if lps_samples:
         lps = round(sum(lps_samples) / len(lps_samples))
         payload["replay_lines_per_sec"] = lps

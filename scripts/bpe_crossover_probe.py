@@ -10,9 +10,9 @@ production counts" claim.
 
 Expected shape: the expression path wins at k=8 (pure JVM codegen,
 zero Python) but its analysis + codegen cost grows superlinearly with
-the chain; the kernel path is flat in k until the per-word Python loop
-dominates. DuckDB's binder refuses the expression path outright past
-64 nested folds, so on the oracle side the crossover is a hard wall.
+the chain and hard-fails past ~48 nested folds (Catalyst analyzer
+max-iterations); DuckDB's binder refuses the same depths. The kernel
+path is flat in k until the per-word Python loop dominates.
 
 Usage: python scripts/bpe_crossover_probe.py [--sf-dir DIR]
 """
@@ -50,8 +50,12 @@ def main() -> int:
     spark = get_spark("bpe-crossover-probe")
     spark.sparkContext.setLogLevel("ERROR")
     d = load_tables(spark, args.sf_dir).documents
-    vocab = bpe_vocab(d)
-    vocab.collect()  # warm the corpus pass out of both measurements
+    # CACHE the vocab (not just collect-and-discard): every timed run
+    # below must measure the ENCODE alone, not re-run the token-explode
+    # corpus pass inside the timed region (review finding — the first
+    # probe cut's "flat" table numbers were corpus-pass-dominated)
+    vocab = bpe_vocab(d).cache()
+    vocab.count()
 
     def expr_path(k: int):
         cur = F.col("syms")

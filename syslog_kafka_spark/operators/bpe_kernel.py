@@ -4,14 +4,17 @@ The frozen-expression encoder (``llm_bpe_encode_frozen``) inlines each
 merge as one higher-order fold in the plan: at 8 merges that is the
 fastest shape (pure JVM, zero Python), but the expression tree grows
 with the merge count and both engines' expression machinery falls over
-far below production merge counts. Measured at sf0.01
-(scripts/bpe_crossover_probe.py): the expression path takes 1.5 s at
-8 merges, 2.4 s at 32, 5–10 s at 48, and HARD-FAILS past ~48
-(Catalyst analyzer: "Max iterations (100) reached for batch
-Resolution"); DuckDB's binder likewise refuses >~48 nested folds
+far below production merge counts. Measured at sf0.01 with the vocab
+cached so the timed region is the ENCODE alone
+(scripts/bpe_crossover_probe.py): the expression path takes 1.2 s at
+8 merges, 2.0 s at 32, 2.8 s at 48, and HARD-FAILS past ~48 (Catalyst
+analyzer: "Max iterations (100) reached for batch Resolution");
+DuckDB's binder likewise refuses >~48 nested folds
 (recursion-depth/parser-memory limits). The table path below is flat
-~0.6–0.9 s at every k through the full 89-merge table, hash-equal to
-the expression path wherever both run. A production tokenizer
+≤0.75 s at every k through the full 89-merge table — and table LENGTH
+is nearly free (~0.03 s warm with the table padded to 256/1024/4096
+entries, output asserted identical) — hash-equal to the expression
+path wherever both run. A production tokenizer
 (32k–100k merges) ships its merge table as DATA: every executor holds
 the rank-ordered list once (it rides the serialized kernel closure —
 one copy per executor, exactly a broadcast's distribution shape, a few
@@ -94,7 +97,12 @@ def bpe_checkpoint_token_counts(
     """
     table = [(str(a), str(b)) for a, b in merges]
     cks = list(checkpoints)
-    if list(sorted(cks)) != cks or (cks and cks[-1] > len(table)):
+    # strictly ascending: a duplicate rank would emit duplicate Spark rows
+    # while a SQL oracle's IN-list matches each rank once — a confusing
+    # hash-gate failure
+    if any(b <= a for a, b in zip(cks, cks[1:])) or (
+        cks and cks[-1] > len(table)
+    ):
         raise ValueError(f"bad checkpoints {cks} for {len(table)} merges")
 
     def counts(syms) -> list[int]:

@@ -92,6 +92,7 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
     # storage shared by every sameResult plan.
     slot = lru.pop(key, None) or []
     kept = []
+    probe_failed = False
     for handle in slot:
         try:
             same = handle._jdf.queryExecution().analyzed().sameResult(analyzed)
@@ -104,11 +105,24 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
                 handle.unpersist(blocking=False)
             except Exception:
                 pass
+            probe_failed = True
             continue
         if not same:
             kept.append(handle)
     kept.append(cached)
     lru[key] = kept
+    if probe_failed:
+        # If the failed probe's handle was in fact ALIVE and sameResult
+        # with the incoming frame (a transient failure, not a dead JVM
+        # frame), the unpersist above just dropped the storage the
+        # df.cache() call registered. Re-persisting is the idempotent
+        # repair: a no-op when the entry survived, a re-registration
+        # when it did not — either way the eager fill below lands in a
+        # live cache entry.
+        try:
+            cached.persist()
+        except Exception:
+            pass
     # Evict BEFORE the eager fill so the persisted peak stays at the
     # budget — filling first would transiently hold budget+1 corpus-sized
     # frames, exactly the spike the policy exists to prevent.

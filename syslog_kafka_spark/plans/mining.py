@@ -834,16 +834,18 @@ def llm_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_histogram(enc: DataFrame) -> DataFrame:
-    """The tokens-per-word histogram both encode queries share — one
+def _bpe_histogram(enc: DataFrame, *extra_keys: str) -> DataFrame:
+    """The tokens-per-word histogram both encode queries share — ONE
     definition so the expression path and the table path cannot diverge
-    in the aggregate surface."""
+    in the aggregate surface. ``extra_keys`` prepend group columns (the
+    curve query groups by checkpoint rank as well)."""
+    keys = [F.col(k) for k in extra_keys] + [
+        F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
+        .cast("int")
+        .alias("bucket")
+    ]
     return (
-        enc.groupBy(
-            F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
-            .cast("int")
-            .alias("bucket")
-        )
+        enc.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),
             F.sum("freq").cast("bigint").alias("corpus_freq"),
@@ -854,7 +856,7 @@ def _bpe_histogram(enc: DataFrame) -> DataFrame:
             .cast("bigint")
             .alias("total_tokens"),
         )
-        .orderBy("bucket")
+        .orderBy(*extra_keys, "bucket")
     )
 
 
@@ -894,6 +896,7 @@ def _bpe_encode_table_oracle() -> str:
                CAST(LEAST(n_tokens, {_ENC_MAX_BUCKET}) AS INT) AS bucket,
                CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(freq) AS BIGINT) AS corpus_freq,
+               CAST(sum(freq * length(word)) AS BIGINT) AS total_chars,
                CAST(sum(freq * n_tokens) AS BIGINT) AS total_tokens
         FROM enc GROUP BY 1, 2 ORDER BY merges_applied, bucket
     """
@@ -905,11 +908,13 @@ def llm_bpe_encode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-count path, gated as the tokenizer's COMPRESSION CURVE.
     llm_bpe_encode_frozen inlines each merge as one fold expression, the
     fastest shape at 8 merges but one whose plan grows with the table:
-    measured (scripts/bpe_crossover_probe.py, sf0.01) the expression
-    path runs 1.5 s at 8 merges, 2.4 s at 32, 5–10 s at 48, and
-    HARD-FAILS past ~48 — Catalyst analyzer max-iterations; DuckDB's
-    binder refuses the same depths — while the table path stays flat
-    ~0.6–0.9 s through all 89. A real tokenizer's 32k–100k merges
+    measured (scripts/bpe_crossover_probe.py, sf0.01, vocab cached so
+    the timed region is the encode alone) the expression path runs
+    1.2 s at 8 merges, 2.8 s at 48, and HARD-FAILS past ~48 — Catalyst
+    analyzer max-iterations; DuckDB's binder refuses the same depths —
+    while the table path stays flat ≤0.75 s through all 89 and ~0.03 s
+    warm with the table padded to 4096 entries. A real tokenizer's
+    32k–100k merges
     therefore ship as DATA: here the FULL to-convergence table
     (operators/bpe_frozen_full.py — 89 merges, this corpus's entire
     pair space, fit by scripts/fit_bpe_merges.py --k 0 with the exact
@@ -948,23 +953,9 @@ def llm_bpe_encode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "freq", F.posexplode(curve(F.col("syms"))))
         .select(
             F.get(ranks, F.col("pos")).cast("int").alias("merges_applied"),
+            "word",
             "freq",
             F.col("col").alias("n_tokens"),
         )
     )
-    return (
-        enc.groupBy(
-            "merges_applied",
-            F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET))
-            .cast("int")
-            .alias("bucket"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-            F.sum("freq").cast("bigint").alias("corpus_freq"),
-            F.sum(F.col("freq") * F.col("n_tokens"))
-            .cast("bigint")
-            .alias("total_tokens"),
-        )
-        .orderBy("merges_applied", "bucket")
-    )
+    return _bpe_histogram(enc, "merges_applied")

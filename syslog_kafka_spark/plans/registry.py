@@ -101,7 +101,7 @@ def query(
 # Round-12 rotation pool, in priority order: FIRST any query registered
 # after this window filled (r11 additions take their first stamps — keep
 # this list current as they land: llm_bpe_encode_table and the other r11
-# registrations named at the end of this comment block), then the three
+# registrations named at the end of this comment block), then the SIX
 # r12 deferrals above, then the r7-stamp cohort (the oldest after the r11
 # gate): llm_bloom_decontamination, llm_chunk_dedup_removal,
 # llm_cms_heavy_hitters, llm_curation_pipeline, llm_dedup_components,

@@ -91,12 +91,12 @@ def test_curve_rank8_slice_equals_frozen_histogram(spark, sf_dir):
     deterministic, and the curve kernel replays ranks in order)."""
     curve = load_all()["llm_bpe_encode_table"].build(spark, sf_dir)
     rank8 = {
-        (r.bucket): (r.n_words, r.corpus_freq, r.total_tokens)
+        (r.bucket): (r.n_words, r.corpus_freq, r.total_chars, r.total_tokens)
         for r in curve.collect()
         if r.merges_applied == 8
     }
     frozen = {
-        (r.bucket): (r.n_words, r.corpus_freq, r.total_tokens)
+        (r.bucket): (r.n_words, r.corpus_freq, r.total_chars, r.total_tokens)
         for r in load_all()["llm_bpe_encode_frozen"].build(spark, sf_dir).collect()
     }
     assert rank8 == frozen

@@ -251,3 +251,33 @@ def test_dead_handle_gets_best_effort_unpersist_before_drop(spark):
     assert all(h is not boom for h in _LRU[spark][key])
     assert _is_cached(a)  # the live handle is untouched
     clear_session_caches(spark)
+
+
+def test_transient_probe_failure_on_live_handle_repairs_the_cache(spark):
+    """Worst case of the best-effort unpersist (review finding): the
+    failing handle is ALIVE and sameResult with the incoming frame, so
+    the unpersist drops the storage df.cache() just registered. The
+    repair re-persist must leave the returned frame cached."""
+    clear_session_caches(spark)
+    first = session_cache(spark.range(50).select((F.col("id") + 307).alias("a")))
+    assert _is_cached(first)
+
+    class _Flaky:
+        """Probe raises; unpersist REALLY unpersists the live frame."""
+
+        def __init__(self, real):
+            self._real = real
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("transient Py4J failure")
+
+        def unpersist(self, blocking=False):
+            return self._real.unpersist(blocking=blocking)
+
+    key = next(iter(_LRU[spark]))
+    _LRU[spark][key] = [_Flaky(_LRU[spark][key][0])]
+    again = session_cache(spark.range(50).select((F.col("id") + 307).alias("a")))
+    assert _is_cached(again)  # the repair re-registered the dropped entry
+    assert again.count() == 50
+    clear_session_caches(spark)
