@@ -97,6 +97,9 @@ PROBE = [
     # Python — should track llm_bpe_encode_frozen's scan-bound tier; the
     # kernel cost is |vocab|-fixed so the ratio is the corpus pass alone)
     "llm_bpe_encode_table",
+    # r11: the encoder's ingest face (per-occurrence Arrow encode,
+    # 30-row state — growth should be the token scan alone)
+    "stream_bpe_encode_fertility",
 ]
 
 

@@ -66,6 +66,28 @@ def apply_merges(
     return out
 
 
+def _memoized(fn, cap: int = 65536):
+    """Per-kernel-instance encode cache — the standard production
+    tokenizer memo: a token stream repeats its vocabulary zipfianly, so
+    keying the pure per-word encode by the symbol tuple collapses
+    per-OCCURRENCE cost to per-DISTINCT-WORD cost within each executor.
+    Bounded at ``cap`` entries (cleared, not evicted, at the bound — the
+    re-fill cost is one encode per distinct word, and FIFO bookkeeping
+    would cost more than it saves at these sizes)."""
+    cache: dict = {}
+
+    def wrapped(syms):
+        key = syms if isinstance(syms, str) else tuple(syms)
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= cap:
+                cache.clear()
+            hit = cache[key] = fn(syms)
+        return hit
+
+    return wrapped
+
+
 def bpe_encode_tokens(merges: Sequence[tuple[str, str]]):
     """Column kernel: ``array<string>`` symbols → encoded ``array<string>``.
 
@@ -75,10 +97,11 @@ def bpe_encode_tokens(merges: Sequence[tuple[str, str]]):
     is bounded by |vocab|, not |tokens|.
     """
     table = [(str(a), str(b)) for a, b in merges]
+    enc = _memoized(lambda s: apply_merges(list(s), table))
 
     @pandas_udf(ArrayType(StringType()))
     def encode(syms: pd.Series) -> pd.Series:
-        return syms.map(lambda s: apply_merges(list(s), table))
+        return syms.map(enc)
 
     return encode
 
@@ -115,8 +138,47 @@ def bpe_checkpoint_token_counts(
             res.append(len(out))
         return res
 
+    counts = _memoized(counts)
+
     @pandas_udf(ArrayType(IntegerType()))
     def encode(syms: pd.Series) -> pd.Series:
         return syms.map(counts)
+
+    return encode
+
+
+def bpe_checkpoint_counts_from_words(
+    merges: Sequence[tuple[str, str]], checkpoints: Sequence[int]
+):
+    """:func:`bpe_checkpoint_token_counts` over a WORD STRING column —
+    the per-occurrence (streaming) shape. Taking the string and
+    splitting inside the kernel matters twice at occurrence scale: the
+    Arrow batch ships one short string per row instead of a char ARRAY
+    (the array transfer dominated the first cut of the fertility stream
+    — 300k small arrays cost ~3× the strings), and the memo keys on the
+    string itself (hashable, no tuple() per row), so a zipfian token
+    stream collapses to per-distinct-word encode cost."""
+    table = [(str(a), str(b)) for a, b in merges]
+    cks = list(checkpoints)
+    if any(b <= a for a, b in zip(cks, cks[1:])) or (
+        cks and cks[-1] > len(table)
+    ):
+        raise ValueError(f"bad checkpoints {cks} for {len(table)} merges")
+
+    def counts(word: str) -> list[int]:
+        out = list(word)
+        res = []
+        rank = 0
+        for c in cks:
+            out = apply_merges(out, table[rank:c])
+            rank = c
+            res.append(len(out))
+        return res
+
+    counts = _memoized(counts)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(words: pd.Series) -> pd.Series:
+        return words.map(counts)
 
     return encode

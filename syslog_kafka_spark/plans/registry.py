@@ -98,10 +98,11 @@ def query(
 # llm_word_bigrams) — all six stay oracle-covered on every pytest run in
 # the meantime.
 #
-# Round-12 rotation pool, in priority order: FIRST any query registered
-# after this window filled (r11 additions take their first stamps — keep
-# this list current as they land: llm_bpe_encode_table and the other r11
-# registrations named at the end of this comment block), then the SIX
+# Round-12 rotation pool, in priority order: FIRST the queries
+# registered after this window filled, taking their first stamps
+# (the r11 additions: llm_bpe_encode_table and
+# stream_bpe_encode_fertility — both oracle-covered on every pytest run
+# by tests/test_inventory_oracle in the meantime), then the SIX
 # r12 deferrals above, then the r7-stamp cohort (the oldest after the r11
 # gate): llm_bloom_decontamination, llm_chunk_dedup_removal,
 # llm_cms_heavy_hitters, llm_curation_pipeline, llm_dedup_components,

@@ -1749,3 +1749,130 @@ def stream_decontamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     digest = bloom_probe_digest_frame(_stream_docs(spark, sf_dir), d)
     return drain(digest, mode="complete").orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Streaming BPE fertility monitor (online tokenizer-health at ingest)
+# ---------------------------------------------------------------------------
+
+
+def bpe_fertility_frame(raw: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_bpe_encode_fertility: every arriving
+    token encodes against the frozen to-convergence merge table INSIDE
+    its scan task (the same Arrow checkpoint kernel llm_bpe_encode_table
+    ships — one definition, so the twins cannot de-twin) and folds into
+    ONE streaming aggregate keyed by (checkpoint rank, tokens-per-word
+    bucket): state is ≤ |checkpoints| × |buckets| = 30 rows FOREVER,
+    exact integers, counter-wise mergeable across executors and
+    microbatches. Encoding per word OCCURRENCE here is
+    arithmetic-identical to the batch query's freq-weighted encode over
+    the vocab aggregate (Σ_word freq·f(word) = Σ_occurrence f(word));
+    the batch side pre-aggregates the vocab to exploit the zipfian
+    collapse, while a stream takes each occurrence once as it arrives —
+    the same trade bpe_pair_counts_frame documents. Takes any (…, text)
+    streaming frame so the multi-batch replay test drives the IDENTICAL
+    plan."""
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+    from syslog_kafka_spark.operators.bpe_kernel import (
+        bpe_checkpoint_counts_from_words,
+    )
+    from syslog_kafka_spark.plans.mining import (
+        _BPE_CURVE_CHECKPOINTS,
+        _ENC_MAX_BUCKET,
+        _US,
+    )
+
+    curve = bpe_checkpoint_counts_from_words(
+        BPE_MERGES_FULL, _BPE_CURVE_CHECKPOINTS
+    )
+    ranks = F.array(*[F.lit(c) for c in _BPE_CURVE_CHECKPOINTS])
+    words = raw.select(F.explode(tokens("text")).alias("word")).filter(
+        ~F.col("word").contains(_US)
+    )
+    enc = words.select(
+        F.length("word").alias("n_chars"), F.posexplode(curve(F.col("word")))
+    ).select(
+        F.get(ranks, F.col("pos")).cast("int").alias("merges_applied"),
+        "n_chars",
+        F.col("col").alias("n_tokens"),
+    )
+    return enc.groupBy(
+        "merges_applied",
+        F.least(F.col("n_tokens"), F.lit(_ENC_MAX_BUCKET)).cast("int").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def _stream_fertility_oracle() -> str:
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+    from syslog_kafka_spark.plans.mining import (
+        _BPE_CURVE_CHECKPOINTS,
+        _ENC_MAX_BUCKET,
+        bpe_apply_fold_sql,
+        bpe_vocab_cte,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({i + 1}, {q(a)}, {q(b)})" for i, (a, b) in enumerate(BPE_MERGES_FULL)
+    )
+    cks = ", ".join(str(c) for c in _BPE_CURVE_CHECKPOINTS)
+    fold = bpe_apply_fold_sql("e.syms", "m.m_a", "m.m_b")
+    # vocab-level stepped encode weighted back by freq — per-occurrence
+    # equivalence is exact because the encode is a pure per-word function
+    return f"""
+        WITH RECURSIVE {bpe_vocab_cte()},
+        m(rank, m_a, m_b) AS (VALUES {vals}),
+        stepped AS (
+          SELECT 0 AS r, word, freq, syms FROM v0
+          UNION ALL
+          SELECT e.r + 1, e.word, e.freq, {fold} AS syms
+          FROM stepped e JOIN m ON m.rank = e.r + 1
+        ), enc AS (
+          SELECT r, word, freq, len(syms) AS n_tokens
+          FROM stepped WHERE r IN ({cks})
+        )
+        SELECT CAST(r AS INT) AS merges_applied,
+               CAST(LEAST(n_tokens, {_ENC_MAX_BUCKET}) AS INT) AS bucket,
+               CAST(sum(freq) AS BIGINT) AS n_occurrences,
+               CAST(sum(freq * length(word)) AS BIGINT) AS total_chars,
+               CAST(sum(freq * n_tokens) AS BIGINT) AS total_tokens
+        FROM enc GROUP BY 1, 2 ORDER BY merges_applied, bucket
+    """
+
+
+@query(
+    "stream_bpe_encode_fertility",
+    family="streaming",
+    oracle=_stream_fertility_oracle(),
+)
+def stream_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE tokenizer-fertility monitoring — the ingest face of
+    llm_bpe_encode_table: every arriving document's tokens encode
+    against the frozen merge table in their scan task and the
+    compression curve (tokens-per-word histogram at checkpoint ranks
+    8/16/32/64/89) is maintained AT INGEST, so a drift in incoming text
+    that degrades the tokenizer (fertility creep — more tokens per word
+    than the table was trained for) is visible the microbatch it
+    arrives, not at the next offline re-encode. This is the production
+    shape at 100 TB: the merge table is a frozen artifact (rebuilt only
+    on tokenizer refresh), ingest is the unbounded side, per-document
+    work is stateless and scan-local, and the only streaming state is
+    the 30-row curve digest, bounded forever.
+
+    The batch-twin oracle replays the SAME table through the SAME fold
+    SQL the trainer gates (vocab-level recursive CTE, freq-weighted —
+    arithmetic-identical to this query's per-occurrence fold), so a
+    stream that dropped, duplicated, or mis-encoded any token
+    hash-fails. The multibatch replay test re-runs this exact pre-drain
+    plan at maxFilesPerTrigger=1."""
+    return (
+        drain(bpe_fertility_frame(_stream_docs(spark, sf_dir)), mode="complete")
+        .orderBy("merges_applied", "bucket")
+    )

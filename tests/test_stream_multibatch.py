@@ -411,3 +411,30 @@ def test_stream_decontamination_multibatch(spark, sf_dir, duck, tmp_path):
     assert_matches_oracle(
         result.orderBy("bucket"), duck, oracle, name="decontamination multibatch"
     )
+
+
+def test_stream_fertility_multibatch_counter_merge(spark, sf_dir, duck, tmp_path):
+    """The compression-curve digest must accumulate across ≥3 arrival
+    batches to exactly the batch oracle: a token occurrence encoded in
+    trigger 2 lands in the same (rank, bucket) counter as one encoded in
+    trigger 0 (exact-integer state, 30 rows)."""
+    from syslog_kafka_spark.plans.stream_gated import bpe_fertility_frame
+
+    d = tmp_path / "docs_fert"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    digest, n_batches = _drain_counted(bpe_fertility_frame(raw), "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_bpe_encode_fertility"].oracle
+    assert_matches_oracle(
+        digest.orderBy("merges_applied", "bucket"),
+        duck,
+        oracle,
+        name="fertility multibatch",
+    )
