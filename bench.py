@@ -29,6 +29,11 @@ _HOST_REF_LINES_PER_SEC = 150_000
 # BASELINE.md full-inventory budget (2x gate) at sf0.1, seconds.
 _FULL_INVENTORY_BUDGET_SEC = 480.0
 
+# Full-inventory runs whose post-sweep host_speed_factor lands under this
+# floor are re-swept once in-session; a second miss sets host_floor_missed
+# in the payload so a loaded-host headline is never silently recorded.
+_HOST_FLOOR_FACTOR = 0.75
+
 
 def cap_line(payload: dict, line_budget: int = 1900) -> str:
     """Serialize ``payload`` to one JSON line at most ``line_budget`` chars.
@@ -118,51 +123,89 @@ def main() -> None:
         release_session_checkpoints,
     )
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        spec = specs[name]
-        if not spec.bench or (subset is not None and name not in subset):
-            continue
-        t0 = time.perf_counter()
-        try:
-            spec.build(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the bench line well-formed on a bad query
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-        # Sweep-boundary hygiene: caches stay warm (the LRU bounds them;
-        # cross-query reuse is part of what the sweep measures) but
-        # checkpoint pins are per-build artifacts no later query reuses —
-        # without this release the inventory sweep accumulates one pinned
-        # RDD per checkpointing query, the unbounded-growth class the
-        # session-cache module exists to prevent.
-        release_session_checkpoints(spark)
-
-    # Host-speed probe, SECOND sample right after the sweep: the sweep's
-    # own stream_replay_throughput row is the first (steady-state, fully
-    # warm — it lands alphabetically ~85% through the run and carries the
-    # one-time streaming machinery cost exactly like every prior round's
-    # archive, so sweep totals stay cross-round comparable). Both samples
-    # are steady-state by construction — a pre-sweep sample is NOT (r11
-    # measured the session's 2nd replay run still 1.9x slower than its
-    # 3rd), and averaging a machinery-polluted sample into the factor
-    # flips the normalization direction on a fast host.
-    lps_samples: list[float] = []
-    replay_spec = specs.get("stream_replay_throughput")
-    if (
-        replay_spec is not None
-        and replay_spec.bench
-        and subset is None
-        and timings.get("stream_replay_throughput", -1) > 0
-    ):
-        from syslog_kafka_spark.plans.extras import replay_line_count
-
-        try:
+    def run_sweep() -> tuple[dict[str, float], list[float]]:
+        timings: dict[str, float] = {}
+        for name in sorted(specs):
+            spec = specs[name]
+            if not spec.bench or (subset is not None and name not in subset):
+                continue
             t0 = time.perf_counter()
-            replay_spec.build(spark, sf_dir).collect()
-            lps_samples.append(replay_line_count() / (time.perf_counter() - t0))
-        except Exception as exc:
-            print(f"bench: post-sweep replay probe failed: {exc}", file=sys.stderr)
+            try:
+                spec.build(spark, sf_dir).collect()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # keep the bench line well-formed on a bad query
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings[name] = -1.0
+            # Sweep-boundary hygiene: caches stay warm (the LRU bounds them;
+            # cross-query reuse is part of what the sweep measures) but
+            # checkpoint pins are per-build artifacts no later query reuses —
+            # without this release the inventory sweep accumulates one pinned
+            # RDD per checkpointing query, the unbounded-growth class the
+            # session-cache module exists to prevent.
+            release_session_checkpoints(spark)
+
+        # Host-speed probe, SECOND sample right after the sweep: the sweep's
+        # own stream_replay_throughput row is the first (steady-state, fully
+        # warm — it lands alphabetically ~85% through the run and carries the
+        # one-time streaming machinery cost exactly like every prior round's
+        # archive, so sweep totals stay cross-round comparable). Both samples
+        # are steady-state by construction — a pre-sweep sample is NOT (r11
+        # measured the session's 2nd replay run still 1.9x slower than its
+        # 3rd), and averaging a machinery-polluted sample into the factor
+        # flips the normalization direction on a fast host.
+        lps_samples: list[float] = []
+        replay_spec = specs.get("stream_replay_throughput")
+        if (
+            replay_spec is not None
+            and replay_spec.bench
+            and subset is None
+            and timings.get("stream_replay_throughput", -1) > 0
+        ):
+            from syslog_kafka_spark.plans.extras import replay_line_count
+
+            try:
+                t0 = time.perf_counter()
+                replay_spec.build(spark, sf_dir).collect()
+                lps_samples.append(replay_line_count() / (time.perf_counter() - t0))
+            except Exception as exc:
+                print(f"bench: post-sweep replay probe failed: {exc}", file=sys.stderr)
+        return timings, lps_samples
+
+    def host_factor(timings: dict[str, float], lps_samples: list[float]) -> float | None:
+        """Mean replay lines/sec over the quiet-host reference, or None
+        when the run carries no replay sample to measure the host with."""
+        samples = list(lps_samples)
+        replay_wall = timings.get("stream_replay_throughput")
+        if replay_wall and replay_wall > 0:
+            from syslog_kafka_spark.plans.extras import replay_line_count
+
+            samples.insert(0, replay_line_count() / replay_wall)
+        if not samples:
+            return None
+        return sum(samples) / len(samples) / _HOST_REF_LINES_PER_SEC
+
+    # Host-floor policy (pinned round 12, r11 verdict item #4): the r11
+    # headline was recorded on a host running at factor 0.458 while the
+    # same day produced a floor-compliant sweep — a loaded-host number
+    # must never be SILENTLY the round's record. Full runs whose
+    # post-sweep factor lands under the floor are re-swept ONCE in the
+    # same warm session; a second miss is declared in the payload
+    # (host_floor_missed) instead of retried forever.
+    timings, lps_samples = run_sweep()
+    sweep_attempts = 1
+    host_floor_missed = False
+    if subset is None:
+        factor = host_factor(timings, lps_samples)
+        if factor is not None and factor < _HOST_FLOOR_FACTOR:
+            print(
+                f"bench: host_speed_factor {factor:.3f} < {_HOST_FLOOR_FACTOR}"
+                " floor; re-running the sweep once",
+                file=sys.stderr,
+            )
+            timings, lps_samples = run_sweep()
+            sweep_attempts = 2
+            factor = host_factor(timings, lps_samples)
+            host_floor_missed = factor is not None and factor < _HOST_FLOOR_FACTOR
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {
@@ -172,6 +215,14 @@ def main() -> None:
         "queries": dict(timings),
         "sf": sf,
     }
+    if subset is not None:
+        # Tag subset payloads so a SPARK_GRAFT_BENCH_ONLY total is never
+        # mistaken for a full-sweep archive number (r11 ADVICE).
+        payload["bench_subset"] = sorted(timings)
+    else:
+        payload["sweep_attempts"] = sweep_attempts
+        if host_floor_missed:
+            payload["host_floor_missed"] = True
 
     # Measurement protocol (pinned round 7): re-measure the top sweep
     # regressions vs last round's archived map ISOLATED, within this same
@@ -270,10 +321,13 @@ def main() -> None:
         # with the reference pinned at the quiet-host band floor. Compare
         # rounds on the normalized number; judge budgets on both.
         payload["host_ref_lines_per_sec"] = _HOST_REF_LINES_PER_SEC
-        factor = round(lps / _HOST_REF_LINES_PER_SEC, 3)
-        payload["host_speed_factor"] = factor
-        payload["value_host_normalized"] = round(total * factor, 1)
+        # host_speed_factor / value_host_normalized are FULL-SWEEP numbers
+        # only (r11 ADVICE): a subset run's single in-sweep sample
+        # normalizing a subset-only total is not comparable to archives.
         if subset is None:
+            factor = round(lps / _HOST_REF_LINES_PER_SEC, 3)
+            payload["host_speed_factor"] = factor
+            payload["value_host_normalized"] = round(total * factor, 1)
             payload["budget_sec"] = _FULL_INVENTORY_BUDGET_SEC
             payload["vs_budget_raw"] = round(total / _FULL_INVENTORY_BUDGET_SEC, 3)
             payload["vs_budget_normalized"] = round(

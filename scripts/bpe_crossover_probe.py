@@ -77,13 +77,20 @@ def main() -> int:
         row = {"k": k, "sf_dir": args.sf_dir}
         results = {}
         for label, builder in (("expr", expr_path), ("table", table_path)):
+            # COLD repeats rebuild the frame (and, on the table path, the
+            # kernel closure — a fresh per-word memo each time; r11 ADVICE:
+            # min-of-repeats over one closure timed memo-hit encodes, so
+            # the "nearly free" padded numbers cited the warm path), then
+            # ONE extra run of the last frame reports warm separately.
             times = []
             out = None
             err = None
+            frame = None
             for _ in range(args.repeats):
+                frame = builder(k)
                 t0 = time.perf_counter()
                 try:
-                    out = [tuple(r) for r in builder(k).collect()]
+                    out = [tuple(r) for r in frame.collect()]
                 except Exception as exc:  # the expression path has a hard wall
                     # skip the Py4J wrapper header; the JVM cause is line 2
                     lines = [ln for ln in str(exc).splitlines() if ln.strip()]
@@ -96,8 +103,11 @@ def main() -> int:
                 # probe's finding; record it and keep going.
                 row[f"{label}_error"] = err
             else:
-                row[f"{label}_sec"] = min(times)
-                row[f"{label}_runs"] = times
+                row[f"{label}_cold_sec"] = min(times)
+                row[f"{label}_cold_runs"] = times
+                t0 = time.perf_counter()
+                frame.collect()
+                row[f"{label}_warm_sec"] = round(time.perf_counter() - t0, 3)
                 results[label] = out
         # both paths must agree before their timings mean anything
         if "expr" in results and "table" in results:
@@ -115,22 +125,32 @@ def main() -> int:
         pad = BPE_MERGES_FULL + [
             (f"\x02{i}", f"\x03{i}") for i in range(k_pad - len(BPE_MERGES_FULL))
         ]
-        enc = bpe_encode_tokens(pad)
-        frame = _bpe_histogram(
-            vocab.select("word", "freq", F.size(enc(F.col("syms"))).alias("n_tokens"))
-        )
+        # cold repeats rebuild the kernel (fresh memo) per run — see the
+        # main loop's comment; padding prices the rank-scan, and a memoized
+        # run prices only |distinct-new-words| of it
         times = []
         out = None
+        frame = None
         for _ in range(args.repeats):
+            enc = bpe_encode_tokens(pad)
+            frame = _bpe_histogram(
+                vocab.select(
+                    "word", "freq", F.size(enc(F.col("syms"))).alias("n_tokens")
+                )
+            )
             t0 = time.perf_counter()
             out = [tuple(r) for r in frame.collect()]
             times.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        frame.collect()
+        warm = round(time.perf_counter() - t0, 3)
         print(
             json.dumps(
                 {
                     "k_padded": k_pad,
-                    "table_sec": min(times),
-                    "table_runs": times,
+                    "table_cold_sec": min(times),
+                    "table_cold_runs": times,
+                    "table_warm_sec": warm,
                     "equals_k89": out == base,
                 }
             ),

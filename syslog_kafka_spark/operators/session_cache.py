@@ -94,11 +94,22 @@ def session_cache(df: DataFrame, *, eager: bool = True) -> DataFrame:
     kept = []
     probe_failed = False
     for handle in slot:
-        try:
-            same = handle._jdf.queryExecution().analyzed().sameResult(analyzed)
-        except Exception:
+        # Probe twice: a handle that fails ONCE on a transient Py4J hiccup
+        # but answers on retry keeps its slot (and, when it is a live
+        # hash-colliding DISTINCT plan, its storage — the r11 ADVICE gap:
+        # the probe_failed repair below re-persists only ``cached``, so a
+        # colliding foreign frame unpersisted on a transient blip would
+        # silently lose its cache).
+        same = None
+        for _attempt in range(2):
+            try:
+                same = handle._jdf.queryExecution().analyzed().sameResult(analyzed)
+                break
+            except Exception:
+                continue
+        if same is None:
             # Dead or unreadable handle (JVM-side frame gone, or a
-            # transient Py4J failure). Dropping it from the slot makes its
+            # persistent Py4J failure). Dropping it from the slot makes its
             # storage unreachable by eviction/clear, so best-effort
             # unpersist first — a no-op on a truly dead frame.
             try:

@@ -35,11 +35,16 @@ def test_bench_emits_one_wellformed_json_line(sf_dir, tmp_path):
     lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"bench must print exactly one line, got: {lines}"
     d = json.loads(lines[0])
-    assert set(d) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(d) == {"metric", "value", "unit", "queries", "sf", "bench_subset"}
     assert d["unit"] == "sec" and d["metric"] == "inventory_wall_clock"
     assert set(d["queries"]) == {
         "agg_pricing_summary", "sort_top_orders", "scalar_string_funcs"
     }
+    # subset payloads are tagged (r11 ADVICE) so a BENCH_ONLY total is
+    # never mistaken for a full-sweep archive number; host normalization
+    # fields are full-sweep-only for the same reason
+    assert d["bench_subset"] == sorted(d["queries"])
+    assert "host_speed_factor" not in d and "value_host_normalized" not in d
     assert all(t >= 0 for t in d["queries"].values()), "a smoke query failed"
     assert abs(d["value"] - sum(d["queries"].values())) < 0.01
     assert d["sf"] is not None

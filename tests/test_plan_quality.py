@@ -787,6 +787,10 @@ def test_decontamination_probe_is_scan_local(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     digest = bloom_probe_digest_frame(docs, docs)
+    # execute BEFORE walking: the assertions must see the final adaptive
+    # plan (AQE can introduce/replace exchanges and join strategies at
+    # runtime), not the un-executed initial plan
+    digest.count()
     counts = _frame_op_counts(digest)
     assert not any(k.startswith("Generate") for k in counts), counts
     assert not any("SortMergeJoin" in k for k in counts), counts

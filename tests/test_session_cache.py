@@ -281,3 +281,44 @@ def test_transient_probe_failure_on_live_handle_repairs_the_cache(spark):
     assert _is_cached(again)  # the repair re-registered the dropped entry
     assert again.count() == 50
     clear_session_caches(spark)
+
+
+def test_one_shot_probe_failure_keeps_colliding_live_handle(spark):
+    """r11 ADVICE: a handle that fails its sameResult probe ONCE on a
+    transient blip but answers on retry must keep both its slot and its
+    storage — it may be a live hash-colliding DISTINCT frame whose cache
+    the probe_failed repair (which re-persists only the incoming frame)
+    would never restore."""
+    clear_session_caches(spark)
+    session_cache(spark.range(60).select((F.col("id") + 401).alias("a")))
+    foreign = spark.range(60).select((F.col("id") + 403).alias("f"))
+    foreign = foreign.cache()
+    foreign.count()
+
+    class _FailsOnce:
+        """First _jdf access raises (transient), every later one works."""
+
+        def __init__(self, real):
+            self._real = real
+            self.failures_left = 1
+            self.unpersist_called = False
+
+        @property
+        def _jdf(self):
+            if self.failures_left:
+                self.failures_left -= 1
+                raise RuntimeError("transient Py4J failure")
+            return self._real._jdf
+
+        def unpersist(self, blocking=False):
+            self.unpersist_called = True
+            return self._real.unpersist(blocking=blocking)
+
+    flaky = _FailsOnce(foreign)
+    key = next(iter(_LRU[spark]))
+    _LRU[spark][key].append(flaky)  # the collision-shaped state
+    session_cache(spark.range(60).select((F.col("id") + 401).alias("a")))
+    assert not flaky.unpersist_called  # retry answered; no storage drop
+    assert any(h is flaky for h in _LRU[spark][key])  # slot survives
+    assert _is_cached(foreign)
+    clear_session_caches(spark)
