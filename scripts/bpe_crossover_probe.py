@@ -33,7 +33,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument(
+        "--wide",
+        action="store_true",
+        help="price the ≥4k MATCHING-merge table (operators/bpe_wide_frozen)"
+        " scan vs indexed, instead of the expr-vs-table crossover",
+    )
     args = ap.parse_args()
+    if args.wide:
+        return wide_probe(args)
 
     import pyspark.sql.functions as F
 
@@ -87,9 +95,12 @@ def main() -> int:
             err = None
             frame = None
             for _ in range(args.repeats):
-                frame = builder(k)
                 t0 = time.perf_counter()
                 try:
+                    # the build itself is inside the try: past ~48 folds
+                    # the expression path dies at ANALYSIS time (.select),
+                    # before any collect
+                    frame = builder(k)
                     out = [tuple(r) for r in frame.collect()]
                 except Exception as exc:  # the expression path has a hard wall
                     # skip the Py4J wrapper header; the JVM cause is line 2
@@ -156,6 +167,119 @@ def main() -> int:
             ),
             flush=True,
         )
+    return 0
+
+
+def wide_probe(args) -> int:
+    """Encode cost at PRODUCTION rank counts with merges that genuinely
+    fire (r11 verdict item #5): the padded-table numbers priced table
+    length where every padded rank was a guaranteed ``a not in out``
+    miss; this section encodes the widened vocab (the table's own fit
+    corpus) at growing prefixes of the 6.7k-rank wide table, rank-scan
+    vs pair→rank-indexed, cold (fresh kernel closure per repeat) and
+    warm (memo-hit) separately."""
+    import pyspark.sql.functions as F
+
+    from syslog_kafka_spark.operators.bpe_kernel import bpe_encode_tokens
+    from syslog_kafka_spark.operators.bpe_wide import widen_vocab
+    from syslog_kafka_spark.operators.bpe_wide_frozen import (
+        BPE_MERGES_WIDE,
+        WIDE_PERMS,
+    )
+    from syslog_kafka_spark.plans.mining import _bpe_histogram, bpe_vocab
+    from syslog_kafka_spark.session import get_spark
+
+    spark = get_spark("bpe-wide-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+    base = [(r.word, r.freq) for r in bpe_vocab(d).collect()]
+    wide = widen_vocab(base, WIDE_PERMS)
+    vocab = (
+        spark.createDataFrame(wide, "word string, freq bigint")
+        .repartition(32)
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .cache()
+    )
+    vocab.count()
+    print(
+        json.dumps(
+            {
+                "wide_vocab_words": len(wide),
+                "wide_table_ranks": len(BPE_MERGES_WIDE),
+                "sf_dir": args.sf_dir,
+            }
+        ),
+        flush=True,
+    )
+
+    # Single-threaded kernel microbench FIRST: the Spark rows below run
+    # 3.9k words over 32 cores, where task overhead hides the per-word
+    # cost; this is the number that extrapolates to a 100k-word vocab ×
+    # 32k-rank production table (per-word scan cost is linear in ranks,
+    # per-word indexed cost is rank-count-independent).
+    from syslog_kafka_spark.operators.bpe_kernel import (
+        apply_merges,
+        apply_merges_indexed,
+        build_merge_index,
+    )
+
+    words = [list(w) for w, _ in wide]
+    for k in (1024, 4096, len(BPE_MERGES_WIDE)):
+        table = [(str(a), str(b)) for a, b in BPE_MERGES_WIDE[:k]]
+        idx = build_merge_index(table)
+        t0 = time.perf_counter()
+        scan_out = [apply_merges(w, table) for w in words]
+        t_scan = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idx_out = [apply_merges_indexed(w, table, idx) for w in words]
+        t_idx = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "kernel_only_k": k,
+                    "words": len(words),
+                    "scan_sec_1thread": round(t_scan, 3),
+                    "indexed_sec_1thread": round(t_idx, 3),
+                    "speedup": round(t_scan / t_idx, 1) if t_idx > 0 else None,
+                    "outputs_equal": scan_out == idx_out,
+                }
+            ),
+            flush=True,
+        )
+
+    for k in (1024, 4096, len(BPE_MERGES_WIDE)):
+        row = {"k": k}
+        results = {}
+        for label, indexed in (("scan", False), ("indexed", True)):
+            times = []
+            out = None
+            frame = None
+            for _ in range(args.repeats):
+                enc = bpe_encode_tokens(BPE_MERGES_WIDE[:k], indexed=indexed)
+                frame = _bpe_histogram(
+                    vocab.select(
+                        "word",
+                        "freq",
+                        F.size(enc(F.col("syms"))).alias("n_tokens"),
+                    )
+                )
+                t0 = time.perf_counter()
+                out = [tuple(r) for r in frame.collect()]
+                times.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            frame.collect()
+            row[f"{label}_cold_sec"] = min(times)
+            row[f"{label}_cold_runs"] = times
+            row[f"{label}_warm_sec"] = round(time.perf_counter() - t0, 3)
+            results[label] = out
+        row["paths_agree"] = results["scan"] == results["indexed"]
+        print(json.dumps(row), flush=True)
     return 0
 
 

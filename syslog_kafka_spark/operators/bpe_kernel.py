@@ -6,20 +6,28 @@ fastest shape (pure JVM, zero Python), but the expression tree grows
 with the merge count and both engines' expression machinery falls over
 far below production merge counts. Measured at sf0.01 with the vocab
 cached so the timed region is the ENCODE alone
-(scripts/bpe_crossover_probe.py): the expression path takes 1.2 s at
-8 merges, 2.0 s at 32, 2.8 s at 48, and HARD-FAILS past ~48 (Catalyst
-analyzer: "Max iterations (100) reached for batch Resolution");
-DuckDB's binder likewise refuses >~48 nested folds
-(recursion-depth/parser-memory limits). The table path below is flat
-≤0.75 s at every k through the full 89-merge table — and table LENGTH
-is nearly free (~0.03 s warm with the table padded to 256/1024/4096
-entries, output asserted identical) — hash-equal to the expression
-path wherever both run. A production tokenizer
-(32k–100k merges) ships its merge table as DATA: every executor holds
-the rank-ordered list once (it rides the serialized kernel closure —
-one copy per executor, exactly a broadcast's distribution shape, a few
-MB at 100k merges) and encoding is a per-word loop over Arrow-batched
-rows. That is this kernel.
+(scripts/bpe_crossover_probe.py): the expression path takes ~1 s at
+8 merges and HARD-FAILS past ~48 (Catalyst analyzer: "Max iterations
+(100) reached for batch Resolution"); DuckDB's binder likewise refuses
+>~48 nested folds (recursion-depth/parser-memory limits). The table
+path below is flat ≤0.75 s cold at every k through the full 89-merge
+table — hash-equal to the expression path wherever both run. A
+production tokenizer (32k–100k merges) ships its merge table as DATA:
+every executor holds the rank-ordered list once (it rides the
+serialized kernel closure — one copy per executor, exactly a
+broadcast's distribution shape, a few MB at 100k merges) and encoding
+is a per-word loop over Arrow-batched rows. That is this kernel.
+
+At production rank counts the per-word cost is the rank SCAN, not the
+fuses: priced with a 6,770-rank table of genuinely-matching merges
+(operators/bpe_wide_frozen.py, fit to convergence on the 128-way
+letter-permutation widened vocab — scripts/fit_bpe_wide.py), the
+rank-scan encode of the 3,866-word vocab costs 1.55 s single-threaded
+and grows linearly in ranks, while :func:`apply_merges_indexed` (the
+pair→rank walk production tokenizers use) costs 0.035 s and is
+rank-count-independent — 44× at 6.7k ranks, ~200× extrapolated at 32k
+(probe --wide, r12). The kernels therefore default to the indexed
+walk; the scan stays as the reference twin and the probe's baseline.
 
 Semantics are pinned to the trainer: :func:`apply_merges` is the
 pure-Python twin of ``plans.mining.bpe_apply_fold`` (one merge = one
@@ -66,6 +74,76 @@ def apply_merges(
     return out
 
 
+def build_merge_index(
+    merges: Sequence[tuple[str, str]],
+) -> dict[tuple[str, str], list[int]]:
+    """Pair → ascending rank list for :func:`apply_merges_indexed`.
+
+    A trained table normally holds each pair once, but nothing forbids a
+    re-occurrence (two different merges can build string-equal symbols),
+    so the index keeps every rank — the indexed walk then applies each
+    rank exactly once, in order, like the scan."""
+    idx: dict[tuple[str, str], list[int]] = {}
+    for rank, (a, b) in enumerate(merges):
+        idx.setdefault((str(a), str(b)), []).append(rank)
+    return idx
+
+
+def apply_merges_indexed(
+    syms: Sequence[str],
+    merges: Sequence[tuple[str, str]],
+    index: dict[tuple[str, str], list[int]],
+    lo: int = 0,
+    hi: int | None = None,
+) -> list[str]:
+    """:func:`apply_merges` over ranks ``[lo, hi)`` in table-size-
+    independent time — the standard production-tokenizer encode shape
+    (r11 verdict item #5: the scan path pays one ``a not in out`` pass
+    PER RANK, so a 32k-merge table costs 32k skips per distinct word;
+    this walk costs one pair-set probe per APPLIED merge, ≤ len(word)).
+
+    Equivalence to the rank-ordered scan: a rank whose pair is not
+    adjacent-present in the current symbols is a no-op pass (the greedy
+    fuse requires an adjacent (a, b) occurrence, and the leftmost such
+    occurrence always fires — when its left symbol was consumed by an
+    earlier fuse in the same pass, that fuse implies a == b and an
+    earlier adjacent occurrence), so skipping straight to the next
+    present rank replays the scan's exact fuse sequence. Gated by the
+    scan-equality suite in tests/test_bpe_kernel.py."""
+    from bisect import bisect_left
+
+    out = list(syms)
+    if hi is None:
+        hi = len(merges)
+    rank = lo
+    while len(out) >= 2:
+        best = -1
+        seen = set()
+        for i in range(len(out) - 1):
+            pair = (out[i], out[i + 1])
+            if pair in seen:
+                continue
+            seen.add(pair)
+            ranks = index.get(pair)
+            if not ranks:
+                continue
+            j = bisect_left(ranks, rank)
+            if j < len(ranks) and ranks[j] < hi and (best < 0 or ranks[j] < best):
+                best = ranks[j]
+        if best < 0:
+            break
+        a, b = merges[best]
+        nxt: list[str] = []
+        for x in out:
+            if nxt and nxt[-1] == a and x == b:
+                nxt[-1] = a + b
+            else:
+                nxt.append(x)
+        out = nxt
+        rank = best + 1
+    return out
+
+
 def _memoized(fn, cap: int = 65536):
     """Per-kernel-instance encode cache — the standard production
     tokenizer memo: a token stream repeats its vocabulary zipfianly, so
@@ -88,16 +166,23 @@ def _memoized(fn, cap: int = 65536):
     return wrapped
 
 
-def bpe_encode_tokens(merges: Sequence[tuple[str, str]]):
+def bpe_encode_tokens(merges: Sequence[tuple[str, str]], indexed: bool = True):
     """Column kernel: ``array<string>`` symbols → encoded ``array<string>``.
 
     Arrow-batched (``pandas_udf``): the per-row Python loop runs over
     vocab-sized input (distinct words), never the corpus — the corpus
     statistics are recovered by frequency weighting, so the Python cost
-    is bounded by |vocab|, not |tokens|.
+    is bounded by |vocab|, not |tokens|. ``indexed=True`` (default)
+    encodes via the pair→rank walk — table-size-independent, the shape a
+    32k-merge production table needs; ``indexed=False`` keeps the
+    rank-scan for the crossover probe's cost comparison.
     """
     table = [(str(a), str(b)) for a, b in merges]
-    enc = _memoized(lambda s: apply_merges(list(s), table))
+    if indexed:
+        index = build_merge_index(table)
+        enc = _memoized(lambda s: apply_merges_indexed(list(s), table, index))
+    else:
+        enc = _memoized(lambda s: apply_merges(list(s), table))
 
     @pandas_udf(ArrayType(StringType()))
     def encode(syms: pd.Series) -> pd.Series:
@@ -107,7 +192,9 @@ def bpe_encode_tokens(merges: Sequence[tuple[str, str]]):
 
 
 def bpe_checkpoint_token_counts(
-    merges: Sequence[tuple[str, str]], checkpoints: Sequence[int]
+    merges: Sequence[tuple[str, str]],
+    checkpoints: Sequence[int],
+    indexed: bool = True,
 ):
     """Column kernel: symbols → ``array<int>`` of token counts, one per
     checkpoint rank (count after applying the first ``c`` merges).
@@ -128,12 +215,17 @@ def bpe_checkpoint_token_counts(
     ):
         raise ValueError(f"bad checkpoints {cks} for {len(table)} merges")
 
+    index = build_merge_index(table) if indexed else None
+
     def counts(syms) -> list[int]:
         out = list(syms)
         res = []
         rank = 0
         for c in cks:
-            out = apply_merges(out, table[rank:c])
+            if index is None:
+                out = apply_merges(out, table[rank:c])
+            else:
+                out = apply_merges_indexed(out, table, index, lo=rank, hi=c)
             rank = c
             res.append(len(out))
         return res
@@ -148,7 +240,9 @@ def bpe_checkpoint_token_counts(
 
 
 def bpe_checkpoint_counts_from_words(
-    merges: Sequence[tuple[str, str]], checkpoints: Sequence[int]
+    merges: Sequence[tuple[str, str]],
+    checkpoints: Sequence[int],
+    indexed: bool = True,
 ):
     """:func:`bpe_checkpoint_token_counts` over a WORD STRING column —
     the per-occurrence (streaming) shape. Taking the string and
@@ -165,12 +259,17 @@ def bpe_checkpoint_counts_from_words(
     ):
         raise ValueError(f"bad checkpoints {cks} for {len(table)} merges")
 
+    index = build_merge_index(table) if indexed else None
+
     def counts(word: str) -> list[int]:
         out = list(word)
         res = []
         rank = 0
         for c in cks:
-            out = apply_merges(out, table[rank:c])
+            if index is None:
+                out = apply_merges(out, table[rank:c])
+            else:
+                out = apply_merges_indexed(out, table, index, lo=rank, hi=c)
             rank = c
             res.append(len(out))
         return res

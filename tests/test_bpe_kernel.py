@@ -113,3 +113,126 @@ def test_checkpoint_validation():
         bpe_checkpoint_token_counts([("a", "b")], [2])  # past table end
     with pytest.raises(ValueError):
         bpe_checkpoint_token_counts([("a", "b")], [1, 1, 0])  # not ascending
+
+
+def test_indexed_walk_equals_rank_scan_on_adversarial_words():
+    """r11 verdict item #5: the pair→rank indexed walk (the production
+    table-size-independent encode) must replay the rank-ordered scan's
+    exact fuse sequence — symbol-by-symbol, on every adversarial word ×
+    merge table, including rank WINDOWS (the checkpoint-segment shape)."""
+    from syslog_kafka_spark.operators.bpe_kernel import (
+        apply_merges_indexed,
+        build_merge_index,
+    )
+
+    for merges in _MERGE_SEQS:
+        table = [(str(a), str(b)) for a, b in merges]
+        index = build_merge_index(table)
+        for w in _ADVERSARIAL:
+            assert apply_merges_indexed(list(w), table, index) == apply_merges(
+                list(w), table
+            ), (w, table)
+            # windowed: every split point of the table
+            for cut in range(len(table) + 1):
+                left = apply_merges(list(w), table[:cut])
+                assert apply_merges_indexed(list(w), table, index, hi=cut) == left
+                assert apply_merges_indexed(
+                    left, table, index, lo=cut
+                ) == apply_merges(left, table[cut:]), (w, table, cut)
+
+
+def test_indexed_walk_equals_rank_scan_property():
+    """Property gate: random words over a 3-letter alphabet (dense pair
+    collisions) × random merge tables INCLUDING duplicate pairs (two
+    string-equal merges at different ranks) — the indexed walk and the
+    scan must agree symbol-by-symbol."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from syslog_kafka_spark.operators.bpe_kernel import (
+        apply_merges_indexed,
+        build_merge_index,
+    )
+
+    sym = st.text(alphabet="abc", min_size=1, max_size=2)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        word=st.text(alphabet="abc", min_size=0, max_size=12),
+        table=st.lists(st.tuples(sym, sym), min_size=0, max_size=10),
+    )
+    def check(word, table):
+        index = build_merge_index(table)
+        assert apply_merges_indexed(list(word), table, index) == apply_merges(
+            list(word), table
+        )
+
+    check()
+
+
+def test_kernels_indexed_and_scan_paths_hash_equal(spark):
+    """The shipped kernels' two paths (indexed default vs scan escape)
+    must produce identical columns over the adversarial words on the
+    full 89-merge table — the gate that lets the indexed default stand
+    in for the scan everywhere the registry hash-gates."""
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+    from syslog_kafka_spark.operators.bpe_kernel import (
+        bpe_checkpoint_counts_from_words,
+    )
+
+    df = spark.createDataFrame([(w,) for w in _ADVERSARIAL], "word string").select(
+        "word",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    cks = [8, 32, len(BPE_MERGES_FULL)]
+    rows = df.select(
+        "word",
+        bpe_encode_tokens(BPE_MERGES_FULL, indexed=True)(F.col("syms")).alias("ei"),
+        bpe_encode_tokens(BPE_MERGES_FULL, indexed=False)(F.col("syms")).alias("es"),
+        bpe_checkpoint_counts_from_words(BPE_MERGES_FULL, cks, indexed=True)(
+            F.col("word")
+        ).alias("ci"),
+        bpe_checkpoint_counts_from_words(BPE_MERGES_FULL, cks, indexed=False)(
+            F.col("word")
+        ).alias("cs"),
+    ).collect()
+    for r in rows:
+        assert list(r.ei) == list(r.es), r.word
+        assert list(r.ci) == list(r.cs), r.word
+
+
+def test_local_trainer_twin_reproduces_the_spark_fit_table(spark):
+    """operators/bpe_wide.local_bpe_fit is the pure-Python twin of the
+    gated Spark trainer loop — run to convergence on the real corpus
+    vocab it must reproduce operators/bpe_frozen_full.BPE_MERGES_FULL
+    rank for rank. Pinned to sf0.01 (NOT the suite's default sf): the
+    frozen table was fit there, and per-word freqs move the freq-tied
+    tie-breaks between sfs even though the 31 words are the same."""
+    import os
+
+    from syslog_kafka_spark.operators.bpe_frozen_full import BPE_MERGES_FULL
+    from syslog_kafka_spark.operators.bpe_wide import local_bpe_fit
+    from syslog_kafka_spark.plans.mining import bpe_vocab
+    from syslog_kafka_spark.plans.tpch_like import load_tables
+
+    fit_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(fit_dir):
+        pytest.skip("fit-scale corpus not present")
+    d = load_tables(spark, fit_dir).documents
+    vocab = [(r.word, r.freq) for r in bpe_vocab(d).collect()]
+    assert local_bpe_fit(vocab, 0) == BPE_MERGES_FULL
+
+
+def test_widen_vocab_is_deterministic_and_prefix_stable():
+    from syslog_kafka_spark.operators.bpe_wide import widen_vocab
+
+    base = [("join", 10), ("scan", 7)]
+    w8 = widen_vocab(base, 8)
+    assert w8 == widen_vocab(base, 8)
+    assert len(w8) == 16  # bijective maps keep the two words distinct
+    assert ("join", 10) in w8  # permutation 0 is the identity
+    # growing the family never rewrites earlier permutations' words
+    w16 = dict(widen_vocab(base, 16))
+    assert all(w16[w] == f for w, f in w8)
