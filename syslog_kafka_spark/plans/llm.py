@@ -42,10 +42,7 @@ from syslog_kafka_spark.operators.dedup import (
     normalized,
     simhash_neardup_pairs,
 )
-from syslog_kafka_spark.operators.session_cache import (
-    session_cache,
-    session_checkpoint,
-)
+from syslog_kafka_spark.operators.session_cache import session_cache
 from syslog_kafka_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
@@ -2709,9 +2706,17 @@ def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # group-size sides) and repeatedly inside the LSH stage's band/
         # verify passes — without the barrier the normalize+groupBy
         # re-executes per reference (measured 18 s -> ~3 s warm at sf1).
-        # Managed checkpoint so clear_session_caches releases the pin.
+        # session_cache, NOT session_checkpoint (r12 root-cause of the
+        # 15-17x decade reading): the aggregate is deterministic (no
+        # sampled exchange, no partition ids), and a checkpoint's
+        # LogicalRDD carries a NEW rdd id every build — which changed
+        # the semanticHash of every downstream plan, so cached_lsh_base
+        # could never hit across calls and "warm" runs re-shingled the
+        # whole rep corpus (sf10: 181 s warm vs 221 cold). Plan-keyed
+        # caching keeps grp AND the derived LSH base stable across
+        # calls; eviction mid-use just recomputes deterministically.
     )
-    grp = session_checkpoint(grp)
+    grp = session_cache(grp)
     reps = grp.select("doc_id", "text")
     pairs = minhash_lsh_pairs(reps, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
     ga = grp.select(F.col("doc_id").alias("id_a"), F.col("grp_size").alias("_ga"))
