@@ -202,10 +202,25 @@ def main() -> None:
                 " floor; re-running the sweep once",
                 file=sys.stderr,
             )
+            # Reset session state first: the re-sweep's numbers become the
+            # round's headline map, and next round's regression protocol
+            # compares against it as if cold — a warm-LRU second sweep
+            # would bake phantom speedups into the baseline (review
+            # finding). JVM/codegen warmth remains; cache warmth (the big
+            # term) is cleared.
+            from syslog_kafka_spark.operators.session_cache import (
+                clear_session_caches,
+            )
+
+            clear_session_caches(spark)
             timings, lps_samples = run_sweep()
             sweep_attempts = 2
             factor = host_factor(timings, lps_samples)
-            host_floor_missed = factor is not None and factor < _HOST_FLOOR_FACTOR
+            # A failed probe (factor None) cannot PROVE floor compliance,
+            # and this branch only runs after a measured miss — declare
+            # the miss rather than silently recording a loaded-host
+            # headline (review finding).
+            host_floor_missed = factor is None or factor < _HOST_FLOOR_FACTOR
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

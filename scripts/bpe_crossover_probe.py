@@ -185,9 +185,21 @@ def wide_probe(args) -> int:
     from syslog_kafka_spark.operators.bpe_wide_frozen import (
         BPE_MERGES_WIDE,
         WIDE_PERMS,
+        WIDE_SF_DIR,
     )
     from syslog_kafka_spark.plans.mining import _bpe_histogram, bpe_vocab
     from syslog_kafka_spark.session import get_spark
+
+    if os.path.normpath(args.sf_dir) != os.path.normpath(WIDE_SF_DIR):
+        # the 'every rank genuinely fires' premise only holds on the
+        # table's own fit corpus — a different vocab quietly degrades
+        # the probe back to a padded-table-like workload
+        print(
+            f"--wide requires --sf-dir {WIDE_SF_DIR} (the frozen table's"
+            f" fit corpus); got {args.sf_dir}",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("bpe-wide-probe")
     spark.sparkContext.setLogLevel("ERROR")

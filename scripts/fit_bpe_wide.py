@@ -28,7 +28,10 @@ sys.path.insert(0, REPO)
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--perms", type=int, default=64)
+    # default matches the COMMITTED frozen artifact (128 perms / 6,770
+    # merges) so the documented "regenerate with the script" reproduces
+    # it rather than silently writing a half-size 64-perm fit
+    ap.add_argument("--perms", type=int, default=128)
     args = ap.parse_args()
 
     from syslog_kafka_spark.operators.bpe_wide import local_bpe_fit, widen_vocab

@@ -42,6 +42,7 @@ training-data-pipeline surface (SURVEY.md §2B.10).
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from collections.abc import Sequence
 
 import pandas as pd
@@ -49,28 +50,34 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 
-def apply_merges(
-    syms: Sequence[str], merges: Sequence[tuple[str, str]]
-) -> list[str]:
-    """Apply a rank-ordered merge table to one symbol sequence.
-
-    Each merge is one greedy left-to-right non-overlapping pass —
-    identical semantics to ``bpe_apply_fold``: when the running
+def fuse_pass(out: Sequence[str], a: str, b: str) -> list[str]:
+    """ONE greedy left-to-right non-overlapping pass of merge ``(a, b)``
+    — identical semantics to ``bpe_apply_fold``: when the running
     output's LAST symbol is exactly ``a`` and the incoming symbol is
     ``b`` they fuse, and the fused symbol immediately stops re-matching
     ``a`` (so a run like ``aaa`` under ``(a, a)`` yields ``[aa, a]``).
-    """
+    The single definition of the pinned trainer invariant, shared by the
+    scan encoder, the indexed encoder, and the local trainer twin
+    (operators/bpe_wide) so they cannot de-twin."""
+    nxt: list[str] = []
+    for x in out:
+        if nxt and nxt[-1] == a and x == b:
+            nxt[-1] = a + b
+        else:
+            nxt.append(x)
+    return nxt
+
+
+def apply_merges(
+    syms: Sequence[str], merges: Sequence[tuple[str, str]]
+) -> list[str]:
+    """Apply a rank-ordered merge table to one symbol sequence, one
+    :func:`fuse_pass` per rank."""
     out = list(syms)
     for a, b in merges:
         if a not in out:  # cheap rank skip: most merges miss most words
             continue
-        nxt: list[str] = []
-        for x in out:
-            if nxt and nxt[-1] == a and x == b:
-                nxt[-1] = a + b
-            else:
-                nxt.append(x)
-        out = nxt
+        out = fuse_pass(out, a, b)
     return out
 
 
@@ -110,8 +117,6 @@ def apply_merges_indexed(
     earlier adjacent occurrence), so skipping straight to the next
     present rank replays the scan's exact fuse sequence. Gated by the
     scan-equality suite in tests/test_bpe_kernel.py."""
-    from bisect import bisect_left
-
     out = list(syms)
     if hi is None:
         hi = len(merges)
@@ -133,13 +138,7 @@ def apply_merges_indexed(
         if best < 0:
             break
         a, b = merges[best]
-        nxt: list[str] = []
-        for x in out:
-            if nxt and nxt[-1] == a and x == b:
-                nxt[-1] = a + b
-            else:
-                nxt.append(x)
-        out = nxt
+        out = fuse_pass(out, a, b)
         rank = best + 1
     return out
 

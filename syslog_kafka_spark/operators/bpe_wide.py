@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from syslog_kafka_spark.operators.bpe_kernel import fuse_pass
+
 # chr(31) — the same pair-key delimiter plans/mining.py uses
 _US = chr(31)
 
@@ -93,11 +95,7 @@ def local_bpe_fit(
         for w, s in syms.items():
             if a not in s:
                 continue
-            nxt: list[str] = []
-            for x in s:
-                if nxt and nxt[-1] == a and x == b:
-                    nxt[-1] = a + b
-                else:
-                    nxt.append(x)
-            syms[w] = nxt
+            # the ONE fuse-pass definition (operators/bpe_kernel) — the
+            # trainer twin cannot de-twin from the encoders
+            syms[w] = fuse_pass(s, a, b)
     return merges

@@ -909,11 +909,16 @@ def llm_bpe_encode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_bpe_encode_frozen inlines each merge as one fold expression, the
     fastest shape at 8 merges but one whose plan grows with the table:
     measured (scripts/bpe_crossover_probe.py, sf0.01, vocab cached so
-    the timed region is the encode alone) the expression path runs
-    1.2 s at 8 merges, 2.8 s at 48, and HARD-FAILS past ~48 — Catalyst
-    analyzer max-iterations; DuckDB's binder refuses the same depths —
-    while the table path stays flat ≤0.75 s through all 89 and ~0.03 s
-    warm with the table padded to 4096 entries. A real tokenizer's
+    the timed region is the encode alone; r12 cold/warm split — cold
+    rebuilds the kernel closure so the memo never flatters a repeat)
+    the expression path climbs through ~5 s cold by 32 merges and
+    HARD-FAILS past ~48 — Catalyst analyzer max-iterations; DuckDB's
+    binder refuses the same depths — while the table path stays flat
+    ≤1.6 s cold / ≤0.17 s warm through all 89 ranks and through
+    256/1024/4096 padded ranks. At production rank counts the kernel's
+    pair→rank indexed walk is what keeps it flat: 44× over the rank
+    scan at the 6,770-rank matching-merge table, single-threaded
+    (probe --wide; operators/bpe_kernel.py). A real tokenizer's
     32k–100k merges
     therefore ship as DATA: here the FULL to-convergence table
     (operators/bpe_frozen_full.py — 89 merges, this corpus's entire

@@ -236,3 +236,38 @@ def test_widen_vocab_is_deterministic_and_prefix_stable():
     # growing the family never rewrites earlier permutations' words
     w16 = dict(widen_vocab(base, 16))
     assert all(w16[w] == f for w, f in w8)
+
+
+def test_indexed_walk_equals_rank_scan_on_the_wide_table(spark, sf_dir):
+    """The 6,770-rank matching-merge table (operators/bpe_wide_frozen)
+    is the one place the indexed walk's rank-window arithmetic meets
+    production-shape data — duplicate-pair rank lists, multi-char
+    symbols, thousands of genuinely-firing ranks. Scan equality on the
+    probe's own vocab, as a pytest gate (the probe's paths_agree is
+    ad-hoc; this pins it). Words derive from the corpus vocab widened
+    by the frozen WIDE_PERMS — the word SET is sf-invariant, so the
+    suite's default sf corpus is fine."""
+    from syslog_kafka_spark.operators.bpe_kernel import (
+        apply_merges_indexed,
+        build_merge_index,
+    )
+    from syslog_kafka_spark.operators.bpe_wide import widen_vocab
+    from syslog_kafka_spark.operators.bpe_wide_frozen import (
+        BPE_MERGES_WIDE,
+        WIDE_PERMS,
+    )
+    from syslog_kafka_spark.plans.mining import bpe_vocab
+    from syslog_kafka_spark.plans.tpch_like import load_tables
+
+    d = load_tables(spark, sf_dir).documents
+    base = [(r.word, r.freq) for r in bpe_vocab(d).collect()]
+    words = [w for w, _ in widen_vocab(base, WIDE_PERMS)]
+    table = [(str(a), str(b)) for a, b in BPE_MERGES_WIDE]
+    index = build_merge_index(table)
+    mismatches = [
+        w
+        for w in words
+        if apply_merges_indexed(list(w), table, index)
+        != apply_merges(list(w), table)
+    ]
+    assert not mismatches, mismatches[:5]
