@@ -73,6 +73,10 @@ PROBE = [
     # that replaced the multiprobe collect in the bench, and the two new
     # corpus passes
     "llm_embedding_neardup_blocked",
+    # r12: the blocked tier's BENCHED face (per-label digest — pairs
+    # never leave the executors); the raw pair face above stays for
+    # continuity but its collect dominates its own row
+    "llm_neardup_pair_digest",
     "llm_simhash_pair_digest",
     "llm_idf_topk_keywords",
     "llm_perplexity_buckets",
