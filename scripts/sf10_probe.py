@@ -49,6 +49,7 @@ PROBE = [
     # and root-caused in BENCH_SF10.md r8, and the linear blocked
     # sibling below is the tier whose scaling matters now)
     "llm_minhash_lsh_pairs",
+    "llm_lsh_occupancy_capped",
     "llm_dedup_then_lsh",
     "llm_containment_neardup",
     # linear window / join pipelines (r8 additions + the exact join)

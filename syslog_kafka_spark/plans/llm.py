@@ -863,6 +863,166 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_CAP = 3  # bites at the driver's 500-doc gate scale (top occupancy 4-5)
+
+
+def _lsh_capped_oracle(
+    cap: int = _LSH_CAP, n_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""
+        WITH {_lsh_banded_cte(n_hashes, bands)}, occ AS (
+          SELECT band, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM banded GROUP BY 1, 2
+        ), ledger AS (
+          SELECT CAST(band AS INTEGER) AS band,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_capped,
+                 CAST(sum(CASE WHEN n <= {cap} THEN (n * (n - 1)) / 2 ELSE 0 END)
+                   AS BIGINT) AS cand_kept,
+                 CAST(sum(CASE WHEN n > {cap} THEN (n * (n - 1)) / 2 ELSE 0 END)
+                   AS BIGINT) AS cand_skipped
+          FROM occ GROUP BY 1
+        ), kept AS (
+          SELECT b.id, b.shingles, b.band, b.bucket
+          FROM banded b JOIN occ o
+            ON o.band = b.band AND o.bucket = b.bucket AND o.n <= {cap}
+        ), cand AS (
+          SELECT a.id AS id_a, b.id AS id_b, CAST(min(a.band) AS INTEGER) AS band
+          FROM kept a JOIN kept b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT c.band, c.id_a, c.id_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b
+        ), ver AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS n_verified,
+                 CAST(sum(CAST(round(round(CASE WHEN uni = 0 THEN 1.0
+                       ELSE CAST(inter AS DOUBLE) / uni END, 4) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS jac_cents,
+                 CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+          FROM j
+          WHERE CASE WHEN uni = 0 THEN 1.0
+                     ELSE CAST(inter AS DOUBLE) / uni END >= {threshold}
+          GROUP BY band
+        )
+        SELECT l.band, l.n_buckets, l.n_buckets_capped, l.cand_kept,
+               l.cand_skipped,
+               COALESCE(v.n_verified, 0) AS n_verified,
+               COALESCE(v.jac_cents, 0) AS jac_cents,
+               COALESCE(v.id_checksum, 0) AS id_checksum
+        FROM ledger l LEFT JOIN ver v ON v.band = l.band
+        ORDER BY l.band
+    """
+
+
+@query("llm_lsh_occupancy_capped", family="llm", oracle=_lsh_capped_oracle())
+def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-CAPPED LSH near-dup — the production lever this round's
+    llm_dedup_then_lsh adjudication named (BENCH_SF10.md r12): hot
+    buckets (here, letter-light documents sharing shingles across the
+    corpus's cipher replicas; on real crawls, boilerplate) grow
+    occupancy with corpus size, and per-bucket candidates grow as its
+    square — the one superlinear term in an otherwise-linear banded
+    pipeline. Real deployments skip too-common buckets outright (a
+    bucket that common carries no near-dup signal; its members collide
+    with everything) and ACCOUNT for the skipped mass. This face does
+    both, per band: occupied buckets, capped buckets, the exact
+    Σ n·(n−1)/2 candidate ledger KEPT and SKIPPED, then the survivors'
+    verified near-dup count with integer jaccard/id checksums — each
+    verified pair attributed to its FIRST kept band (min band,
+    deterministic). The cap is a fixed literal (3) so the capped branch
+    is exercised — and therefore hash-gated — at the driver's 500-doc
+    gate scale (top occupancy 4–5 there; 400 at sf1, 1223 at sf10, so
+    at scale the cap removes exactly the quadratic mass). At 100 TB the
+    cap is the difference between bounded per-bucket work and one
+    mega-bucket holding the corpus's boilerplate.
+
+    Shuffle shape: bucket counts and the kept filter co-partition with
+    the band self-join on (_band, _bucket) — one shuffle family; the
+    shingle arrays join back AFTER the candidate space collapses to
+    distinct pairs (the r7 id-only-through-the-shuffles rule); the
+    digest is band-cardinality (4 rows). The LSH base is the same
+    session-cached frame every other LSH face shares."""
+    from syslog_kafka_spark.operators.dedup import banded_buckets, cached_lsh_base
+
+    cap = _LSH_CAP
+    d = load_tables(spark, sf_dir).documents
+    base = cached_lsh_base(d, 5, 16)
+    banded = banded_buckets(base, 16, 4)
+    occ = banded.groupBy("_band", "_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ledger = occ.groupBy(F.col("_band").cast("int").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buckets_capped"),
+        F.sum(
+            F.when(F.col("n") <= cap, (F.col("n") * (F.col("n") - 1)) / 2).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cand_kept"),
+        F.sum(
+            F.when(F.col("n") > cap, (F.col("n") * (F.col("n") - 1)) / 2).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cand_skipped"),
+    )
+    kept = banded.join(
+        occ.filter(F.col("n") <= cap).select("_band", "_bucket"),
+        ["_band", "_bucket"],
+    )
+    left = kept.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+    right = kept.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    cand = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_band").cast("int").alias("band"))
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    ver = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_verified"),
+            F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("jac_cents"),
+            F.sum(F.col("id_a") + F.col("id_b"))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
+    return (
+        ledger.join(ver, "band", "left")
+        .select(
+            "band",
+            "n_buckets",
+            "n_buckets_capped",
+            "cand_kept",
+            "cand_skipped",
+            F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+            F.coalesce("jac_cents", F.lit(0)).cast("bigint").alias("jac_cents"),
+            F.coalesce("id_checksum", F.lit(0)).cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("band")
+    )
+
+
 def _dedup_components_oracle() -> str:
     """Recursive-CTE transitive closure over the verified LSH pairs: the
     declarative twin of iterative min-label propagation."""

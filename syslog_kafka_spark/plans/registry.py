@@ -97,9 +97,11 @@ def query(
 # llm_shard_shuffle_assignment — all seven stay oracle-covered on every
 # pytest run in the meantime.
 #
-# Round-13 rotation pool, in priority order: FIRST any queries registered
+# Round-13 rotation pool, in priority order: FIRST the queries registered
 # after this window filled (taking their first stamps — as of this
-# writing llm_neardup_pair_digest, registered r12), then the SEVEN llm
+# writing llm_neardup_pair_digest and llm_lsh_occupancy_capped, both
+# registered r12 and oracle-covered on every pytest run by
+# tests/test_inventory_oracle in the meantime), then the SEVEN llm
 # r13 deferrals above, then the r8-stamp cohort (the oldest after the
 # r12 gate): agg_corr_regression, llm_embedding_covariance_audit,
 # llm_hash_split, llm_hll_vocab_cardinality,

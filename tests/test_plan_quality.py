@@ -850,3 +850,26 @@ def test_dedup_then_lsh_second_build_is_cache_served(spark, sf_dir):
     assert not any("ArrowEval" in k or "MapInArrow" in k for k in ops), ops
     assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 2, ops
     clear_session_caches(spark)
+
+
+def test_lsh_occupancy_capped_shares_base_and_stays_id_width(spark, sf_dir):
+    """The capped face must ride the SAME session-cached LSH base as the
+    other LSH faces (InMemoryTableScans after a pair build, no second
+    shingling kernel) and keep the r7 id-only-through-the-shuffles rule:
+    no CartesianProduct, and the shingle arrays join back only after the
+    candidate space collapses (the verify joins are the only places sh
+    columns appear)."""
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    # fill the shared base the way any sibling LSH face would
+    load_all()["llm_minhash_lsh_pairs"].build(spark, sf_dir).collect()
+    df = load_all()["llm_lsh_occupancy_capped"].build(spark, sf_dir)
+    df.count()
+    ops = _frame_op_counts(df)
+    assert not any("CartesianProduct" in k for k in ops), ops
+    # the base is read from cache — the shingling Arrow kernel must not rerun
+    assert not any("ArrowEval" in k or "MapInArrow" in k for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 3, ops
+    assert not any(k.startswith("FileSourceScan") for k in ops), ops
+    clear_session_caches(spark)
