@@ -47,8 +47,12 @@ PROBE = [
     # digest twin below is the benched face and carries the sf10 row;
     # llm_embedding_neardup likewise: its 108.9x quadratic is measured
     # and root-caused in BENCH_SF10.md r8, and the linear blocked
-    # sibling below is the tier whose scaling matters now)
-    "llm_minhash_lsh_pairs",
+    # sibling below is the tier whose scaling matters now;
+    # llm_minhash_lsh_pairs left the probe in r13 for the same reason —
+    # its 161 s sf10 row timed the collect of the corpus-sized pair set,
+    # and llm_minhash_band_digest below is the benched face that keeps
+    # pairs on the executors)
+    "llm_minhash_band_digest",
     "llm_lsh_occupancy_capped",
     "llm_dedup_then_lsh",
     "llm_containment_neardup",
@@ -123,6 +127,26 @@ def main() -> int:
     specs = load_all()
     probe = [q for q in PROBE if not args.only or q in args.only.split(",")]
 
+    # Host-floor marker (r12 verdict item #6 — the bench.py policy ported
+    # to the decade probe): sample the sf-independent syslog replay AFTER
+    # each leg (never before: a leading probe absorbs one-time streaming
+    # machinery cost and breaks cross-round probe comparability — r11
+    # review finding) and declare the host factor in the payload. The
+    # probe is NOT re-swept on a miss (a ~50-min sweep is re-cut by hand);
+    # the marker makes a loaded-host decade archive say so in-payload.
+    host_samples: list[float] = []
+
+    def replay_host_sample() -> None:
+        from syslog_kafka_spark.plans.extras import replay_line_count
+
+        try:
+            t0 = time.perf_counter()
+            specs["stream_replay_throughput"].build(spark, args.sf1).collect()
+            host_samples.append(replay_line_count() / (time.perf_counter() - t0))
+            print(f"host probe: {host_samples[-1]:.0f} lines/s", flush=True)
+        except Exception as exc:
+            print(f"sf10_probe: replay host probe failed: {exc}", file=sys.stderr)
+
     results: dict[str, dict[str, float]] = {q: {} for q in probe}
     for tag, sf_dir in (("sf1", args.sf1), ("sf10", args.sf10)):
         specs["agg_revenue_forecast"].build(spark, sf_dir).collect()  # warmup
@@ -145,10 +169,31 @@ def main() -> int:
             )
 
             clear_session_caches(spark)
+        replay_host_sample()
 
     for q, r in results.items():
         r["ratio_warm"] = round(r["sf10_call2"] / r["sf1_call2"], 2)
         r["ratio_cold"] = round(r["sf10_call1"] / r["sf1_call1"], 2)
+
+    from bench import _HOST_FLOOR_FACTOR, _HOST_REF_LINES_PER_SEC
+
+    factor = (
+        sum(host_samples) / len(host_samples) / _HOST_REF_LINES_PER_SEC
+        if host_samples
+        else None
+    )
+    # Reserved key, not a query row: markdown rendering iterates `probe`,
+    # and hand-merges of --only re-cuts must preserve it.
+    results["_host"] = {
+        "replay_lps_samples": [round(s, 1) for s in host_samples],
+        "host_speed_factor": round(factor, 3) if factor is not None else None,
+        "host_floor_missed": factor is None or factor < _HOST_FLOOR_FACTOR,
+    }
+    print(
+        f"host_speed_factor: {results['_host']['host_speed_factor']}"
+        f" (floor_missed={results['_host']['host_floor_missed']})",
+        flush=True,
+    )
 
     out = os.path.join(REPO, "BENCH_SF10.json")
     with open(out, "w") as fh:

@@ -851,7 +851,18 @@ def _lsh_pairs_oracle(n_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     """
 
 
-@query("llm_minhash_lsh_pairs", family="llm", oracle=_lsh_pairs_oracle())
+@query(
+    "llm_minhash_lsh_pairs",
+    family="llm",
+    oracle=_lsh_pairs_oracle(),
+    # correctness face only (r12 verdict item #3): the raw pair set was
+    # the last pair-set face still benched, and its decade readings carry
+    # the same harness-collect signature llm_embedding_neardup_blocked
+    # shed in r12 (23.8× in-probe vs 6.42× isolated at sf1→sf10) — the
+    # benched face is llm_minhash_band_digest, which keeps every pair on
+    # the executors and returns band-cardinality rows
+    bench=False,
+)
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline (banding, bucket join, exact
     Jaccard verify ≥ 0.5) — hash-gated end-to-end: the portable md5 hash
@@ -860,6 +871,137 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     return minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5).orderBy(
         "id_a", "id_b"
+    )
+
+
+def _lsh_band_digest_oracle(
+    n_hashes: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    return f"""
+        WITH {_lsh_banded_cte(n_hashes, bands)}, occ AS (
+          SELECT band, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM banded GROUP BY 1, 2
+        ), ledger AS (
+          SELECT CAST(band AS INTEGER) AS band,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(max(n) AS BIGINT) AS max_occupancy,
+                 CAST(sum((n * (n - 1)) / 2) AS BIGINT) AS cand_pairs
+          FROM occ GROUP BY 1
+        ), cand AS (
+          SELECT a.id AS id_a, b.id AS id_b, CAST(min(a.band) AS INTEGER) AS band
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT c.band, c.id_a, c.id_b,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b
+        ), ver AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS n_verified,
+                 CAST(sum(CAST(round(round(CASE WHEN uni = 0 THEN 1.0
+                       ELSE CAST(inter AS DOUBLE) / uni END, 4) * 10000, 0)
+                       AS BIGINT)) AS BIGINT) AS jac_cents,
+                 CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
+          FROM j
+          WHERE CASE WHEN uni = 0 THEN 1.0
+                     ELSE CAST(inter AS DOUBLE) / uni END >= {threshold}
+          GROUP BY band
+        )
+        SELECT l.band, l.n_buckets, l.max_occupancy, l.cand_pairs,
+               COALESCE(v.n_verified, 0) AS n_verified,
+               COALESCE(v.jac_cents, 0) AS jac_cents,
+               COALESCE(v.id_checksum, 0) AS id_checksum
+        FROM ledger l LEFT JOIN ver v ON v.band = l.band
+        ORDER BY l.band
+    """
+
+
+@query("llm_minhash_band_digest", family="llm", oracle=_lsh_band_digest_oracle())
+def llm_minhash_band_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BENCHED face of llm_minhash_lsh_pairs (r12 verdict item #3;
+    third application of the digest precedent after
+    llm_simhash_pair_digest and llm_neardup_pair_digest): the identical
+    uncapped MinHash-LSH pipeline — shingle → signature → band bucket →
+    candidate self-join → exact-Jaccard verify ≥ 0.5 — aggregated per
+    band instead of returned as a pair set. Per band: occupied buckets,
+    MAX bucket occupancy (the hot-bucket monitor the capped face's
+    lever acts on), the exact Σ n·(n−1)/2 candidate ledger, then the
+    survivors' verified count with integer jaccard/id checksums, each
+    verified pair attributed to its FIRST band (min band,
+    deterministic). The raw pair face stays registered hash-gated with
+    bench=False: its decade reading was dominated by collecting the
+    corpus-sized pair set to the driver — the harness, not the plan —
+    while this digest returns #bands rows, the only shape a 100 TB
+    near-dup audit could ever return.
+
+    Shuffle shape: the occupancy ledger and the band self-join share
+    the (_band, _bucket) partitioning — one shuffle family; shingle
+    arrays join back only AFTER the candidate space collapses to
+    distinct pairs; the LSH base is the same session-cached frame every
+    other LSH face shares (cached_lsh_base — ONE corpus-sized cache
+    entry across the family)."""
+    from syslog_kafka_spark.operators.dedup import banded_buckets, cached_lsh_base
+
+    d = load_tables(spark, sf_dir).documents
+    base = cached_lsh_base(d, 5, 16)
+    banded = banded_buckets(base, 16, 4)
+    ledger = (
+        banded.groupBy("_band", "_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .groupBy(F.col("_band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_occupancy"),
+            F.sum((F.col("n") * (F.col("n") - 1)) / 2)
+            .cast("bigint")
+            .alias("cand_pairs"),
+        )
+    )
+    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bucket")
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    cand = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_band").cast("int").alias("band"))
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    ver = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_verified"),
+            F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("jac_cents"),
+            F.sum(F.col("id_a") + F.col("id_b"))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
+    return (
+        ledger.join(ver, "band", "left")
+        .select(
+            "band",
+            "n_buckets",
+            "max_occupancy",
+            "cand_pairs",
+            F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+            F.coalesce("jac_cents", F.lit(0)).cast("bigint").alias("jac_cents"),
+            F.coalesce("id_checksum", F.lit(0)).cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("band")
     )
 
 
@@ -1023,6 +1165,186 @@ def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_CAPS = (2, 3, 5, 8)
+
+
+def _lsh_cap_sweep_oracle(
+    caps: tuple[int, ...] = _SWEEP_CAPS,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    caps_list = ", ".join(str(c) for c in caps)
+    return f"""
+        WITH {_lsh_banded_cte(n_hashes, bands)}, occ AS (
+          SELECT band, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM banded GROUP BY 1, 2
+        ), caps AS (
+          SELECT unnest([{caps_list}]) AS cap
+        ), ledger AS (
+          SELECT CAST(c.cap AS INTEGER) AS cap,
+                 CAST(sum(CASE WHEN o.n > c.cap THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_buckets_capped,
+                 CAST(sum(CASE WHEN o.n <= c.cap THEN (o.n * (o.n - 1)) / 2
+                      ELSE 0 END) AS BIGINT) AS cand_kept,
+                 CAST(sum(CASE WHEN o.n > c.cap THEN (o.n * (o.n - 1)) / 2
+                      ELSE 0 END) AS BIGINT) AS cand_skipped
+          FROM occ o CROSS JOIN caps c GROUP BY 1
+        ), bn AS (
+          SELECT b.id, b.band, b.bucket, o.n
+          FROM banded b JOIN occ o ON o.band = b.band AND o.bucket = b.bucket
+        ), cand AS (
+          SELECT a.id AS id_a, b.id AS id_b, CAST(min(a.n) AS BIGINT) AS min_occ
+          FROM bn a JOIN bn b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          GROUP BY 1, 2
+        ), j AS (
+          SELECT c.id_a, c.id_b, c.min_occ,
+                 len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+                 len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+          FROM cand c
+          JOIN sh sa ON sa.id = c.id_a
+          JOIN sh sb ON sb.id = c.id_b
+        ), ver AS (
+          SELECT id_a, id_b, min_occ,
+                 CAST(round(round(CASE WHEN uni = 0 THEN 1.0
+                      ELSE CAST(inter AS DOUBLE) / uni END, 4) * 10000, 0)
+                      AS BIGINT) AS jc
+          FROM j
+          WHERE CASE WHEN uni = 0 THEN 1.0
+                     ELSE CAST(inter AS DOUBLE) / uni END >= {threshold}
+        ), vc AS (
+          SELECT CAST(c.cap AS INTEGER) AS cap,
+                 CAST(count(*) AS BIGINT) AS n_verified,
+                 CAST(sum(v.jc) AS BIGINT) AS jac_cents,
+                 CAST(sum(v.id_a + v.id_b) AS BIGINT) AS id_checksum
+          FROM ver v JOIN caps c ON v.min_occ <= c.cap
+          GROUP BY 1
+        )
+        SELECT l.cap, l.n_buckets_capped, l.cand_kept, l.cand_skipped,
+               COALESCE(v.n_verified, 0) AS n_verified,
+               COALESCE(v.jac_cents, 0) AS jac_cents,
+               COALESCE(v.id_checksum, 0) AS id_checksum
+        FROM ledger l LEFT JOIN vc v ON v.cap = l.cap
+        ORDER BY l.cap
+    """
+
+
+@query("llm_lsh_cap_sweep", family="llm", oracle=_lsh_cap_sweep_oracle())
+def llm_lsh_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning query behind llm_lsh_occupancy_capped: price the
+    occupancy cap at several settings (2/3/5/8) from ONE shared pass —
+    the question a production deployment asks before picking the cap is
+    "how much candidate mass does each setting skip, and how many true
+    near-dups does it lose?", and answering it with one pipeline run per
+    setting would re-shingle and re-verify the corpus four times. The
+    sweep pattern is llm_dedup_threshold_sweep's: compute the
+    cap-independent quantities once — bucket occupancy, the candidate
+    pair set with each pair's MIN shared-bucket occupancy (a pair
+    survives cap C iff it shares at least one bucket of occupancy ≤ C),
+    and the exact-Jaccard verify — then explode only the final
+    cardinality-bounded frames by the 4-row broadcast caps list. Per
+    cap: capped-bucket count, the exact Σ n·(n−1)/2 candidate ledger
+    kept AND skipped, and the surviving verified near-dups with integer
+    jaccard/id checksums. At cap=3 this row reconciles exactly with
+    llm_lsh_occupancy_capped's per-band digest summed (pinned in
+    tests/test_plan_quality.py).
+
+    Scale: verify runs once over the UNCAPPED candidate space (the
+    sweep must see the full space to price it — this is the one face
+    where that cost is the deliverable); everything cap-dependent is a
+    re-aggregation of executor-resident frames; output is #caps rows."""
+    from syslog_kafka_spark.operators.dedup import banded_buckets, cached_lsh_base
+
+    d = load_tables(spark, sf_dir).documents
+    base = cached_lsh_base(d, 5, 16)
+    banded = banded_buckets(base, 16, 4)
+    occ = banded.groupBy("_band", "_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    caps_df = spark.createDataFrame(
+        [(int(c),) for c in _SWEEP_CAPS], "cap int"
+    )
+    ledger = (
+        occ.crossJoin(F.broadcast(caps_df))
+        .groupBy("cap")
+        .agg(
+            F.sum(F.when(F.col("n") > F.col("cap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_buckets_capped"),
+            F.sum(
+                F.when(
+                    F.col("n") <= F.col("cap"),
+                    (F.col("n") * (F.col("n") - 1)) / 2,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cand_kept"),
+            F.sum(
+                F.when(
+                    F.col("n") > F.col("cap"),
+                    (F.col("n") * (F.col("n") - 1)) / 2,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cand_skipped"),
+        )
+    )
+    bn = banded.join(occ, ["_band", "_bucket"])
+    left = bn.select(F.col("_id").alias("id_a"), "_band", "_bucket", "n")
+    right = bn.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    cand = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("n").cast("bigint").alias("min_occ"))
+    )
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    ver = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            "min_occ",
+            F.round(F.round(F.col("jaccard"), 4) * 10000, 0)
+            .cast("bigint")
+            .alias("jc"),
+        )
+    )
+    vc = (
+        ver.join(F.broadcast(caps_df), ver.min_occ <= caps_df.cap)
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_verified"),
+            F.sum("jc").cast("bigint").alias("jac_cents"),
+            F.sum(F.col("id_a") + F.col("id_b"))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
+    return (
+        ledger.join(vc, "cap", "left")
+        .select(
+            "cap",
+            "n_buckets_capped",
+            "cand_kept",
+            "cand_skipped",
+            F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+            F.coalesce("jac_cents", F.lit(0)).cast("bigint").alias("jac_cents"),
+            F.coalesce("id_checksum", F.lit(0)).cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("cap")
+    )
+
+
 def _dedup_components_oracle() -> str:
     """Recursive-CTE transitive closure over the verified LSH pairs: the
     declarative twin of iterative min-label propagation."""
@@ -1067,6 +1389,94 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(F.count("*").alias("n_members"), F.max("node").alias("max_member"))
         .orderBy("component_id")
+    )
+
+
+def _soft_dedup_weights_oracle() -> str:
+    """Recursive-CTE closure (as _dedup_components_oracle) → component
+    sizes → per-source soft-dedup mass over ALL documents (singletons
+    never enter the edge list; size defaults to 1)."""
+    return f"""
+        WITH RECURSIVE {_lsh_pairs_cte()},
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION
+          SELECT id_b, id_a FROM verified
+        ),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+        ),
+        lbl AS (
+          SELECT src AS node, least(src, min(dst)) AS component
+          FROM reach GROUP BY src
+        ),
+        csize AS (
+          SELECT node, count(*) OVER (PARTITION BY component) AS size
+          FROM lbl
+        ),
+        w AS (
+          SELECT d.source, d.n_chars, COALESCE(c.size, 1) AS size
+          FROM documents d LEFT JOIN csize c ON c.node = d.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               CAST(round(sum(1.0 / size), 4) AS DOUBLE) AS effective_docs,
+               CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+               CAST(round(sum(CAST(n_chars AS DOUBLE) / size), 4) AS DOUBLE)
+                 AS effective_chars
+        FROM w GROUP BY source ORDER BY source
+    """
+
+
+@query("llm_soft_dedup_weights", family="llm", oracle=_soft_dedup_weights_oracle())
+def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup (down-weighting instead of dropping): every document
+    gets weight 1/|its near-dup cluster| — duplicates collectively count
+    once, singletons keep weight 1 — and the report is each source's raw
+    vs EFFECTIVE mass (doc- and char-weighted) under those weights. This
+    is the repetition-aware sampling-weight table a training pipeline
+    feeds its sampler when it can't afford to hard-drop near-dups
+    (epoching reuses them at reduced rate), and the per-source shrink
+    ratio is the dedup-health dashboard number. Reuses the gated LSH →
+    connected-components machinery end-to-end: cluster sizes come from
+    the same iterative min-label propagation llm_dedup_components gates
+    (oracle: the same recursive-CTE closure), sizes join back to the
+    corpus on doc_id (broadcast — the label frame is pair-survivor-sized,
+    orders smaller than the corpus), and the output is #sources rows.
+    Singletons never enter the edge list, so the join is a left join
+    with size defaulting to 1; float surface is the final ≤#sources-row
+    aggregate rounded 4 dp."""
+    from syslog_kafka_spark.operators.dedup import connected_components
+
+    d = load_tables(spark, sf_dir).documents
+    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    labels = connected_components(edges)
+    sizes = labels.join(
+        labels.groupBy("label").agg(F.count(F.lit(1)).alias("size")), "label"
+    ).select("node", "size")
+    w = d.join(
+        F.broadcast(sizes), d.doc_id == sizes.node, "left"
+    ).select("source", "n_chars", F.coalesce("size", F.lit(1)).alias("size"))
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("size") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.round(F.sum(F.lit(1.0) / F.col("size")), 4)
+            .cast("double")
+            .alias("effective_docs"),
+            F.sum("n_chars").cast("bigint").alias("raw_chars"),
+            F.round(F.sum(F.col("n_chars").cast("double") / F.col("size")), 4)
+            .cast("double")
+            .alias("effective_chars"),
+        )
+        .orderBy("source")
     )
 
 

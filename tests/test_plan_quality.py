@@ -873,3 +873,95 @@ def test_lsh_occupancy_capped_shares_base_and_stays_id_width(spark, sf_dir):
     assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 3, ops
     assert not any(k.startswith("FileSourceScan") for k in ops), ops
     clear_session_caches(spark)
+
+
+def test_minhash_band_digest_matches_raw_pair_face(spark, sf_dir):
+    """Cross-face reconciliation for the r13 digest demotion: the benched
+    band digest must account for EXACTLY the pair set the (now
+    bench=False) raw face returns — total verified count, jaccard-cents
+    mass, and id checksum — and its candidate ledger must cover at least
+    the distinct verified pairs. If the digest ever drifts from the pair
+    face (a banding or verify change applied to one side only), the
+    demotion would silently bench a different operator."""
+    import pyspark.sql.functions as F
+
+    pairs = load_all()["llm_minhash_lsh_pairs"].build(spark, sf_dir)
+    digest = load_all()["llm_minhash_band_digest"].build(spark, sf_dir)
+    p = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint")).alias(
+            "jc"
+        ),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("ck"),
+    ).collect()[0]
+    d = digest.agg(
+        F.sum("n_verified").alias("n"),
+        F.sum("jac_cents").alias("jc"),
+        F.sum("id_checksum").alias("ck"),
+        F.sum("cand_pairs").alias("cand"),
+    ).collect()[0]
+    assert (p["n"], p["jc"], p["ck"]) == (d["n"], d["jc"], d["ck"])
+    assert d["cand"] >= d["n"]
+
+
+def test_lsh_cap_sweep_reconciles_with_capped_face_and_uncapped_digest(
+    spark, sf_dir
+):
+    """The cap sweep's cap=3 row must equal llm_lsh_occupancy_capped's
+    per-band digest summed (same cap literal, same corpus — the sweep is
+    that operator iterated over settings), and its largest cap must
+    recover the UNCAPPED pipeline exactly (skipped mass 0 at sf0.001,
+    verified mass equal to the band digest's) — pinning that the sweep's
+    min-shared-occupancy survivor rule is the capped operator's kept-
+    bucket rule, not an approximation of it."""
+    import pyspark.sql.functions as F
+
+    sweep = {
+        r["cap"]: r
+        for r in load_all()["llm_lsh_cap_sweep"].build(spark, sf_dir).collect()
+    }
+    capped = (
+        load_all()["llm_lsh_occupancy_capped"]
+        .build(spark, sf_dir)
+        .agg(
+            F.sum("n_buckets_capped").alias("nbc"),
+            F.sum("cand_kept").alias("kept"),
+            F.sum("cand_skipped").alias("skip"),
+            F.sum("n_verified").alias("nv"),
+            F.sum("jac_cents").alias("jc"),
+            F.sum("id_checksum").alias("ck"),
+        )
+        .collect()[0]
+    )
+    r3 = sweep[3]
+    assert (
+        r3["n_buckets_capped"],
+        r3["cand_kept"],
+        r3["cand_skipped"],
+        r3["n_verified"],
+        r3["jac_cents"],
+        r3["id_checksum"],
+    ) == (
+        capped["nbc"],
+        capped["kept"],
+        capped["skip"],
+        capped["nv"],
+        capped["jc"],
+        capped["ck"],
+    )
+    digest = (
+        load_all()["llm_minhash_band_digest"]
+        .build(spark, sf_dir)
+        .agg(
+            F.sum("n_verified").alias("nv"),
+            F.sum("jac_cents").alias("jc"),
+            F.sum("id_checksum").alias("ck"),
+        )
+        .collect()[0]
+    )
+    top = sweep[max(sweep)]
+    assert (top["n_verified"], top["jac_cents"], top["id_checksum"]) == (
+        digest["nv"],
+        digest["jc"],
+        digest["ck"],
+    )
