@@ -1238,3 +1238,93 @@ def llm_ivf_refit_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines difference identical numbers."""
     emb = load_tables(spark, sf_dir).embeddings
     return ivf_refit_finish(ivf_refit_partials_frame(emb))
+
+
+_GATE_THRESHOLDS = (0.2, 0.3, 0.5, 0.7)
+
+
+def _quality_gate_sweep_oracle() -> str:
+    thr = ", ".join(str(t) for t in _GATE_THRESHOLDS)
+    return f"""
+        WITH feats AS (
+          SELECT doc_id, n_chars,
+                 CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+                 len(list_distinct({_TOKENS_SQL}))
+                   / CAST(greatest(len({_TOKENS_SQL}), 1) AS DOUBLE) AS uniq_ratio
+          FROM documents
+        ),
+        thr AS (SELECT CAST(unnest([{thr}]) AS DOUBLE) AS min_uniq_ratio)
+        SELECT t.min_uniq_ratio,
+               CAST(sum(CASE WHEN f.uniq_ratio >= t.min_uniq_ratio
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN f.uniq_ratio < t.min_uniq_ratio
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN f.uniq_ratio >= t.min_uniq_ratio
+                    THEN f.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+               CAST(sum(CASE WHEN f.uniq_ratio < t.min_uniq_ratio
+                    THEN f.n_chars ELSE 0 END) AS BIGINT) AS dropped_chars,
+               CAST(sum(CASE WHEN f.uniq_ratio >= t.min_uniq_ratio
+                    THEN f.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+               CAST(sum(CASE WHEN f.uniq_ratio < t.min_uniq_ratio
+                    THEN f.n_tokens ELSE 0 END) AS BIGINT) AS dropped_tokens
+        FROM feats f CROSS JOIN thr t
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("llm_quality_gate_sweep", family="llm", oracle=_quality_gate_sweep_oracle())
+def llm_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price a repetition-quality gate before committing to it: for each
+    candidate unique-token-ratio floor (0.2/0.3/0.5/0.7), how many
+    documents and how much char/token mass the corpus keeps vs drops.
+    This is the thresholds-vs-loss curve a curation run reads to pick
+    its filter setting (the llm_dedup_threshold_sweep /
+    llm_lsh_cap_sweep pattern applied to the quality tier): computing
+    it as four separate filtered runs would re-tokenize the corpus per
+    setting; here the per-doc features are computed ONCE and the sweep
+    is a re-aggregation against a 4-row broadcast thresholds frame.
+
+    Determinism: uniq_ratio is the same distinct-count over
+    token-count double division on both engines, and the thresholds are
+    literals, so every CASE branch decides identically; all output
+    columns are integer masses.
+
+    Distributed shape: one corpus scan computing per-doc (n_tokens,
+    uniq_ratio) as codegen'd expressions, broadcast cross join against
+    #thresholds rows, map-side-combined aggregate to #thresholds output
+    rows — no corpus-sized shuffle at any point."""
+    d = load_tables(spark, sf_dir).documents
+    toks = tokens("text")
+    feats = d.select(
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("uniq_ratio"),
+    )
+    thr = d.sparkSession.createDataFrame(
+        [(float(t),) for t in _GATE_THRESHOLDS], "min_uniq_ratio double"
+    )
+    kept = F.col("uniq_ratio") >= F.col("min_uniq_ratio")
+    return (
+        feats.crossJoin(F.broadcast(thr))
+        .groupBy("min_uniq_ratio")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_chars"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_tokens"),
+        )
+        .orderBy("min_uniq_ratio")
+    )

@@ -1896,6 +1896,143 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ann_recall_oracle() -> str:
+    """Composes the three proven topk oracles (brute-force cosine, SRP,
+    IVF) as nested-WITH CTE bodies, then joins each tier's result set
+    against the exact top-5 and reduces to a per-tier recall ledger."""
+    exact = """
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 10
+        ), c AS (
+          SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(cv, qv)
+                     / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     neighbor_id
+                 ) AS rank
+          FROM c CROSS JOIN q
+          WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id FROM scored WHERE rank <= 5
+    """
+    return f"""
+        WITH exact AS ({exact}),
+        srp AS ({_ann_srp_oracle()}),
+        ivf AS ({_ann_ivf_oracle(n_probe=4)}),
+        tier_rows AS (
+          SELECT 'ivf' AS tier, query_id, neighbor_id FROM ivf
+          UNION ALL
+          SELECT 'srp' AS tier, query_id, neighbor_id FROM srp
+        ),
+        truth AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                 CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+          FROM exact
+        ),
+        hits AS (
+          SELECT t.tier,
+                 CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(sum(e.query_id * 100000 + e.neighbor_id) AS BIGINT)
+                   AS hit_checksum
+          FROM tier_rows t
+          JOIN exact e
+            ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+          GROUP BY 1
+        )
+        SELECT tl.tier, tr.n_queries, tr.n_truth,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CAST(round(10000.0 * COALESCE(h.n_hits, 0) / tr.n_truth, 0)
+                    AS BIGINT) AS recall_bps,
+               COALESCE(h.hit_checksum, 0) AS hit_checksum
+        FROM (SELECT unnest(['ivf', 'srp']) AS tier) tl
+        LEFT JOIN hits h ON h.tier = tl.tier
+        CROSS JOIN truth tr
+        ORDER BY tl.tier
+    """
+
+
+@query("llm_ann_recall_audit", family="llm", oracle=_ann_recall_oracle())
+def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both frozen ANN tiers (SRP-LSH, IVF n_probe=4)
+    against exact brute-force cosine, as a driver-hash-gated query — the
+    acceptance test a production vector index must pass before it
+    replaces the linear scan, promoted from a pytest-only floor
+    (tests/test_llm_ops.py) to a first-class audit with an oracle.
+    Per tier: query count, ground-truth size (queries x 5), hit count,
+    recall in basis points, and an integer hit checksum
+    (query_id * 100000 + neighbor_id summed over the intersection) so
+    the gate pins WHICH true neighbors each tier recovered, not just how
+    many. All three topk faces share the deterministic
+    (score DESC, neighbor_id) tie order their individual gates already
+    pin, so the set intersection is exactly reproducible.
+
+    Scale shape: the three tier faces each read the embeddings several
+    times (corpus + query side per face), so the base sits behind ONE
+    session_cache barrier — the physical plan has a single parquet scan
+    and every face reads InMemoryTableScans (exact brute force scores
+    queries x N — at audit time that cost IS the deliverable;
+    production audits sample queries exactly like the vec_id < 10
+    predicate here); the per-tier reduce collapses to #tiers rows
+    before anything reaches the driver."""
+    from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS, SRP_PLANES
+    from syslog_kafka_spark.operators.session_cache import session_cache
+    from syslog_kafka_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_frozen,
+        srp_topk_frozen,
+    )
+
+    emb = session_cache(load_tables(spark, sf_dir).embeddings, eager=False)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    srp = srp_topk_frozen(emb, q, SRP_PLANES, k=5)
+    ivf = ivf_topk_frozen(emb, q, IVF_CENTROIDS, k=5, n_probe=4)
+    tier_rows = ivf.select(
+        F.lit("ivf").alias("tier"), "query_id", "neighbor_id"
+    ).unionByName(srp.select(F.lit("srp").alias("tier"), "query_id", "neighbor_id"))
+    truth = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+    )
+    hits = (
+        # exact is #queries x k rows — broadcast it into the hit join so
+        # the tier result sets never shuffle on the pair key
+        tier_rows.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.sum(F.col("query_id") * 100000 + F.col("neighbor_id"))
+            .cast("bigint")
+            .alias("hit_checksum"),
+        )
+    )
+    tiers = spark.createDataFrame([("ivf",), ("srp",)], "tier string")
+    return (
+        tiers.join(hits, "tier", "left")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "tier",
+            "n_queries",
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.lit(10000.0) * F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 0
+            )
+            .cast("bigint")
+            .alias("recall_bps"),
+            F.coalesce("hit_checksum", F.lit(0)).cast("bigint").alias("hit_checksum"),
+        )
+        .orderBy("tier")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Curation tier (operators/curation.py): the raw-corpus → training-shards
 # steps. All engine-portable expressions, all hash-gated.

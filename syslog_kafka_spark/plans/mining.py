@@ -964,3 +964,83 @@ def llm_bpe_encode_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _bpe_histogram(enc, "merges_applied")
+
+
+def _kl_drift_oracle() -> str:
+    return f"""
+        WITH tok AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS dc
+          FROM (SELECT source, unnest({_TOKENS_SQL}) AS term FROM documents)
+          GROUP BY 1, 2
+        ),
+        src AS (SELECT source, CAST(sum(dc) AS BIGINT) AS ns FROM tok GROUP BY 1),
+        vocab AS (SELECT term, CAST(sum(dc) AS BIGINT) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab)
+        SELECT t.source,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(max(s.ns) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(round(1000000.0
+                    * (t.dc / CAST(s.ns AS DOUBLE))
+                    * log2((t.dc / CAST(s.ns AS DOUBLE))
+                           / (v.c / CAST((SELECT n FROM tot) AS DOUBLE))), 0)
+                    AS BIGINT)) AS BIGINT) AS kl_microbits
+        FROM tok t
+        JOIN src s ON s.source = t.source
+        JOIN vocab v ON v.term = t.term
+        GROUP BY t.source
+        ORDER BY t.source
+    """
+
+
+@query("llm_unigram_kl_drift", family="llm", oracle=_kl_drift_oracle())
+def llm_unigram_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram || corpus
+    unigram) in microbits per source — the dashboard number that flags a
+    crawl slice whose token statistics diverged from the mixture it
+    feeds (templated boilerplate, wrong-language contamination, format
+    junk all spike it). Complements llm_domain_mixture (mass shares)
+    and llm_zipf_slope (corpus-global shape) with a per-source
+    distance-to-corpus measure.
+
+    Float discipline: the per-term contribution
+    1e6 * p_s(t) * log2(p_s(t) / p_c(t)) is rounded to an INTEGER
+    microbit count per (source, term) BEFORE the per-source sum, so the
+    result is independent of the engines' summation order (the jac_cents
+    pattern); the per-term double itself is the same
+    division-then-log2-then-multiply chain on both engines. Terms absent
+    from a source contribute exactly 0 by construction (the join is on
+    the source's own terms), and every source term has corpus count
+    >= source count, so the log argument is always finite and positive.
+
+    Distributed shape: ONE token-explode pass pre-aggregated to
+    (source, term, count) with map-side combine; the source-total and
+    corpus-vocab frames both derive from that cached frame (one corpus
+    scan total); vocab is Zipf-small and broadcasts back, so the pricing
+    join is shuffle-free and the output is #sources rows."""
+    from syslog_kafka_spark.operators.session_cache import session_cache
+
+    d = load_tables(spark, sf_dir).documents
+    tok = session_cache(
+        d.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("dc")),
+        eager=False,
+    )
+    src = tok.groupBy("source").agg(F.sum("dc").cast("bigint").alias("ns"))
+    vocab = tok.groupBy("term").agg(F.sum("dc").cast("bigint").alias("c"))
+    total = vocab.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("dc") / F.col("ns").cast("double")
+    q = F.col("c") / F.col("n").cast("double")
+    contrib = F.round(F.lit(1000000.0) * p * F.log2(p / q), 0).cast("bigint")
+    return (
+        tok.join(F.broadcast(src), "source")
+        .join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.max("ns").cast("bigint").alias("n_tokens"),
+            F.sum(contrib).cast("bigint").alias("kl_microbits"),
+        )
+        .orderBy("source")
+    )

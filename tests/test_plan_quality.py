@@ -965,3 +965,50 @@ def test_lsh_cap_sweep_reconciles_with_capped_face_and_uncapped_digest(
         digest["jc"],
         digest["ck"],
     )
+
+
+def test_quality_gate_sweep_single_scan_no_shuffle_joins(spark, sf_dir):
+    """The gate-pricing sweep must stay one corpus scan re-aggregated
+    against the broadcast thresholds frame: a second documents scan or a
+    sort-merge join would mean the sweep re-tokenizes per setting — the
+    exact cost the operator exists to avoid."""
+    df = load_all()["llm_quality_gate_sweep"].build(spark, sf_dir)
+    df.collect()
+    ops = _frame_op_counts(df)
+    assert sum(v for k, v in ops.items() if k.startswith("FileSourceScan")) == 1, ops
+    assert not any(k.startswith("SortMergeJoin") for k in ops), ops
+    assert not any(k.startswith("CartesianProduct") for k in ops), ops
+
+
+def test_unigram_kl_drift_one_corpus_pass_broadcast_pricing(spark, sf_dir):
+    """KL drift's (source, term, count) frame is the single corpus pass;
+    the source-total and vocab frames re-read it from cache and broadcast
+    back into the pricing join — no second explode, no shuffle join."""
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    df = load_all()["llm_unigram_kl_drift"].build(spark, sf_dir)
+    df.collect()
+    ops = _frame_op_counts(df)
+    assert not any(k.startswith("FileSourceScan") for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 3, ops
+    assert sum(v for k, v in ops.items() if k.startswith("BroadcastHashJoin")) >= 2, ops
+    assert not any(k.startswith("SortMergeJoin") for k in ops), ops
+    clear_session_caches(spark)
+
+
+def test_ann_recall_audit_cache_served_and_broadcast_hits(spark, sf_dir):
+    """The recall audit's three tier faces must all read the ONE
+    session-cached embeddings base (single parquet scan at cache fill,
+    InMemoryTableScans everywhere else), and the hit join against the
+    #queries x k exact set must broadcast, never shuffle the tier rows."""
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    df = load_all()["llm_ann_recall_audit"].build(spark, sf_dir)
+    df.collect()
+    ops = _frame_op_counts(df)
+    assert not any(k.startswith("FileSourceScan") for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 4, ops
+    assert not any(k.startswith("SortMergeJoin") for k in ops), ops
+    clear_session_caches(spark)
