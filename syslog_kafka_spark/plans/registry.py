@@ -94,12 +94,13 @@ def query(
 # llm_vocab_coverage, llm_weighted_sample — all nine stay oracle-covered
 # on every pytest run in the meantime.
 #
-# Round-14 rotation pool, in priority order: FIRST the SIX r13
+# Round-14 rotation pool, in priority order: FIRST the SEVEN r13
 # registrations, taking their first stamps (llm_minhash_band_digest,
 # llm_lsh_cap_sweep, llm_soft_dedup_weights, llm_ann_recall_audit,
-# llm_unigram_kl_drift, llm_quality_gate_sweep — each stays
-# oracle-covered on every pytest run by tests/test_inventory_oracle in
-# the meantime), then the NINE llm r14
+# llm_unigram_kl_drift, llm_quality_gate_sweep,
+# stream_quality_gate_monitor — each stays oracle-covered on every
+# pytest run by tests/test_inventory_oracle in the meantime), then the
+# NINE llm r14
 # deferrals above, then the r9-stamp cohort (the oldest after the r13
 # gate), then r10-stamp entries to fill the window, keeping the
 # every-family-in-window invariant (tests/test_registry_window.py) ahead

@@ -1876,3 +1876,78 @@ def stream_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain(bpe_fertility_frame(_stream_docs(spark, sf_dir)), mode="complete")
         .orderBy("merges_applied", "bucket")
     )
+
+def quality_gate_frame(raw: DataFrame) -> DataFrame:
+    """Pre-drain plan of stream_quality_gate_monitor: per-doc
+    (n_tokens, uniq_ratio) features as codegen'd expressions, an
+    EXPLODE of the literal thresholds array (no join at all — the
+    streaming-safe twin of the batch face's broadcast cross join), and
+    ONE streaming aggregate holding #thresholds counter rows. Takes any
+    (text, n_chars, ...) streaming frame so the multi-batch replay test
+    drives the IDENTICAL plan with the corpus split across triggers."""
+    from syslog_kafka_spark.functions.text import tokens
+    from syslog_kafka_spark.plans.curation_qa import _GATE_THRESHOLDS
+
+    toks = tokens("text")
+    feats = raw.select(
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("uniq_ratio"),
+    )
+    exploded = feats.select(
+        "n_chars",
+        "n_tokens",
+        "uniq_ratio",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _GATE_THRESHOLDS])
+        ).alias("min_uniq_ratio"),
+    )
+    kept = F.col("uniq_ratio") >= F.col("min_uniq_ratio")
+    return exploded.groupBy("min_uniq_ratio").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    )
+
+
+def _quality_gate_monitor_oracle() -> str:
+    from syslog_kafka_spark.plans.curation_qa import _quality_gate_sweep_oracle
+
+    return _quality_gate_sweep_oracle()
+
+
+@query(
+    "stream_quality_gate_monitor",
+    family="streaming",
+    oracle=_quality_gate_monitor_oracle(),
+)
+def stream_quality_gate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate pricing sweep (llm_quality_gate_sweep) as a LIVE
+    ingest monitor: every arriving document prices itself against each
+    candidate unique-token-ratio floor, and one streaming aggregate
+    keeps the running kept/dropped doc+char+token ledgers per threshold.
+    This is the curation dashboard a 100 TB ingest watches to see a
+    quality gate's cost drift as the crawl mix changes — and its state
+    is #thresholds rows FOREVER (the counters are mergeable across
+    executors and microbatches by the aggregate's own partial merge),
+    so it runs forever at any scale. Thresholds enter as an exploded
+    literal array rather than the batch face's broadcast cross join —
+    identical semantics, no stream-side join. The batch-twin oracle
+    recomputes the ledger over the same corpus, so a stream that
+    dropped, duplicated, or double-priced any document hash-fails."""
+    raw = _stream_docs(spark, sf_dir)
+    return drain(quality_gate_frame(raw), mode="complete").orderBy("min_uniq_ratio")

@@ -438,3 +438,30 @@ def test_stream_fertility_multibatch_counter_merge(spark, sf_dir, duck, tmp_path
         oracle,
         name="fertility multibatch",
     )
+
+
+def test_stream_quality_gate_multibatch_ledger_merge(spark, sf_dir, duck, tmp_path):
+    """The per-threshold kept/dropped ledgers must accumulate across ≥3
+    arrival batches to exactly the batch-twin oracle: a document priced
+    in trigger 2 lands in the same #thresholds counter rows as one
+    priced in trigger 0 (all-integer state, 4 rows forever)."""
+    from syslog_kafka_spark.plans.stream_gated import quality_gate_frame
+
+    d = tmp_path / "docs_gate"
+    d.mkdir()
+    _split_parquet(os.path.join(sf_dir, "documents.parquet"), str(d), 3, ["doc_id"])
+    schema = spark.read.parquet(str(d)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    ledger, n_batches = _drain_counted(quality_gate_frame(raw), "complete")
+    assert n_batches >= 3, f"expected ≥3 microbatches, ran {n_batches}"
+    oracle = load_all()["stream_quality_gate_monitor"].oracle
+    assert_matches_oracle(
+        ledger.orderBy("min_uniq_ratio"),
+        duck,
+        oracle,
+        name="quality gate multibatch",
+    )
