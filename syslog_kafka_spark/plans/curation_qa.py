@@ -1294,8 +1294,25 @@ def llm_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     #thresholds rows, map-side-combined aggregate to #thresholds output
     rows — no corpus-sized shuffle at any point."""
     d = load_tables(spark, sf_dir).documents
+    thr = d.sparkSession.createDataFrame(
+        [(float(t),) for t in _GATE_THRESHOLDS], "min_uniq_ratio double"
+    )
+    return (
+        quality_gate_feats(d)
+        .crossJoin(F.broadcast(thr))
+        .groupBy("min_uniq_ratio")
+        .agg(*quality_gate_ledger_aggs())
+        .orderBy("min_uniq_ratio")
+    )
+
+
+def quality_gate_feats(docs: DataFrame) -> DataFrame:
+    """Per-doc (n_chars, n_tokens, uniq_ratio) features — ONE definition
+    shared by the batch sweep and the streaming monitor
+    (stream_quality_gate_monitor) so the feature arithmetic cannot
+    de-twin between the two faces."""
     toks = tokens("text")
-    feats = d.select(
+    return docs.select(
         "n_chars",
         F.size(toks).cast("bigint").alias("n_tokens"),
         (
@@ -1303,28 +1320,26 @@ def llm_quality_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(toks), F.lit(1)).cast("double")
         ).alias("uniq_ratio"),
     )
-    thr = d.sparkSession.createDataFrame(
-        [(float(t),) for t in _GATE_THRESHOLDS], "min_uniq_ratio double"
-    )
+
+
+def quality_gate_ledger_aggs() -> list:
+    """The kept/dropped doc+char+token ledger aggregates over a frame
+    carrying (uniq_ratio, min_uniq_ratio, n_chars, n_tokens) — shared by
+    both gate faces for the same de-twinning reason."""
     kept = F.col("uniq_ratio") >= F.col("min_uniq_ratio")
-    return (
-        feats.crossJoin(F.broadcast(thr))
-        .groupBy("min_uniq_ratio")
-        .agg(
-            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-            F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_chars"),
-            F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
-            .cast("bigint")
-            .alias("dropped_chars"),
-            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_tokens"),
-            F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
-            .cast("bigint")
-            .alias("dropped_tokens"),
-        )
-        .orderBy("min_uniq_ratio")
-    )
+    return [
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_tokens"),
+    ]

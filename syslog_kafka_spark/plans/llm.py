@@ -14,7 +14,7 @@ in the registry).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from syslog_kafka_spark.functions.hashes import (
     char_shingles,
@@ -874,6 +874,63 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared building blocks of the three LSH digest faces (band digest,
+# occupancy-capped, cap sweep): ONE definition each for the bucket
+# occupancy ledger, the id-width candidate self-join, and the
+# exact-Jaccard verify, so a change to the verify rule or checksum
+# arithmetic cannot be applied to one face only (the reconciliation
+# tests in tests/test_plan_quality.py would catch it late; this makes
+# the drift structurally impossible).
+
+
+def _lsh_bucket_occupancy(banded: DataFrame) -> DataFrame:
+    """Per-(band, bucket) member counts of a banded-buckets frame."""
+    return banded.groupBy("_band", "_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def _lsh_candidate_pairs(banded: DataFrame, *agg_exprs) -> DataFrame:
+    """Distinct candidate pairs from a banded frame — id-width through
+    the shuffles (the r7 rule: shingle arrays join back only AFTER this
+    collapse). ``agg_exprs`` reduce the per-co-occurrence group to its
+    attribution columns (e.g. min band, min shared-bucket occupancy);
+    any extra column referenced by them must already be on ``banded``."""
+    extra = [c for c in banded.columns if c not in ("_id", "_sh", "_norm")]
+    left = banded.select(F.col("_id").alias("id_a"), *extra)
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    return (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(*agg_exprs)
+    )
+
+
+def _lsh_verify(base: DataFrame, cand: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard verify of a distinct (id_a, id_b, ...) candidate
+    frame against the shared shingle base; keeps the candidate columns
+    and adds ``jaccard``."""
+    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .drop("sh_a", "sh_b")
+    )
+
+
+def _jac_cents() -> Column:
+    """The integer jaccard mass both engines sum identically: 4 dp round,
+    scale to cents-of-percent, HALF_UP to a bigint."""
+    return F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint")
+
+
 def _lsh_band_digest_oracle(
     n_hashes: int = 16, bands: int = 4, threshold: float = 0.5
 ) -> str:
@@ -949,42 +1006,22 @@ def llm_minhash_band_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     base = cached_lsh_base(d, 5, 16)
     banded = banded_buckets(base, 16, 4)
-    ledger = (
-        banded.groupBy("_band", "_bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .groupBy(F.col("_band").cast("int").alias("band"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-            F.max("n").cast("bigint").alias("max_occupancy"),
-            F.sum((F.col("n") * (F.col("n") - 1)) / 2)
-            .cast("bigint")
-            .alias("cand_pairs"),
-        )
+    ledger = _lsh_bucket_occupancy(banded).groupBy(
+        F.col("_band").cast("int").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("n").cast("bigint").alias("max_occupancy"),
+        F.sum((F.col("n") * (F.col("n") - 1)) / 2)
+        .cast("bigint")
+        .alias("cand_pairs"),
     )
-    left = banded.select(F.col("_id").alias("id_a"), "_band", "_bucket")
-    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
-    cand = (
-        left.join(right, ["_band", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("_band").cast("int").alias("band"))
-    )
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    cand = _lsh_candidate_pairs(banded, F.min("_band").cast("int").alias("band"))
     ver = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
+        _lsh_verify(base, cand)
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_verified"),
-            F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint"))
-            .cast("bigint")
-            .alias("jac_cents"),
+            F.sum(_jac_cents()).cast("bigint").alias("jac_cents"),
             F.sum(F.col("id_a") + F.col("id_b"))
             .cast("bigint")
             .alias("id_checksum"),
@@ -1097,9 +1134,7 @@ def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     base = cached_lsh_base(d, 5, 16)
     banded = banded_buckets(base, 16, 4)
-    occ = banded.groupBy("_band", "_bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    occ = _lsh_bucket_occupancy(banded)
     ledger = occ.groupBy(F.col("_band").cast("int").alias("band")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
@@ -1120,30 +1155,13 @@ def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ.filter(F.col("n") <= cap).select("_band", "_bucket"),
         ["_band", "_bucket"],
     )
-    left = kept.select(F.col("_id").alias("id_a"), "_band", "_bucket")
-    right = kept.select(F.col("_id").alias("id_b"), "_band", "_bucket")
-    cand = (
-        left.join(right, ["_band", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("_band").cast("int").alias("band"))
-    )
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    cand = _lsh_candidate_pairs(kept, F.min("_band").cast("int").alias("band"))
     ver = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
+        _lsh_verify(base, cand)
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_verified"),
-            F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint"))
-            .cast("bigint")
-            .alias("jac_cents"),
+            F.sum(_jac_cents()).cast("bigint").alias("jac_cents"),
             F.sum(F.col("id_a") + F.col("id_b"))
             .cast("bigint")
             .alias("id_checksum"),
@@ -1165,7 +1183,10 @@ def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SWEEP_CAPS = (2, 3, 5, 8)
+# derived from the production cap so the "sweep row at the production
+# setting equals llm_lsh_occupancy_capped" reconciliation pin
+# (tests/test_plan_quality.py) can never silently price the wrong cap
+_SWEEP_CAPS = tuple(sorted({2, _LSH_CAP, 5, 8}))
 
 
 def _lsh_cap_sweep_oracle(
@@ -1260,9 +1281,7 @@ def llm_lsh_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir).documents
     base = cached_lsh_base(d, 5, 16)
     banded = banded_buckets(base, 16, 4)
-    occ = banded.groupBy("_band", "_bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    occ = _lsh_bucket_occupancy(banded)
     caps_df = spark.createDataFrame(
         [(int(c),) for c in _SWEEP_CAPS], "cap int"
     )
@@ -1292,32 +1311,12 @@ def llm_lsh_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bn = banded.join(occ, ["_band", "_bucket"])
-    left = bn.select(F.col("_id").alias("id_a"), "_band", "_bucket", "n")
-    right = bn.select(F.col("_id").alias("id_b"), "_band", "_bucket")
-    cand = (
-        left.join(right, ["_band", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("n").cast("bigint").alias("min_occ"))
-    )
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    ver = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.5)
-        .select(
-            "id_a",
-            "id_b",
-            "min_occ",
-            F.round(F.round(F.col("jaccard"), 4) * 10000, 0)
-            .cast("bigint")
-            .alias("jc"),
-        )
+    cand = _lsh_candidate_pairs(bn, F.min("n").cast("bigint").alias("min_occ"))
+    ver = _lsh_verify(base, cand).select(
+        "id_a",
+        "id_b",
+        "min_occ",
+        _jac_cents().alias("jc"),
     )
     vc = (
         ver.join(F.broadcast(caps_df), ver.min_occ <= caps_df.cap)
@@ -1991,7 +1990,11 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = session_cache(load_tables(spark, sf_dir).embeddings, eager=False)
     q = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # referenced twice (truth aggregate + hit join) and the brute-force
+    # scan is the audit's dominant cost — barrier it so it runs once
+    exact = session_cache(
+        cosine_topk(emb, q, k=5).select("query_id", "neighbor_id"), eager=False
+    )
     srp = srp_topk_frozen(emb, q, SRP_PLANES, k=5)
     ivf = ivf_topk_frozen(emb, q, IVF_CENTROIDS, k=5, n_probe=4)
     tier_rows = ivf.select(

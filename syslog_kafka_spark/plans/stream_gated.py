@@ -1878,26 +1878,22 @@ def stream_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def quality_gate_frame(raw: DataFrame) -> DataFrame:
-    """Pre-drain plan of stream_quality_gate_monitor: per-doc
-    (n_tokens, uniq_ratio) features as codegen'd expressions, an
-    EXPLODE of the literal thresholds array (no join at all — the
-    streaming-safe twin of the batch face's broadcast cross join), and
-    ONE streaming aggregate holding #thresholds counter rows. Takes any
-    (text, n_chars, ...) streaming frame so the multi-batch replay test
-    drives the IDENTICAL plan with the corpus split across triggers."""
-    from syslog_kafka_spark.functions.text import tokens
-    from syslog_kafka_spark.plans.curation_qa import _GATE_THRESHOLDS
-
-    toks = tokens("text")
-    feats = raw.select(
-        "n_chars",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (
-            F.size(F.array_distinct(toks))
-            / F.greatest(F.size(toks), F.lit(1)).cast("double")
-        ).alias("uniq_ratio"),
+    """Pre-drain plan of stream_quality_gate_monitor: the SHARED per-doc
+    feature and ledger builders from plans/curation_qa (one definition
+    with the batch sweep, so the gate arithmetic cannot de-twin), with
+    thresholds entering as an EXPLODE of the literal array (no join at
+    all — the streaming-safe twin of the batch face's broadcast cross
+    join) and ONE streaming aggregate holding #thresholds counter rows.
+    Takes any (text, n_chars, ...) streaming frame so the multi-batch
+    replay test drives the IDENTICAL plan with the corpus split across
+    triggers."""
+    from syslog_kafka_spark.plans.curation_qa import (
+        _GATE_THRESHOLDS,
+        quality_gate_feats,
+        quality_gate_ledger_aggs,
     )
-    exploded = feats.select(
+
+    exploded = quality_gate_feats(raw).select(
         "n_chars",
         "n_tokens",
         "uniq_ratio",
@@ -1905,23 +1901,7 @@ def quality_gate_frame(raw: DataFrame) -> DataFrame:
             F.array(*[F.lit(float(t)) for t in _GATE_THRESHOLDS])
         ).alias("min_uniq_ratio"),
     )
-    kept = F.col("uniq_ratio") >= F.col("min_uniq_ratio")
-    return exploded.groupBy("min_uniq_ratio").agg(
-        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
-        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
-        .cast("bigint")
-        .alias("kept_chars"),
-        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
-        .cast("bigint")
-        .alias("dropped_chars"),
-        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
-        .cast("bigint")
-        .alias("kept_tokens"),
-        F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
-        .cast("bigint")
-        .alias("dropped_tokens"),
-    )
+    return exploded.groupBy("min_uniq_ratio").agg(*quality_gate_ledger_aggs())
 
 
 def _quality_gate_monitor_oracle() -> str:

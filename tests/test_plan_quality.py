@@ -885,86 +885,100 @@ def test_minhash_band_digest_matches_raw_pair_face(spark, sf_dir):
     demotion would silently bench a different operator."""
     import pyspark.sql.functions as F
 
-    pairs = load_all()["llm_minhash_lsh_pairs"].build(spark, sf_dir)
-    digest = load_all()["llm_minhash_band_digest"].build(spark, sf_dir)
-    p = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint")).alias(
-            "jc"
-        ),
-        F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("ck"),
-    ).collect()[0]
-    d = digest.agg(
-        F.sum("n_verified").alias("n"),
-        F.sum("jac_cents").alias("jc"),
-        F.sum("id_checksum").alias("ck"),
-        F.sum("cand_pairs").alias("cand"),
-    ).collect()[0]
-    assert (p["n"], p["jc"], p["ck"]) == (d["n"], d["jc"], d["ck"])
-    assert d["cand"] >= d["n"]
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    try:
+        pairs = load_all()["llm_minhash_lsh_pairs"].build(spark, sf_dir)
+        digest = load_all()["llm_minhash_band_digest"].build(spark, sf_dir)
+        p = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.round(F.col("jaccard"), 4) * 10000, 0).cast("bigint")).alias(
+                "jc"
+            ),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("bigint").alias("ck"),
+        ).collect()[0]
+        d = digest.agg(
+            F.sum("n_verified").alias("n"),
+            F.sum("jac_cents").alias("jc"),
+            F.sum("id_checksum").alias("ck"),
+            F.sum("cand_pairs").alias("cand"),
+        ).collect()[0]
+        assert (p["n"], p["jc"], p["ck"]) == (d["n"], d["jc"], d["ck"])
+        assert d["cand"] >= d["n"]
+    finally:
+        clear_session_caches(spark)
 
 
 def test_lsh_cap_sweep_reconciles_with_capped_face_and_uncapped_digest(
     spark, sf_dir
 ):
-    """The cap sweep's cap=3 row must equal llm_lsh_occupancy_capped's
-    per-band digest summed (same cap literal, same corpus — the sweep is
-    that operator iterated over settings), and its largest cap must
-    recover the UNCAPPED pipeline exactly (skipped mass 0 at sf0.001,
-    verified mass equal to the band digest's) — pinning that the sweep's
-    min-shared-occupancy survivor rule is the capped operator's kept-
-    bucket rule, not an approximation of it."""
+    """The cap sweep's row at the PRODUCTION cap (_LSH_CAP — the sweep's
+    caps list is derived from it, so this pin can never price the wrong
+    setting) must equal llm_lsh_occupancy_capped's per-band digest
+    summed, and its largest cap must recover the UNCAPPED pipeline
+    exactly (skipped mass 0 at sf0.001, verified mass equal to the band
+    digest's) — pinning that the sweep's min-shared-occupancy survivor
+    rule is the capped operator's kept-bucket rule, not an approximation
+    of it."""
     import pyspark.sql.functions as F
 
-    sweep = {
-        r["cap"]: r
-        for r in load_all()["llm_lsh_cap_sweep"].build(spark, sf_dir).collect()
-    }
-    capped = (
-        load_all()["llm_lsh_occupancy_capped"]
-        .build(spark, sf_dir)
-        .agg(
-            F.sum("n_buckets_capped").alias("nbc"),
-            F.sum("cand_kept").alias("kept"),
-            F.sum("cand_skipped").alias("skip"),
-            F.sum("n_verified").alias("nv"),
-            F.sum("jac_cents").alias("jc"),
-            F.sum("id_checksum").alias("ck"),
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+    from syslog_kafka_spark.plans.llm import _LSH_CAP
+
+    clear_session_caches(spark)
+    try:
+        sweep = {
+            r["cap"]: r
+            for r in load_all()["llm_lsh_cap_sweep"].build(spark, sf_dir).collect()
+        }
+        capped = (
+            load_all()["llm_lsh_occupancy_capped"]
+            .build(spark, sf_dir)
+            .agg(
+                F.sum("n_buckets_capped").alias("nbc"),
+                F.sum("cand_kept").alias("kept"),
+                F.sum("cand_skipped").alias("skip"),
+                F.sum("n_verified").alias("nv"),
+                F.sum("jac_cents").alias("jc"),
+                F.sum("id_checksum").alias("ck"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    r3 = sweep[3]
-    assert (
-        r3["n_buckets_capped"],
-        r3["cand_kept"],
-        r3["cand_skipped"],
-        r3["n_verified"],
-        r3["jac_cents"],
-        r3["id_checksum"],
-    ) == (
-        capped["nbc"],
-        capped["kept"],
-        capped["skip"],
-        capped["nv"],
-        capped["jc"],
-        capped["ck"],
-    )
-    digest = (
-        load_all()["llm_minhash_band_digest"]
-        .build(spark, sf_dir)
-        .agg(
-            F.sum("n_verified").alias("nv"),
-            F.sum("jac_cents").alias("jc"),
-            F.sum("id_checksum").alias("ck"),
+        prod = sweep[_LSH_CAP]
+        assert (
+            prod["n_buckets_capped"],
+            prod["cand_kept"],
+            prod["cand_skipped"],
+            prod["n_verified"],
+            prod["jac_cents"],
+            prod["id_checksum"],
+        ) == (
+            capped["nbc"],
+            capped["kept"],
+            capped["skip"],
+            capped["nv"],
+            capped["jc"],
+            capped["ck"],
         )
-        .collect()[0]
-    )
-    top = sweep[max(sweep)]
-    assert (top["n_verified"], top["jac_cents"], top["id_checksum"]) == (
-        digest["nv"],
-        digest["jc"],
-        digest["ck"],
-    )
+        digest = (
+            load_all()["llm_minhash_band_digest"]
+            .build(spark, sf_dir)
+            .agg(
+                F.sum("n_verified").alias("nv"),
+                F.sum("jac_cents").alias("jc"),
+                F.sum("id_checksum").alias("ck"),
+            )
+            .collect()[0]
+        )
+        top = sweep[max(sweep)]
+        assert (top["n_verified"], top["jac_cents"], top["id_checksum"]) == (
+            digest["nv"],
+            digest["jc"],
+            digest["ck"],
+        )
+    finally:
+        clear_session_caches(spark)
 
 
 def test_quality_gate_sweep_single_scan_no_shuffle_joins(spark, sf_dir):
