@@ -69,16 +69,25 @@ def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> D
     partition cost dominates: every state partition pays provider-init +
     commit per microbatch, and a two-sided interval join pays it for TWO
     stores per partition (measured on local[32]: 12.6 s at 32 partitions
-    → 2.8 s at 4 for the same tiny-state join). CPU-bound single-store
-    aggregations are the opposite — they want the session's full shuffle
-    parallelism — so the default keeps the session setting (measured:
-    the sliding-window agg degrades 2.2 s → 8.5 s if dropped to 8). The
-    same trade governs a 100 TB deployment, with the dial turned by
-    per-task state size instead of provider overhead. The session
-    default is restored after the drain so batch queries are
+    → 2.8 s at 4 for the same tiny-state join). The r13 optimization
+    sweep (OPTIMIZATION_r13.md, all 28 gates at 32/16/8) found the
+    tiny-state digests — KB of state, one microbatch — uniformly
+    provider-bound: ~0.4-1.1 s/query cheaper at 8 than at the session's
+    32 (e.g. sliding window 1.56→0.95 s, bloom build 3.01→1.93 s warm),
+    so those gates now pin 8 (or 16 where 8 was noise-band). Streaming
+    state is exempt from AQE coalescing — the partition count is fixed at
+    plan time and carried by the checkpoint — which is why the batch-side
+    default (32 + AQE) cannot fix this and an explicit pin is the only
+    lever. On a real cluster the dial is per-task state SIZE, not
+    provider overhead: ``$SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides
+    every pin for deployments whose keyspace needs the parallelism. The
+    session default is restored after the drain so batch queries are
     unaffected."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        state_partitions = int(env)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -123,7 +132,7 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
-    return drain(windowed, mode="complete").orderBy("window_start", "event_type")
+    return drain(windowed, mode="complete", state_partitions=8).orderBy("window_start", "event_type")
 
 
 @query(
@@ -173,7 +182,7 @@ def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return drain(sessions, mode="complete").orderBy("user_id", "session_start")
+    return drain(sessions, mode="complete", state_partitions=8).orderBy("user_id", "session_start")
 
 
 @query(
@@ -197,7 +206,7 @@ def stream_dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    drained = drain(pairs, mode="append")
+    drained = drain(pairs, mode="append", state_partitions=8)
     return (
         drained.groupBy("event_type")
         .agg(F.count("*").alias("n_users"))
@@ -235,7 +244,7 @@ def stream_static_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
-    return drain(joined, mode="complete").orderBy("n_name")
+    return drain(joined, mode="complete", state_partitions=8).orderBy("n_name")
 
 
 @query(
@@ -703,23 +712,32 @@ def stream_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"gate_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Same tiny-state right-sizing as drain(state_partitions=8): per-day
+    # keys, one planned batch — provider overhead dominates at 32
+    # (measured 1.75 s → 0.86 s, r13 sweep). Same env override applies.
+    parts = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        # awaitTermination returns False on timeout — the AvailableNow
-        # drain would still be mid-run and the memory table would read as
-        # a plausible-but-incomplete result (silent wrong answer). Raise
-        # explicitly (not assert: -O would strip it and silently restore
-        # the bug); the finally-stop keeps no query leaked either way.
-        if not q.awaitTermination(120):
-            raise RuntimeError("AvailableNow drain did not finish in 120s")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # awaitTermination returns False on timeout — the AvailableNow
+            # drain would still be mid-run and the memory table would read as
+            # a plausible-but-incomplete result (silent wrong answer). Raise
+            # explicitly (not assert: -O would strip it and silently restore
+            # the bug); the finally-stop keeps no query leaked either way.
+            if not q.awaitTermination(120):
+                raise RuntimeError("AvailableNow drain did not finish in 120s")
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).filter(F.col("n_events") > 0).orderBy("day")
 
 
@@ -891,7 +909,7 @@ def stream_ivf_list_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     routing as a batch over the same table, so a stream that dropped,
     duplicated, or mis-assigned any vector hash-fails."""
     raw = _stream_embeddings(spark, sf_dir)
-    return drain(ivf_occupancy_frame(raw), mode="complete").orderBy("list_id")
+    return drain(ivf_occupancy_frame(raw), mode="complete", state_partitions=8).orderBy("list_id")
 
 
 def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,7 +989,7 @@ def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-    return drain(cms_sketch_frame(raw), mode="complete").orderBy("r", "b")
+    return drain(cms_sketch_frame(raw), mode="complete", state_partitions=8).orderBy("r", "b")
 
 
 def cms_sketch_frame(raw: DataFrame) -> DataFrame:
@@ -1059,7 +1077,7 @@ def stream_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_window ≡ gap sessionization, pinned by
     stream_session_window_agg) and hashes every transcript."""
     ev = stream_events(spark, sf_dir).filter(F.col("user_id") < 40)
-    drained = drain(session_transcript_frame(ev), mode="complete")
+    drained = drain(session_transcript_frame(ev), mode="complete", state_partitions=8)
     return transcript_digest(drained)
 
 
@@ -1175,7 +1193,7 @@ def stream_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = ngram_hashes(raw, n=_BLOOM_N, salt="bloom-v1")
     pos = grams.select(F.explode(bloom_position_array()).alias("pos"))
     sketch = pos.groupBy("pos").agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
-    drained = drain(sketch, mode="complete")
+    drained = drain(sketch, mode="complete", state_partitions=8)
     return (
         drained.groupBy(F.expr("pos div 1024").alias("bucket"))
         .agg(
@@ -1245,7 +1263,7 @@ def stream_hll_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = _stream_docs(spark, sf_dir)
     tok = raw.select("source", F.explode(tokens("text")).alias("term"))
     reg = hll_register_frame(tok)
-    drained = drain(reg, mode="complete")
+    drained = drain(reg, mode="complete", state_partitions=8)
     sk = drained.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("used"),
         F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_used"),
@@ -1327,7 +1345,7 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
-    return drain(keep_counts, mode="complete").orderBy("model_keep")
+    return drain(keep_counts, mode="complete", state_partitions=8).orderBy("model_keep")
 
 
 # ---------------------------------------------------------------------------
@@ -1372,7 +1390,7 @@ def stream_ivf_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — a stream that dropped, duplicated, or mis-assigned any
     vector hash-fails."""
     raw = _stream_embeddings(spark, sf_dir)
-    return ivf_refit_finish(drain(ivf_refit_partials_frame(raw), mode="complete"))
+    return ivf_refit_finish(drain(ivf_refit_partials_frame(raw), mode="complete", state_partitions=8))
 
 
 # ---------------------------------------------------------------------------
@@ -1452,7 +1470,7 @@ def stream_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.plans.mining import _BPE_TOPK
 
     return bpe_topk_finish(
-        drain(bpe_pair_counts_frame(raw), mode="complete"), _BPE_TOPK
+        drain(bpe_pair_counts_frame(raw), mode="complete", state_partitions=16), _BPE_TOPK
     )
 
 
@@ -1564,7 +1582,7 @@ def stream_lsh_probe_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pre-drain plan at maxFilesPerTrigger=1."""
     d = load_tables(spark, sf_dir).documents
     digest = lsh_probe_digest_frame(_stream_docs(spark, sf_dir), d)
-    return drain(digest, mode="complete").orderBy("band")
+    return drain(digest, mode="complete", state_partitions=16).orderBy("band")
 
 
 # ---------------------------------------------------------------------------
@@ -1748,7 +1766,7 @@ def stream_decontamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     this exact pre-drain plan at maxFilesPerTrigger=1."""
     d = load_tables(spark, sf_dir).documents
     digest = bloom_probe_digest_frame(_stream_docs(spark, sf_dir), d)
-    return drain(digest, mode="complete").orderBy("bucket")
+    return drain(digest, mode="complete", state_partitions=8).orderBy("bucket")
 
 
 # ---------------------------------------------------------------------------
@@ -1873,7 +1891,7 @@ def stream_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails. The multibatch replay test re-runs this exact pre-drain
     plan at maxFilesPerTrigger=1."""
     return (
-        drain(bpe_fertility_frame(_stream_docs(spark, sf_dir)), mode="complete")
+        drain(bpe_fertility_frame(_stream_docs(spark, sf_dir)), mode="complete", state_partitions=8)
         .orderBy("merges_applied", "bucket")
     )
 
@@ -1930,4 +1948,4 @@ def stream_quality_gate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the ledger over the same corpus, so a stream that
     dropped, duplicated, or double-priced any document hash-fails."""
     raw = _stream_docs(spark, sf_dir)
-    return drain(quality_gate_frame(raw), mode="complete").orderBy("min_uniq_ratio")
+    return drain(quality_gate_frame(raw), mode="complete", state_partitions=8).orderBy("min_uniq_ratio")
