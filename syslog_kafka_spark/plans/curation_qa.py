@@ -944,10 +944,10 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparison follows the pinned rule (round(j, 6) >= t) and
     every per-pair jaccard is bit-identical cross-engine (exact integer
     set sizes divided once)."""
-    from syslog_kafka_spark.operators.dedup import minhash_lsh_pairs
+    from syslog_kafka_spark.operators.dedup import cached_minhash_pairs
 
     d = load_tables(spark, sf_dir).documents
-    pairs = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.0)
+    pairs = cached_minhash_pairs(d)
     thr = F.explode(
         F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS])
     ).alias("threshold")
@@ -1046,11 +1046,11 @@ def llm_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; the mean reports at 6 dp."""
     from syslog_kafka_spark.operators.dedup import (
         connected_components,
-        minhash_lsh_pairs,
+        cached_minhash_pairs,
     )
 
     d = load_tables(spark, sf_dir).documents
-    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    edges = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)
     labels = connected_components(edges)
     members = labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")

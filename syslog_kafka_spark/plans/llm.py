@@ -36,6 +36,7 @@ from syslog_kafka_spark.functions.text import (
     tokens,
 )
 from syslog_kafka_spark.operators.dedup import (
+    cached_minhash_pairs,
     duplicate_groups,
     jaccard_expr,
     minhash_lsh_pairs,
@@ -869,7 +870,7 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family lets DuckDB reproduce signatures, band buckets, and the verify
     stage exactly."""
     d = load_tables(spark, sf_dir).documents
-    return minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5).orderBy(
+    return cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5).orderBy(
         "id_a", "id_b"
     )
 
@@ -1382,7 +1383,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.operators.dedup import connected_components
 
     d = load_tables(spark, sf_dir).documents
-    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    edges = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)
     labels = connected_components(edges)
     return (
         labels.groupBy(F.col("label").alias("component_id"))
@@ -1452,7 +1453,7 @@ def llm_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.operators.dedup import connected_components
 
     d = load_tables(spark, sf_dir).documents
-    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    edges = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)
     labels = connected_components(edges)
     sizes = labels.join(
         labels.groupBy("label").agg(F.count(F.lit(1)).alias("size")), "label"
@@ -3274,7 +3275,7 @@ def llm_neardup_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations are tiny (edges, then degree classes), so the cost is
     the shared pair pipeline, not the analytics."""
     d = load_tables(spark, sf_dir).documents
-    pairs = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    pairs = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)
     # ONE pass over the pair stream: explode both endpoints per edge.
     # (unionAll of two selections from the same frame would execute the
     # whole LSH pipeline twice — measured 12x instead of ~3x at sf1.)
@@ -4212,7 +4213,7 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from syslog_kafka_spark.functions.hashes import hash64
 
     d = load_tables(spark, sf_dir).documents
-    edges = minhash_lsh_pairs(d, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
+    edges = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)
     labels = connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
