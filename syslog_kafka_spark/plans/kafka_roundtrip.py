@@ -143,8 +143,23 @@ def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, rec in enumerate(recs)
     ]
 
+    # createDataFrame slices a local list across defaultParallelism (32)
+    # partitions — ~2 wire records per task means every decode pays a
+    # separate Arrow Python-worker round trip, and the orderBy's
+    # range-sampling pass runs the whole chain again. Parallelize the
+    # fixture as ONE slice instead so each decode is a single task over a
+    # single Arrow batch (measured r13: warm 1.3 s -> 0.67 s; NOT
+    # coalesce(1), which computes the 32 pickled parent slices serially
+    # inside one task — 6 s — and not repartition(1), which keeps the
+    # 32-task stage plus a shuffle; guide §4.2).
+    def _one_slice(rows: list, ddl: str):
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            ddl,
+        )
+
     avro = (
-        spark.createDataFrame(avro_rows, "rec_id int, value binary")
+        _one_slice(avro_rows, "rec_id int, value binary")
         .withColumn("logline", decode_confluent_udf(F.col("value")))
         .select(
             "rec_id",
@@ -163,7 +178,7 @@ def kafka_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     proto = (
-        spark.createDataFrame(proto_rows, "rec_id int, value binary")
+        _one_slice(proto_rows, "rec_id int, value binary")
         .withColumn("logline", decode_proto_udf(F.col("value")))
         .select(
             "rec_id",

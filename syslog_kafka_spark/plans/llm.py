@@ -3188,11 +3188,18 @@ def llm_udtf_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         useArrow=True,
     )
     spark.udtf.register("kwic_hits", kwic)
+    # The doc_id predicate must live UNDER the lateral join: Spark does not
+    # push filters through ArrowEvalPythonUDTF (the UDTF is an optimizer
+    # black box), so `FROM _docs_kwic d ... WHERE d.doc_id <= 60` tokenizes
+    # the ENTIRE corpus in Python and then discards all but 60 docs.
+    # Pre-filtering the left side is result-identical for an inner lateral
+    # join keyed on an input column (r13: corpus-sized UDTF input -> 60 rows,
+    # Filter above ArrowEvalPythonUDTF -> PushedFilters on the parquet scan).
     return spark.sql(
         """
         SELECT s.doc_id, s.pos, s.left_ctx, s.right_ctx
-        FROM _docs_kwic d, LATERAL kwic_hits(d.doc_id, d.text, 'spark') s
-        WHERE d.doc_id <= 60
+        FROM (SELECT doc_id, text FROM _docs_kwic WHERE doc_id <= 60) d,
+             LATERAL kwic_hits(d.doc_id, d.text, 'spark') s
         ORDER BY s.doc_id, s.pos
         """
     )
@@ -3683,6 +3690,8 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc score sum — the model fit costs one shuffle by bucket, the
     scoring pass shuffles by doc_id only; nothing all-pairs, nothing
     driver-side, which is exactly how DSIR runs over a full crawl."""
+    from syslog_kafka_spark.operators.session_cache import session_cache
+
     B = _DSIR_BUCKETS
     d = load_tables(spark, sf_dir).documents
     tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("term")).select(
@@ -3692,9 +3701,23 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint"), F.lit(B)
         ).alias("bucket"),
     )
-    bstats = tok.groupBy("bucket").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_t"),
-        F.count(F.lit(1)).alias("n_r"),
+    # Collapse the token stream ONCE into per-(doc, lang, bucket) counts and
+    # barrier it: without the cache the explode + per-token md5 re-runs for
+    # every materialization of the model (bstats -> tot, bstats -> ratio, and
+    # the scoring pass = 3 full passes). The pre-aggregate is map-side
+    # combined, fixed-width, and <= n_docs x 64 rows; both the 64-row model
+    # and the per-doc score derive from it (k-weighted sums — exact for the
+    # integer counts, and the double sum reorders within the 4-dp rounding
+    # the gate already tolerates across engines). (r13, guide §2.2/§4:
+    # 3 token-stream passes -> 1.)
+    tokc = session_cache(
+        tok.groupBy("doc_id", "lang", "bucket").agg(F.count(F.lit(1)).alias("k"))
+    )
+    bstats = tokc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum("k").alias("n_r"),
     )
     tot = bstats.agg(
         F.sum("n_t").cast("double").alias("tot_t"),
@@ -3708,11 +3731,11 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("log_ratio"),
     )
     return (
-        tok.join(F.broadcast(ratio), "bucket")
+        tokc.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("log_ratio"), 4).alias("dsir_score"),
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * F.col("log_ratio")), 4).alias("dsir_score"),
         )
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(15)
