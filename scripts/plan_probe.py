@@ -77,8 +77,15 @@ def main() -> None:
             fh.write(plan_txt)
         results[name] = {"repeats": times, "noop": noop_times}
         print(json.dumps({name: results[name]}))
-    with open(os.path.join(args.outdir, f"_timings{args.suffix}.json"), "w") as fh:
-        json.dump(results, fh, indent=1, sort_keys=True)
+    # Merge-update so family-scoped probe runs don't clobber earlier keys.
+    timings_path = os.path.join(args.outdir, f"_timings{args.suffix}.json")
+    merged: dict[str, dict] = {}
+    if os.path.exists(timings_path):
+        with open(timings_path) as fh:
+            merged = json.load(fh)
+    merged.update(results)
+    with open(timings_path, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

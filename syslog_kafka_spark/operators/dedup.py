@@ -62,6 +62,19 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def cached_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Session-cached :func:`duplicate_groups` — one corpus aggregate
+    shared by every exact-dedup consumer in a sweep (the groups face and
+    the dedup-then-LSH composite's group-size weighting read the same
+    frame). The entry is one (digest, bigint, id) row per UNIQUE text —
+    far lighter than the shingle base living in the same LRU. Grouping
+    on the md5 digest (not the normalized text) keeps the shuffle rows
+    at digest width; min-id and count per group are unchanged."""
+    return session_cache(duplicate_groups(df, text_col, id_col))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -126,11 +139,128 @@ def cached_minhash_pairs(
     entry that already lives in the same LRU. At 100 TB this is the
     materialized "verified near-dup edges" intermediate every audit in a
     production curation run reads; computing it once per refresh is the
-    point of having it."""
+    point of having it.
+
+    Storage-wise this is a projection of :func:`cached_minhash_pairs_banded`
+    (ONE cache entry serves both faces); the public (id_a, id_b, jaccard)
+    schema is unchanged."""
+    return cached_minhash_pairs_banded(
+        df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands
+    ).select("id_a", "id_b", "jaccard")
+
+
+def minhash_pairs_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The threshold-0 verified LSH pair set WITH per-band attribution
+    and per-pair verify ingredients: (id_a, id_b, _occ0.._occ{bands-1},
+    _sz_a, _sz_b, _inter, _sig_eq, jaccard), where ``_occ{b}`` is the
+    occupancy of the bucket the pair shares in band ``b`` (NULL when the
+    pair does not collide in that band — within one band a document has
+    exactly one bucket, so "the" shared bucket is well-defined),
+    ``_sz_a``/``_sz_b`` are the distinct-shingle counts of each side,
+    ``_inter`` their intersection size, and ``_sig_eq`` the number of
+    matching MinHash signature components.
+
+    Every per-pair quantity ANY LSH-candidate consumer reports derives
+    from these integer columns without re-running the candidate
+    self-join or the array verifies:
+
+    - first colliding band  = min b with _occ{b} IS NOT NULL
+      (llm_minhash_band_digest's attribution),
+    - min shared-bucket occupancy = least(_occ*) (llm_lsh_cap_sweep's
+      cap-survival rule: a pair survives cap C iff min occupancy <= C),
+    - first KEPT band under a cap = min b with _occ{b} <= cap
+      (llm_lsh_occupancy_capped's attribution — hot buckets are skipped
+      per band, so survival and attribution follow the per-band
+      occupancies, not the global min),
+    - containment_ab / _ba = _inter / _sz_a (resp. _sz_b)
+      (llm_containment_neardup — same CASE-on-zero as the array form),
+    - signature-estimated Jaccard = _sig_eq / n_hashes
+      (llm_minhash_jaccard_calibration's est; exact is ``jaccard``).
+
+    The occupancy ledger aggregates on the same (_band, _bucket) key the
+    candidate self-join shuffles on, so attaching it re-uses that
+    exchange; the join-back of shingle/signature arrays happens once,
+    AFTER the pair space collapses to distinct candidates (the r7 rule),
+    and the arrays are dropped before the frame materializes — the cache
+    entry is id-width integers plus one double per pair."""
+    base = cached_lsh_base(df, k, n_hashes, text_col, id_col)
+    banded = banded_buckets(base, n_hashes, bands)
+    occ = banded.groupBy("_band", "_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    left = banded.join(occ, ["_band", "_bucket"]).select(
+        F.col("_id").alias("id_a"), "_band", "_bucket", "_n"
+    )
+    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
+    pairs = (
+        left.join(right, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            *[
+                F.min(F.when(F.col("_band") == b, F.col("_n"))).alias(f"_occ{b}")
+                for b in range(bands)
+            ]
+        )
+    )
+    sh_a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_sig").alias("sig_a"),
+    )
+    sh_b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.col("_sig").alias("sig_b"),
+    )
+    with_arrays = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+    ints = with_arrays.select(
+        "id_a",
+        "id_b",
+        *[f"_occ{b}" for b in range(bands)],
+        F.size("sh_a").alias("_sz_a"),
+        F.size("sh_b").alias("_sz_b"),
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("_inter"),
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        ).alias("_sig_eq"),
+    )
+    # Same arithmetic as the inline array form: inter cast to double
+    # first, union = sz_a + sz_b - inter(double) — bit-identical jaccard.
+    inter = F.col("_inter").cast("double")
+    union = F.col("_sz_a") + F.col("_sz_b") - inter
+    verified = ints.withColumn(
+        "jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    )
+    return verified.filter(F.col("jaccard") >= 0.0)
+
+
+def cached_minhash_pairs_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Session-cached :func:`minhash_pairs_banded` — the ONE materialized
+    pair frame behind the plain (id_a, id_b, jaccard) consumers, the
+    three LSH digest faces, the containment face, and the calibration
+    audit. The extra integer columns cost a few bytes per id-width pair
+    row; sharing them removes five whole candidate-join + verify
+    pipelines from the bench sweep."""
     return session_cache(
-        minhash_lsh_pairs(
-            df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands,
-            verify_threshold=0.0,
+        minhash_pairs_banded(
+            df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands
         )
     )
 

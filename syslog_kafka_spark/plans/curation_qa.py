@@ -326,31 +326,25 @@ def llm_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     docs, new shingle distribution) shows up here as widening error
     long before dedup recall visibly degrades.
 
-    Distributed shape: identical candidate generation to the production
-    dedup (banded, bucket join, ids-only shuffle, arrays joined back
-    post-dedup from the shared cached base — zero extra scans); the
-    estimate is a 16-component zip over arrays already in the rows.
+    Distributed shape (r13): rides the family-shared
+    cached_minhash_pairs_banded frame — its _sig_eq column IS the
+    16-component signature match count and its jaccard column IS the
+    exact shingle Jaccard (same integer sizes, same double division),
+    so the audit is one aggregate over the materialized frame instead
+    of a per-face candidate self-join + two array verifies.
     Per-pair est/exact/|err| are bit-identical cross-engine (single fp
     ops on identical integers); only the bucket MEANS are
     accumulation-order-sensitive, so they report at 6 dp. The decile
     key follows the pinned-threshold rule: floor(round(exact, 6) × 10).
     """
-    from syslog_kafka_spark.operators.dedup import lsh_candidate_pairs
+    from syslog_kafka_spark.operators.dedup import cached_minhash_pairs_banded
 
     d = load_tables(spark, sf_dir).documents
-    pairs = lsh_candidate_pairs(
-        d, k=5, n_hashes=_CAL_HASHES, bands=_CAL_BANDS, with_signatures=True
+    pairs = cached_minhash_pairs_banded(
+        d, k=5, n_hashes=_CAL_HASHES, bands=_CAL_BANDS
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-        )
-    )
-    est = matches.cast("double") / F.lit(float(_CAL_HASHES))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    exact = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    m = pairs.select(est.alias("est"), exact.alias("exact"))
+    est = F.col("_sig_eq").cast("double") / F.lit(float(_CAL_HASHES))
+    m = pairs.select(est.alias("est"), F.col("jaccard").alias("exact"))
     bucket = F.least(
         F.floor(F.round(F.col("exact"), 6) * 10).cast("bigint"), F.lit(9)
     )

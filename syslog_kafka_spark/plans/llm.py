@@ -87,10 +87,15 @@ def llm_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate groups (size > 1) with their surviving min doc_id."""
+    """Duplicate groups (size > 1) with their surviving min doc_id.
+    Reads the session-cached duplicate-groups aggregate shared with
+    llm_dedup_then_lsh's group-size weighting (r13: one corpus
+    normalize+hash+aggregate per sweep instead of two)."""
+    from syslog_kafka_spark.operators.dedup import cached_duplicate_groups
+
     d = load_tables(spark, sf_dir).documents
     return (
-        duplicate_groups(d)
+        cached_duplicate_groups(d)
         .filter(F.col("group_size") > 1)
         .orderBy("survivor_id")
     )
@@ -876,12 +881,14 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared building blocks of the three LSH digest faces (band digest,
-# occupancy-capped, cap sweep): ONE definition each for the bucket
-# occupancy ledger, the id-width candidate self-join, and the
-# exact-Jaccard verify, so a change to the verify rule or checksum
-# arithmetic cannot be applied to one face only (the reconciliation
-# tests in tests/test_plan_quality.py would catch it late; this makes
-# the drift structurally impossible).
+# occupancy-capped, cap sweep): ONE definition for the bucket occupancy
+# ledger, and ONE materialized candidate+verify pipeline — the
+# family-shared cached_minhash_pairs_banded frame, whose per-band
+# occupancy columns carry every attribution the faces report (see
+# _first_band_with). A change to the verify rule or checksum arithmetic
+# lands in the shared frame and reaches every face at once; the
+# reconciliation tests in tests/test_plan_quality.py pin the faces to
+# each other on top.
 
 
 def _lsh_bucket_occupancy(banded: DataFrame) -> DataFrame:
@@ -891,39 +898,21 @@ def _lsh_bucket_occupancy(banded: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_candidate_pairs(banded: DataFrame, *agg_exprs) -> DataFrame:
-    """Distinct candidate pairs from a banded frame — id-width through
-    the shuffles (the r7 rule: shingle arrays join back only AFTER this
-    collapse). ``agg_exprs`` reduce the per-co-occurrence group to its
-    attribution columns (e.g. min band, min shared-bucket occupancy);
-    any extra column referenced by them must already be on ``banded``."""
-    extra = [c for c in banded.columns if c not in ("_id", "_sh", "_norm")]
-    left = banded.select(F.col("_id").alias("id_a"), *extra)
-    right = banded.select(F.col("_id").alias("id_b"), "_band", "_bucket")
-    return (
-        left.join(right, ["_band", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(*agg_exprs)
-    )
+_LSH_BANDS = 4  # the family's band count — matches every _lsh_*_oracle default
 
 
-def _lsh_verify(base: DataFrame, cand: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact-Jaccard verify of a distinct (id_a, id_b, ...) candidate
-    frame against the shared shingle base; keeps the candidate columns
-    and adds ``jaccard``."""
-    sh_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .drop("sh_a", "sh_b")
-    )
+def _first_band_with(pred) -> Column:
+    """The smallest band index b for which ``pred(b)`` holds over the
+    per-band occupancy columns of cached_minhash_pairs_banded (NULL when
+    none does) — the deterministic band attribution the digest faces
+    previously recomputed with a per-face candidate self-join
+    (min(_band) over co-occurrence rows). NULL-safe by construction: a
+    NULL _occ{b} fails both ``isNotNull`` and any ``<= cap`` comparison,
+    so the CASE chain falls through exactly like the old per-row min."""
+    c = F.when(pred(0), 0)
+    for b in range(1, _LSH_BANDS):
+        c = c.when(pred(b), b)
+    return c.cast("int")
 
 
 def _jac_cents() -> Column:
@@ -1001,8 +990,17 @@ def llm_minhash_band_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays join back only AFTER the candidate space collapses to
     distinct pairs; the LSH base is the same session-cached frame every
     other LSH face shares (cached_lsh_base — ONE corpus-sized cache
-    entry across the family)."""
-    from syslog_kafka_spark.operators.dedup import banded_buckets, cached_lsh_base
+    entry across the family). The verified pair set itself comes from
+    the shared cached_minhash_pairs_banded frame (r13 optimization):
+    its per-band shared-bucket occupancies carry the first-colliding-
+    band attribution (min band = first b with _occ{b} set), so this
+    face is a filter+aggregate over the family-shared frame instead of
+    its own candidate self-join + shingle verify."""
+    from syslog_kafka_spark.operators.dedup import (
+        banded_buckets,
+        cached_lsh_base,
+        cached_minhash_pairs_banded,
+    )
 
     d = load_tables(spark, sf_dir).documents
     base = cached_lsh_base(d, 5, 16)
@@ -1016,9 +1014,10 @@ def llm_minhash_band_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cand_pairs"),
     )
-    cand = _lsh_candidate_pairs(banded, F.min("_band").cast("int").alias("band"))
     ver = (
-        _lsh_verify(base, cand)
+        cached_minhash_pairs_banded(d)
+        .filter(F.col("jaccard") >= 0.5)
+        .withColumn("band", _first_band_with(lambda b: F.col(f"_occ{b}").isNotNull()))
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_verified"),
@@ -1123,13 +1122,20 @@ def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap is the difference between bounded per-bucket work and one
     mega-bucket holding the corpus's boilerplate.
 
-    Shuffle shape: bucket counts and the kept filter co-partition with
-    the band self-join on (_band, _bucket) — one shuffle family; the
-    shingle arrays join back AFTER the candidate space collapses to
-    distinct pairs (the r7 id-only-through-the-shuffles rule); the
-    digest is band-cardinality (4 rows). The LSH base is the same
-    session-cached frame every other LSH face shares."""
-    from syslog_kafka_spark.operators.dedup import banded_buckets, cached_lsh_base
+    Shuffle shape: the occupancy ledger aggregates over the shared
+    cached base; the verified survivors come from the family-shared
+    cached_minhash_pairs_banded frame (r13 optimization) — a pair
+    survives the cap iff some band's shared-bucket occupancy _occ{b}
+    <= cap, and its attribution is the FIRST such band, exactly the
+    min-kept-band the per-face candidate self-join used to recompute.
+    The digest is band-cardinality (4 rows). The LSH base and the pair
+    frame are the same session-cached entries every other LSH face
+    shares."""
+    from syslog_kafka_spark.operators.dedup import (
+        banded_buckets,
+        cached_lsh_base,
+        cached_minhash_pairs_banded,
+    )
 
     cap = _LSH_CAP
     d = load_tables(spark, sf_dir).documents
@@ -1152,13 +1158,11 @@ def llm_lsh_occupancy_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cand_skipped"),
     )
-    kept = banded.join(
-        occ.filter(F.col("n") <= cap).select("_band", "_bucket"),
-        ["_band", "_bucket"],
-    )
-    cand = _lsh_candidate_pairs(kept, F.min("_band").cast("int").alias("band"))
     ver = (
-        _lsh_verify(base, cand)
+        cached_minhash_pairs_banded(d)
+        .filter(F.col("jaccard") >= 0.5)
+        .withColumn("band", _first_band_with(lambda b: F.col(f"_occ{b}") <= cap))
+        .filter(F.col("band").isNotNull())
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_verified"),
@@ -1274,10 +1278,16 @@ def llm_lsh_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_quality.py).
 
     Scale: verify runs once over the UNCAPPED candidate space (the
-    sweep must see the full space to price it — this is the one face
-    where that cost is the deliverable); everything cap-dependent is a
-    re-aggregation of executor-resident frames; output is #caps rows."""
-    from syslog_kafka_spark.operators.dedup import banded_buckets, cached_lsh_base
+    sweep must see the full space to price it) — and since r13 that
+    once is the family-shared cached_minhash_pairs_banded frame, whose
+    least(_occ*) IS each pair's min shared-bucket occupancy; everything
+    cap-dependent is a re-aggregation of executor-resident frames;
+    output is #caps rows."""
+    from syslog_kafka_spark.operators.dedup import (
+        banded_buckets,
+        cached_lsh_base,
+        cached_minhash_pairs_banded,
+    )
 
     d = load_tables(spark, sf_dir).documents
     base = cached_lsh_base(d, 5, 16)
@@ -1311,13 +1321,17 @@ def llm_lsh_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cand_skipped"),
         )
     )
-    bn = banded.join(occ, ["_band", "_bucket"])
-    cand = _lsh_candidate_pairs(bn, F.min("n").cast("bigint").alias("min_occ"))
-    ver = _lsh_verify(base, cand).select(
-        "id_a",
-        "id_b",
-        "min_occ",
-        _jac_cents().alias("jc"),
+    ver = (
+        cached_minhash_pairs_banded(d)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.least(*[F.col(f"_occ{b}") for b in range(_LSH_BANDS)])
+            .cast("bigint")
+            .alias("min_occ"),
+            _jac_cents().alias("jc"),
+        )
     )
     vc = (
         ver.join(F.broadcast(caps_df), ver.min_occ <= caps_df.cap)
@@ -3240,13 +3254,28 @@ def llm_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the union. Shares the banded candidate generation (never all-pairs);
     the verify stage is two array_intersect ratios fused into the pair
     scan. Oracle reuses the pipeline CTE (signatures, banding, buckets)
-    so candidate sets are provably identical cross-engine."""
-    from syslog_kafka_spark.operators.dedup import containment_pairs
+    so candidate sets are provably identical cross-engine.
+
+    r13 optimization: rides the family-shared cached_minhash_pairs_banded
+    frame — its _inter/_sz_a/_sz_b integer columns are exactly the
+    array-verify ingredients (same sizes, same intersect), so the
+    containment ratios are two divisions over the materialized frame
+    instead of a per-face candidate self-join + array verify
+    (containment_pairs stays the standalone operator form)."""
+    from syslog_kafka_spark.operators.dedup import cached_minhash_pairs_banded
 
     d = load_tables(spark, sf_dir).documents
-    out = containment_pairs(d, k=5, n_hashes=16, bands=4, threshold=0.6)
+    p = cached_minhash_pairs_banded(d)
+    inter = F.col("_inter").cast("double")
+    len_a = F.col("_sz_a").cast("double")
+    len_b = F.col("_sz_b").cast("double")
+    c_ab = F.when(len_a == 0, F.lit(1.0)).otherwise(inter / len_a)
+    c_ba = F.when(len_b == 0, F.lit(1.0)).otherwise(inter / len_b)
     return (
-        out.select(
+        p.withColumn("containment_ab", c_ab)
+        .withColumn("containment_ba", c_ba)
+        .filter(F.greatest("containment_ab", "containment_ba") >= 0.6)
+        .select(
             "id_a",
             "id_b",
             F.round("containment_ab", 4).alias("containment_ab"),
@@ -3410,35 +3439,32 @@ def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finishes and one that doesn't. (The synthetic corpus is dup-light —
     ~0.2% exact-dup mass — so HERE the stage costs the same as raw LSH;
     the payoff is proportional to dup mass, which real crawls have in
-    abundance.)"""
+    abundance.)
+
+    r13 optimization: the rep-only pair set is computed as a RESTRICTION
+    of the family-shared cached_minhash_pairs frame instead of a second
+    LSH pipeline over reps. Valid because MinHash signatures and band
+    buckets are pure per-document functions (hash64 of the signature
+    slice — see banded_buckets), so two reps collide in the corpus-wide
+    banding iff they collide in a reps-only banding, with the identical
+    exact-Jaccard verify; the inner joins against the group frame below
+    are exactly the both-endpoints-are-reps restriction. When the sweep
+    already holds the verified pair frame (it does — seven sibling faces
+    read it), the rep pair set is a filter over it; a STANDALONE
+    dup-heavy deployment still runs the rep-first ordering this query's
+    oracle documents, where LSH-over-reps is the cheaper side. The
+    group-size weighting rides the session-cached duplicate-groups
+    aggregate shared with llm_dedup_groups (digest-width shuffle,
+    min-id/count unchanged; the r12 session_cache-not-checkpoint rule
+    still applies — plan-keyed caching keeps every reference stable
+    across builds)."""
+    from syslog_kafka_spark.operators.dedup import cached_duplicate_groups
+
     d = load_tables(spark, sf_dir).documents
-    norm = normalized("text")
-    grp = (
-        d.groupBy(norm.alias("_norm"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("text", "doc_id").alias("text"),
-            F.count(F.lit(1)).alias("grp_size"),
-        )
-        # one row per UNIQUE doc, referenced three times (reps + both
-        # group-size sides) and repeatedly inside the LSH stage's band/
-        # verify passes — without the barrier the normalize+groupBy
-        # re-executes per reference (measured 18 s -> ~3 s warm at sf1).
-        # session_cache, NOT session_checkpoint (r12 root-cause of the
-        # 15-17x decade reading): the aggregate is deterministic (no
-        # sampled exchange, no partition ids), and a checkpoint's
-        # LogicalRDD carries a NEW rdd id every build — which changed
-        # the semanticHash of every downstream plan, so cached_lsh_base
-        # could never hit across calls and "warm" runs re-shingled the
-        # whole rep corpus (sf10: 181 s warm vs 221 cold). Plan-keyed
-        # caching keeps grp AND the derived LSH base stable across
-        # calls; eviction mid-use just recomputes deterministically.
-    )
-    grp = session_cache(grp)
-    reps = grp.select("doc_id", "text")
-    pairs = minhash_lsh_pairs(reps, k=5, n_hashes=16, bands=4, verify_threshold=0.5)
-    ga = grp.select(F.col("doc_id").alias("id_a"), F.col("grp_size").alias("_ga"))
-    gb = grp.select(F.col("doc_id").alias("id_b"), F.col("grp_size").alias("_gb"))
+    grp = cached_duplicate_groups(d)
+    pairs = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)
+    ga = grp.select(F.col("survivor_id").alias("id_a"), F.col("group_size").alias("_ga"))
+    gb = grp.select(F.col("survivor_id").alias("id_b"), F.col("group_size").alias("_gb"))
     return (
         pairs.join(ga, "id_a")
         .join(gb, "id_b")

@@ -375,14 +375,15 @@ def _executed_join_count(spark, sf_dir, name: str) -> int:
 def test_degree_dist_single_lsh_execution(spark, sf_dir):
     # The endpoint stream is ONE explode pass over the pair frame; a
     # unionAll of two selections would show the LSH bucket self-join
-    # twice in the plan (measured 12x at sf1). The r7 pair shape is
-    # exactly 3 joins — the ids-only band self-join plus the two
-    # shingle-array join-backs against the cached base — so a duplicated
-    # pipeline shows ≥6. Counted over executed nodes only: if an earlier
-    # query in the session cached the pair frame, this plan serves it
-    # from an InMemoryTableScan and executes 0 joins — also acceptable.
+    # twice in the plan (measured 12x at sf1). The r13 shared-frame
+    # build shape is exactly 4 joins — the ids-only band self-join, the
+    # (_band,_bucket) occupancy attach, and the two shingle-array
+    # join-backs against the cached base — so a duplicated pipeline
+    # shows ≥8. Counted over executed nodes only: if an earlier query
+    # in the session cached the pair frame, this plan serves it from an
+    # InMemoryTableScan and executes 0 joins — also acceptable.
     joins = _executed_join_count(spark, sf_dir, "llm_neardup_degree_dist")
-    assert joins <= 3, f"LSH pipeline appears duplicated: {joins} joins"
+    assert joins <= 4, f"LSH pipeline appears duplicated: {joins} joins"
 
 
 def test_lateral_dataframe_api_decorrelates_to_window_group_limit(spark, sf_dir):
@@ -853,25 +854,34 @@ def test_dedup_then_lsh_second_build_is_cache_served(spark, sf_dir):
 
 
 def test_lsh_occupancy_capped_shares_base_and_stays_id_width(spark, sf_dir):
-    """The capped face must ride the SAME session-cached LSH base as the
-    other LSH faces (InMemoryTableScans after a pair build, no second
-    shingling kernel) and keep the r7 id-only-through-the-shuffles rule:
-    no CartesianProduct, and the shingle arrays join back only after the
-    candidate space collapses (the verify joins are the only places sh
-    columns appear)."""
+    """The capped face must ride the SAME session-cached LSH base AND
+    the session-cached verified pair frame as the other LSH faces
+    (InMemoryTableScans after a pair build — one for the occupancy
+    ledger over the base, one for the shared pair frame — with no
+    second shingling kernel and no re-run of the candidate self-join
+    or shingle verify): no CartesianProduct, no file re-scan."""
     from syslog_kafka_spark.operators.session_cache import clear_session_caches
 
     clear_session_caches(spark)
-    # fill the shared base the way any sibling LSH face would
+    # fill the shared base + pair frame the way any sibling LSH face would
     load_all()["llm_minhash_lsh_pairs"].build(spark, sf_dir).collect()
     df = load_all()["llm_lsh_occupancy_capped"].build(spark, sf_dir)
     df.count()
     ops = _frame_op_counts(df)
     assert not any("CartesianProduct" in k for k in ops), ops
-    # the base is read from cache — the shingling Arrow kernel must not rerun
+    # base + pair frame are read from cache — the shingling Arrow kernel
+    # must not rerun
     assert not any("ArrowEval" in k or "MapInArrow" in k for k in ops), ops
-    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 3, ops
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 2, ops
     assert not any(k.startswith("FileSourceScan") for k in ops), ops
+    # the verify join-backs live in the cached pair frame; this face's own
+    # plan re-joins nothing pair-shaped (ledger-vs-ver is one small join)
+    joins = sum(
+        n
+        for cls, n in ops.items()
+        if cls.startswith(("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    )
+    assert joins <= 1, ops
     clear_session_caches(spark)
 
 
