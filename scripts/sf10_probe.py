@@ -109,6 +109,20 @@ PROBE = [
     # r11: the encoder's ingest face (per-occurrence Arrow encode,
     # 30-row state — growth should be the token scan alone)
     "stream_bpe_encode_fertility",
+    # r13 registrations (first decade rows): the cap-pricing sweep and
+    # soft-weight face ride the shared banded pair frame (their growth
+    # should track llm_minhash_band_digest's); the recall audit's exact
+    # tier is queries x corpus by construction (bounded by the fixed
+    # 10-query panel, so growth is the corpus side of the dot products);
+    # KL drift and the gate-pricing sweep are token-scan passes over
+    # broadcast models; the streaming gate monitor's state is
+    # (gate x source)-bounded.
+    "llm_lsh_cap_sweep",
+    "llm_soft_dedup_weights",
+    "llm_ann_recall_audit",
+    "llm_unigram_kl_drift",
+    "llm_quality_gate_sweep",
+    "stream_quality_gate_monitor",
 ]
 
 
