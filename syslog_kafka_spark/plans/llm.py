@@ -36,10 +36,9 @@ from syslog_kafka_spark.functions.text import (
     tokens,
 )
 from syslog_kafka_spark.operators.dedup import (
+    cached_duplicate_groups,
     cached_minhash_pairs,
-    duplicate_groups,
     jaccard_expr,
-    minhash_lsh_pairs,
     normalized,
     simhash_neardup_pairs,
 )
@@ -91,8 +90,6 @@ def llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reads the session-cached duplicate-groups aggregate shared with
     llm_dedup_then_lsh's group-size weighting (r13: one corpus
     normalize+hash+aggregate per sweep instead of two)."""
-    from syslog_kafka_spark.operators.dedup import cached_duplicate_groups
-
     d = load_tables(spark, sf_dir).documents
     return (
         cached_duplicate_groups(d)
@@ -3458,8 +3455,6 @@ def llm_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id/count unchanged; the r12 session_cache-not-checkpoint rule
     still applies — plan-keyed caching keeps every reference stable
     across builds)."""
-    from syslog_kafka_spark.operators.dedup import cached_duplicate_groups
-
     d = load_tables(spark, sf_dir).documents
     grp = cached_duplicate_groups(d)
     pairs = cached_minhash_pairs(d).filter(F.col("jaccard") >= 0.5)

@@ -73,93 +73,86 @@ def query(
 
 
 # The driver's correctness gate evaluates the FIRST 50 registry entries in
-# iteration order. Round-13 window (the r12 verdict's prescription,
-# VERDICT.md item #1): FIRST the two queries registered after the r12
-# window filled — the only oracled inventory entries the driver has never
-# independently stamped (llm_neardup_pair_digest, llm_lsh_occupancy_capped
-# — both oracle-verified on every pytest run by tests/test_inventory_oracle
-# in the meantime), then the SEVEN r7-stamp llm deferrals the r12 comment
-# named (llm_dedup_keep_best, llm_domain_temperature_mix,
-# llm_embedding_dim_stats, llm_epoch_upsample_plan, llm_mixture_subsample,
-# llm_session_transcripts, llm_shard_shuffle_assignment — after this
-# window no stamp predates r8), then ONE family-coverage pin per family
-# the rest of the window misses, oldest stamp each
-# (kafka_partitioner_histogram r11, sort_mixed_direction r9,
-# syslog_severity_histogram r9), then the r8-stamp cohort. That cohort
-# holds 47 entries: 2 + 7 + 3 + 47 = 59 > 50, so NINE llm-family r8
-# entries are DEFERRED to r14 (llm still holds 15 of the 50 window
-# slots): llm_pii_redaction, llm_pq_quantization_audit,
-# llm_repeated_span_removal, llm_simhash_multiprobe,
-# llm_stratified_sample, llm_token_entropy, llm_url_extraction,
-# llm_vocab_coverage, llm_weighted_sample — all nine stay oracle-covered
-# on every pytest run in the meantime.
+# iteration order. Round-14 window (the pre-committed r13 rotation plan +
+# the r13 verdict's item #4): FIRST the SEVEN r13 registrations, taking
+# their first driver stamps (each was oracle-verified on every pytest run
+# by tests/test_inventory_oracle in the meantime), then the NINE r8-stamp
+# llm deferrals the r13 window comment named, then ONE family-coverage pin
+# per family the rest of the window misses, oldest oracled stamp each
+# (kafka_decode_roundtrip r12, sort_top_orders r10, syslog_named_levels
+# r10), then the r9-stamp cohort — the oldest remaining stamps. That
+# cohort holds 47 entries: 7 + 9 + 3 + 47 = 66 > 50, so SIXTEEN
+# llm-family r9 entries are DEFERRED to r15 (llm already holds 19 of the
+# 50 slots): llm_dedup_then_lsh, llm_dedup_threshold_sweep,
+# llm_embedding_neardup_blocked, llm_embedding_quantization,
+# llm_hashed_quality_classifier, llm_idf_topk_keywords, llm_ivf_pq_topk,
+# llm_length_buckets, llm_neardup_degree_dist, llm_perplexity_buckets,
+# llm_pmi_collocations, llm_random_projection, llm_simhash_pair_digest,
+# llm_tfidf_cosine_pairs, llm_udtf_concordance, llm_zipf_slope — all
+# sixteen stay oracle-covered on every pytest run in the meantime.
+# After this window no registered query's stamp predates r9.
 #
-# Round-14 rotation pool, in priority order: FIRST the SEVEN r13
-# registrations, taking their first stamps (llm_minhash_band_digest,
-# llm_lsh_cap_sweep, llm_soft_dedup_weights, llm_ann_recall_audit,
-# llm_unigram_kl_drift, llm_quality_gate_sweep,
-# stream_quality_gate_monitor — each stays oracle-covered on every
-# pytest run by tests/test_inventory_oracle in the meantime), then the
-# NINE llm r14
-# deferrals above, then the r9-stamp cohort (the oldest after the r13
-# gate), then r10-stamp entries to fill the window, keeping the
-# every-family-in-window invariant (tests/test_registry_window.py) ahead
-# of stamp age.
+# Round-15 rotation pool, in priority order: FIRST any registration the
+# driver has never stamped, then the SIXTEEN r9 llm deferrals above,
+# then the r10-stamp cohort, then r11-stamp entries to fill the window,
+# keeping the every-family-in-window invariant
+# (tests/test_registry_window.py) ahead of stamp age.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # --- late-r12 registrations: first driver stamps (verdict item #1) ---
-    "llm_neardup_pair_digest",
-    "llm_lsh_occupancy_capped",
-    # --- the seven r7-stamp llm deferrals from the r12 window ---
-    "llm_dedup_keep_best",
-    "llm_domain_temperature_mix",
-    "llm_embedding_dim_stats",
-    "llm_epoch_upsample_plan",
-    "llm_mixture_subsample",
-    "llm_session_transcripts",
-    "llm_shard_shuffle_assignment",
-    # --- family coverage (oldest stamp per family the cohort misses) ---
-    "kafka_partitioner_histogram",
-    "sort_mixed_direction",
-    "syslog_severity_histogram",
-    # --- 38 of the 47-entry r8-stamp cohort (9 llm deferred to r14) ---
-    "agg_corr_regression",
-    "llm_embedding_covariance_audit",
-    "llm_hash_split",
-    "llm_hll_vocab_cardinality",
-    "llm_minhash_jaccard_calibration",
-    "llm_ngram_novelty_curve",
-    "llm_packing_efficiency",
-    "scalar_array_funcs",
-    "scalar_bitwise_funcs",
-    "scalar_edit_distance",
-    "scalar_map_funcs",
-    "scalar_posexplode_tokens",
-    "scalar_struct_funcs",
-    "scalar_trig_funcs",
-    "scalar_url_funcs",
-    "scan_orc_roundtrip",
-    "setop_multiset_all",
-    "stream_bloom_build",
-    "stream_hll_build",
-    "stream_session_window_agg",
-    "stream_sliding_window_agg",
-    "stream_static_join_agg",
-    "stream_stream_join_agg",
-    "tpch_disjunctive_predicates",
-    "tpch_large_volume_customers",
-    "tpch_market_share",
-    "tpch_priority_wait_counts",
-    "tpch_promo_revenue",
-    "tpch_returned_item_accounts",
-    "tpch_small_qty_revenue",
-    "tpch_top_supplier_revenue",
-    "window_funnel_conversion",
-    "window_gapfill_daily",
-    "window_lag_lead_gaps",
-    "window_moving_avg_7d",
-    "window_range_frame_hourly",
-    "window_sessionize_30min",
-    "window_share_of_total",
+    # --- r13 registrations: first driver stamps (r13 verdict item #4) ---
+    "llm_minhash_band_digest",
+    "llm_lsh_cap_sweep",
+    "llm_soft_dedup_weights",
+    "llm_ann_recall_audit",
+    "llm_unigram_kl_drift",
+    "llm_quality_gate_sweep",
+    "stream_quality_gate_monitor",
+    # --- the nine r8-stamp llm deferrals from the r13 window ---
+    "llm_pii_redaction",
+    "llm_pq_quantization_audit",
+    "llm_repeated_span_removal",
+    "llm_simhash_multiprobe",
+    "llm_stratified_sample",
+    "llm_token_entropy",
+    "llm_url_extraction",
+    "llm_vocab_coverage",
+    "llm_weighted_sample",
+    # --- family coverage (oldest oracled stamp per family the cohort
+    #     misses) ---
+    "kafka_decode_roundtrip",
+    "sort_top_orders",
+    "syslog_named_levels",
+    # --- 31 of the 47-entry r9-stamp cohort (16 llm deferred to r15) ---
+    "agg_listagg_nations",
+    "agg_median_mad",
+    "agg_recursive_month_spine",
+    "join_asof_tolerance",
+    "join_bucketed_colocated",
+    "join_lateral_topk",
+    "join_null_safe_groups",
+    "join_right_outer_segment_counts",
+    "join_salted_skew",
+    "llm_bigram_logprob",
+    "llm_cluster_cohesion_audit",
+    "llm_containment_neardup",
+    "scalar_map_higher_order",
+    "scalar_parameterized_sql",
+    "scalar_pipe_syntax",
+    "scalar_try_arith",
+    "scalar_variant_extract",
+    "scan_partition_pruned",
+    "scan_python_datasource",
+    "setop_union_all",
+    "stream_chained_window_rollup",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    "stream_python_datasource_tail",
+    "stream_quality_filter",
+    "stream_state_store_read",
+    "window_ewma_user_value",
+    "window_gapfill_interpolate",
+    "window_pct_change_mom",
+    "window_rolling_distinct_users",
+    "window_zscore_anomaly",
 )
 
 

@@ -80,14 +80,33 @@ def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> D
     default (32 + AQE) cannot fix this and an explicit pin is the only
     lever. On a real cluster the dial is per-task state SIZE, not
     provider overhead: ``$SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides
-    every pin for deployments whose keyspace needs the parallelism. The
-    session default is restored after the drain so batch queries are
-    unaffected."""
+    every PIN for deployments whose keyspace needs the parallelism;
+    drains that pass ``state_partitions=None`` intentionally follow the
+    session's shuffle setting and are not touched by the env knob (a
+    deployment steers them with ``spark.sql.shuffle.partitions`` like
+    any other query). The session default is restored after the drain
+    so batch queries are unaffected.
+
+    Measurement-history note (r13 reconciliation): this docstring used
+    to claim the sliding-window agg DEGRADES 2.2 s → 8.5 s at 8
+    partitions. That number was a single cold reading taken while five
+    gates were being brought up in one loaded session, before the r7
+    isolated-probe protocol existed; the r13 min-of-3 interleaved A/B
+    on the identical gate measured 1.56 s → 0.95 s at 8, and the r13
+    full-map delta agreed (2.06 → 1.58). The old reading was bring-up
+    noise, not a property of the partition count — tiny-state gates are
+    provider-bound at every replication since."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-    if env:
-        state_partitions = int(env)
+    if env and state_partitions is not None:
+        try:
+            state_partitions = int(env)
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+                f"got {env!r}"
+            ) from exc
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -715,7 +734,14 @@ def stream_available_now_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same tiny-state right-sizing as drain(state_partitions=8): per-day
     # keys, one planned batch — provider overhead dominates at 32
     # (measured 1.75 s → 0.86 s, r13 sweep). Same env override applies.
-    parts = int(os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    try:
+        parts = int(env) if env else 8
+    except ValueError as exc:
+        raise ValueError(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+            f"got {env!r}"
+        ) from exc
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
