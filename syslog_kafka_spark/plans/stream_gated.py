@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from weakref import WeakKeyDictionary
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -25,13 +26,51 @@ from pyspark.sql.types import LongType, TimestampNTZType
 from syslog_kafka_spark.plans.registry import query
 from syslog_kafka_spark.sources.readers import load_tables
 
+# Streaming-source schema memo, keyed weakly per session: every gate build
+# re-reads the parquet footer just to hand readStream its schema (~40-80 ms
+# of driver time per build, twice for gates that also load the batch twin).
+# Schemas are immutable metadata for a given path within a session — the
+# same reuse argument as readers._TABLE_CACHE, and nothing row-valued is
+# ever memoized here (the r14 no-result-caching rule).
+_SCHEMA_MEMO: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    per_session = _SCHEMA_MEMO.setdefault(spark, {})
+    key = os.path.abspath(path)
+    if key not in per_session:
+        per_session[key] = spark.read.parquet(path).schema
+    return per_session[key]
+
+
+def _source_partitions(spark: SparkSession) -> int:
+    """Partition count for re-spreading a single-file stream source.
+
+    The driver's single-file testdata layout gives FileStreamSource exactly
+    one input partition per microbatch, so every per-document kernel
+    (MinHash signing, gram hashing, token explodes) runs in ONE task on an
+    N-core host — the guide §2.5 unsplittable-input case, fixed by a
+    repartition immediately after the read. Scale-adaptive: defaults to
+    ``defaultParallelism`` (which follows ``$SPARK_GRAFT_CPUS``), overridable
+    with ``$SPARK_GRAFT_STREAM_SOURCE_PARTITIONS`` for real deployments."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SOURCE_PARTITIONS")
+    if env:
+        try:
+            return int(env)
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_SOURCE_PARTITIONS must be an integer, "
+                f"got {env!r}"
+            ) from exc
+    return spark.sparkContext.defaultParallelism
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source STREAM with the same ns→µs
     timestamp normalization the batch loader applies."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _parquet_schema(spark, path)
     if os.path.isdir(path):
         # Directory-style parquet table (the normal layout at scale):
         # stream the directory itself.
@@ -61,9 +100,28 @@ def normalize_event_ts(raw: DataFrame) -> DataFrame:
     return raw
 
 
-def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> DataFrame:
+def drain(
+    df: DataFrame,
+    *,
+    mode: str,
+    state_partitions: int | None = None,
+    no_data_batch: bool = True,
+) -> DataFrame:
     """Run a streaming frame to completion into a memory sink and return
     the drained table (batch DataFrame).
+
+    ``no_data_batch=False`` disables the trailing no-data microbatch for
+    drains whose EMISSION does not depend on watermark advancement — the
+    stream-stream INNER interval join (matches emit the batch they arrive;
+    the no-data batch only evicts state that dies with the one-shot query
+    anyway) and dropDuplicatesWithinWatermark (first-seen rows emit on
+    arrival). Measured r14: the inner join's no-data batch cost as much as
+    its data batch (~1.4 s — a full plan + state commit cycle across both
+    stores, zero rows emitted); drained rows verified identical with it
+    off. Drains whose append-mode output IS flushed by the watermark
+    (left-outer join's null-padded rows, the chained rollup's closed day
+    windows) must keep the default. The session value is restored after
+    the drain either way.
 
     ``state_partitions`` right-sizes the state store when fixed per-
     partition cost dominates: every state partition pays provider-init +
@@ -98,6 +156,7 @@ def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> D
     provider-bound at every replication since."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env and state_partitions is not None:
         try:
@@ -109,6 +168,8 @@ def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> D
             ) from exc
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batch:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         name = f"gate_{uuid.uuid4().hex[:8]}"
         q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
@@ -116,6 +177,7 @@ def drain(df: DataFrame, *, mode: str, state_partitions: int | None = None) -> D
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     return spark.table(name)
 
 
@@ -310,7 +372,10 @@ def stream_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id")
     )
-    drained = drain(joined, mode="append", state_partitions=4)
+    # Inner interval joins emit on match, so the trailing no-data batch
+    # (state eviction only) is pure overhead here — measured as expensive
+    # as the data batch itself (drain() docstring).
+    drained = drain(joined, mode="append", state_partitions=4, no_data_batch=False)
     return drained.groupBy("user_id").agg(F.count("*").alias("n_matches")).orderBy("user_id")
 
 
@@ -456,9 +521,27 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    q = pairs.writeStream.foreachBatch(write_batch).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    # Same tiny-state right-sizing the drain() pins apply (r13 sweep):
+    # the dedup state is a few thousand keys; at the session's 32
+    # partitions the per-partition provider init + commit dominates, and
+    # the foreachBatch writer then also lands 32 near-empty parquet files
+    # per batch instead of 8. Same env override as every other pin.
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    try:
+        parts = int(env) if env else 8
+    except ValueError as exc:
+        raise ValueError(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+            f"got {env!r}"
+        ) from exc
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = pairs.writeStream.foreachBatch(write_batch).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         # recursiveFileLookup: the batch-N subdirs are layout, not hive
         # partitions — read every parquet file beneath out_dir flat.
@@ -513,7 +596,7 @@ def _pyds_severity_counts_sql(values_idx_sql: str) -> str:
 )
 def stream_python_datasource_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 Python *streaming* DataSource (`sources/pyds.py`): tail the
-    corpus file in bounded 5-line microbatches (line-count offsets,
+    corpus file in bounded 9-line microbatches (line-count offsets,
     checkpoint-compatible JSON), drain to a memory sink, then aggregate a
     severity histogram with each class's first byte offset. The oracle
     recomputes severities and offsets arithmetically over the indexed
@@ -536,10 +619,17 @@ def stream_python_datasource_tail(spark: SparkSession, sf_dir: str) -> DataFrame
 
     pyds.register(spark)
     path = pyds.corpus_file(spark)
+    # batchLines 9 over the 17-line corpus = 2 planned microbatches: still
+    # a multi-batch drain crossing a batch boundary (the property the gate
+    # exists to hash-check; the restart/property tests in test_pyds* drive
+    # finer splits), at half the per-batch machinery — each extra
+    # microbatch on a Python streaming source costs a full trigger cycle
+    # plus driver-side runner round trips (measured r14: 4 batches 4.2 s →
+    # 2 batches 2.5 s for the identical drained table).
     raw = (
         spark.readStream.format("syslog_text")
         .option("path", path)
-        .option("batchLines", 5)
+        .option("batchLines", 9)
         .load()
     )
     drained = drain(raw, mode="append")
@@ -581,15 +671,33 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     counts = stream_events(spark, sf_dir).groupBy("event_type").count()
     name = f"ssread_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # Tiny-state pin (r13 sweep rule, same env override as drain()): the
+    # state is one row per event_type; 32 partitions means 32 provider
+    # inits + commits to write ~9 keys, and the statestore read-back then
+    # scans 32 state files instead of 8. Keys/values are partition-
+    # independent, so the read-back result is unchanged.
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    try:
+        parts = int(env) if env else 8
+    except ValueError as exc:
+        raise ValueError(
+            "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+            f"got {env!r}"
+        ) from exc
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     state = spark.read.format("statestore").load(ckpt)
     return (
         state.select(
@@ -670,7 +778,9 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     size against duplicate-window length."""
     raw = stream_events(spark, sf_dir).withWatermark("ts", "45 days")
     dd = raw.dropDuplicatesWithinWatermark(["user_id", "event_type"])
-    drained = drain(dd, mode="append", state_partitions=8)
+    # first-seen rows emit on arrival; the no-data batch only expires
+    # dedup state the one-shot drain never needs again (drain() docstring)
+    drained = drain(dd, mode="append", state_partitions=8, no_data_batch=False)
     return (
         drained.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
@@ -942,10 +1052,14 @@ def _stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table as a file-source STREAM (single-file driver
     layout or directory layout — same handling as _stream_docs)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     if os.path.isdir(path):
         return spark.readStream.schema(schema).parquet(path)
-    # single-file driver testdata: the file source wants a directory
+    # single-file driver testdata: the file source wants a directory.
+    # No repartition here (unlike _stream_docs): the embeddings stream is
+    # 2k rows at bench scale and its two consumers' kernels are cheap —
+    # the r14 A/B measured the re-spread flat-to-negative (ivf_refit warm
+    # 1.6 → 2.0 s), so the exchange is not worth it.
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "embeddings.parquet")
@@ -1005,16 +1119,7 @@ def stream_cms_sketch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     microbatches by the aggregate's own partial merge. The batch-twin
     oracle recomputes the cells over the same corpus, so a stream that
     dropped, duplicated, or mis-hashed any token hash-fails."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
-        raw = spark.readStream.schema(schema).parquet(path)
-    else:
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir)
-        )
+    raw = _stream_docs(spark, sf_dir)
     return drain(cms_sketch_frame(raw), mode="complete", state_partitions=8).orderBy("r", "b")
 
 
@@ -1153,15 +1258,30 @@ def transcript_digest(drained: DataFrame) -> DataFrame:
 
 def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source STREAM (single-file driver
-    layout or directory layout, same handling as the other gates)."""
+    layout or directory layout, same handling as the other gates).
+
+    Single-file layout additionally re-spreads each microbatch across
+    ``_source_partitions`` tasks: FileStreamSource plans one partition per
+    FILE, so with one parquet file every consumer's per-document kernel
+    (MinHash signing, gram hashing, token explodes — every _stream_docs
+    gate does per-token work) ran as ONE task on a 32-core host. The r14
+    interleaved A/B over the nine consumers measured the repartition worth
+    −0.2 to −1.1 s/gate warm (cms 2.3→1.2, lsh probe 2.7→1.8, bloom
+    2.8→2.1, hll 2.0→1.25, decontamination 2.5→1.9; fertility/quality-gate
+    flat, none slower). Directory layouts keep their natural per-file
+    parallelism — no repartition. Pure row re-spread before any
+    aggregation: every consumer's result is partition-order-independent
+    (complete-mode aggregates / key-projected dedup), which the driver
+    hash gates confirm."""
     path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     if os.path.isdir(path):
         return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        .repartition(_source_partitions(spark))
     )
 
 
