@@ -96,6 +96,8 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    corpus_base: DataFrame | None = None,
+    query_base: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
@@ -103,17 +105,36 @@ def cosine_topk(
     ``queries`` is broadcast; the corpus is scanned once, no shuffle until
     the final per-query top-k window over Q x N candidate rows (bounded by
     pushing the rank filter — Spark plans it as a WindowGroupLimit).
+
+    ``corpus_base``/``query_base``: optional pre-built
+    :func:`ann_tier_base` frames (ignore ``corpus``/``queries`` when
+    given) — id/vector/norm are read from the shared frame instead of
+    recomputed, same expressions, bit-identical scores.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        norm_expr(F.col(vec_col)).alias("_cn"),
-    )
+    if query_base is not None:
+        q = query_base.select(
+            F.col("_id").alias("query_id"),
+            F.col("_vec").alias("_qvec"),
+            F.col("_n").alias("_qn"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        )
+    if corpus_base is not None:
+        c = corpus_base.select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_vec").alias("_cvec"),
+            F.col("_n").alias("_cn"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            norm_expr(F.col(vec_col)).alias("_cn"),
+        )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -288,6 +309,42 @@ def frozen_sims_udf(centroids: list[list[float]]):
     return sims
 
 
+def ann_tier_base(
+    emb: "DataFrame",
+    planes: list[list[list[float]]],
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """ONE corpus pass carrying everything every ANN tier needs:
+    (_id, _vec, _n, _srp, _sims) — the vector, its norm, the SRP bucket
+    array, and the per-centroid IVF sims. Both pandas UDFs sit in the
+    same projection, so Spark extracts them into a SINGLE
+    ArrowEvalPython node: one Python round trip per batch instead of one
+    per tier. Built for the recall audit (r14), which previously ran the
+    SRP bucket pass, the IVF sims pass, and the brute-force norm scan as
+    three separate corpus reads; each tier's search derives its side
+    from this frame via ``corpus_base``/``query_base`` below with
+    expressions IDENTICAL to its standalone path (same norm_expr, same
+    UDF builders, same explode/argmax), so scores and candidate sets are
+    bit-equal — the driver hash gates confirm."""
+    import pyspark.sql.functions as F
+
+    buckets = srp_buckets_frozen_udf(planes)
+    sims = frozen_sims_udf(centroids)
+    v = F.col(vec_col)
+    return spread(
+        emb.select(
+            F.col(id_col).alias("_id"),
+            v.alias("_vec"),
+            norm_expr(v).alias("_n"),
+            buckets(v).alias("_srp"),
+            sims(v).alias("_sims"),
+        )
+    )
+
+
 def blocked_assignment(
     emb: "DataFrame", centroids: list[list[float]], *, keep_label: bool = False
 ) -> "DataFrame":
@@ -326,9 +383,17 @@ def srp_topk_frozen(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    corpus_base: DataFrame | None = None,
+    query_base: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors: multi-table SRP LSH with
-    FROZEN hyperplanes. Candidates are the union over the tables'
+    FROZEN hyperplanes.
+
+    ``corpus_base``/``query_base``: optional pre-built
+    :func:`ann_tier_base` frames — the bucket arrays come off the shared
+    frame's ``_srp`` column (the SAME srp_buckets_frozen_udf output)
+    instead of a private corpus pass; explode/join/dedup/score are
+    unchanged, so the candidate set and scores are bit-identical. Candidates are the union over the tables'
     bucket joins (recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/pi),
     deduplicated before the exact cosine is computed — the bucket key
     bounds the join, no full Q x N scan. The whole query is a pure
@@ -336,19 +401,36 @@ def srp_topk_frozen(
     candidates AND scores. Signatures come from the
     sequential-accumulation pandas UDF (srp_buckets_frozen_udf), whose
     sign decisions are bit-identical to the oracle's list_reduce fold."""
-    buckets = srp_buckets_frozen_udf(planes)
-    c = spread(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_cvec"),
-            norm_expr(F.col(vec_col)).alias("_cn"),
+    if corpus_base is not None:
+        c = corpus_base.select(
+            F.col("_id").alias("neighbor_id"),
+            F.col("_vec").alias("_cvec"),
+            F.col("_n").alias("_cn"),
+            F.explode("_srp").alias("_bucket"),
         )
-    ).withColumn("_bucket", F.explode(buckets(F.col("_cvec"))))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        norm_expr(F.col(vec_col)).alias("_qn"),
-    ).withColumn("_bucket", F.explode(buckets(F.col("_qvec"))))
+    else:
+        buckets = srp_buckets_frozen_udf(planes)
+        c = spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_cvec"),
+                norm_expr(F.col(vec_col)).alias("_cn"),
+            )
+        ).withColumn("_bucket", F.explode(buckets(F.col("_cvec"))))
+    if query_base is not None:
+        q = query_base.select(
+            F.col("_id").alias("query_id"),
+            F.col("_vec").alias("_qvec"),
+            F.col("_n").alias("_qn"),
+            F.explode("_srp").alias("_bucket"),
+        )
+    else:
+        buckets = srp_buckets_frozen_udf(planes)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            norm_expr(F.col(vec_col)).alias("_qn"),
+        ).withColumn("_bucket", F.explode(buckets(F.col("_qvec"))))
 
     candidates = (
         c.join(F.broadcast(q), "_bucket")
@@ -395,6 +477,8 @@ def ivf_topk_frozen(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    corpus_base: DataFrame | None = None,
+    query_base: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search with a
     PRETRAINED (frozen) coarse quantizer —
@@ -408,32 +492,61 @@ def ivf_topk_frozen(
     deterministic and hash-gateable. The rescan still touches
     ~n_probe/n_lists of the corpus; no driver-side fit in the hot path,
     which is the warehouse deployment shape."""
-    sims_udf = frozen_sims_udf(centroids)
     vec = F.col(vec_col)
     argmax = (
         F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1
     ).cast("int")
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            vec.alias("_cvec"),
-            norm_expr(vec).alias("_cn"),
-            sims_udf(vec).alias("_sims"),
-        )
-        .withColumn("_list", argmax)
-        .drop("_sims")
-    )
     probes = frozen_probe_lists(F.col("_sims"), len(centroids), n_probe)
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            vec.alias("_qvec"),
-            norm_expr(vec).alias("_qn"),
-            sims_udf(vec).alias("_sims"),
+    # corpus_base/query_base: pre-built ann_tier_base frames — the sims
+    # arrays come off the shared ``_sims`` column (the SAME frozen_sims_udf
+    # output); argmax assignment and probe selection are the identical
+    # expressions either way, so lists/candidates/scores are bit-equal.
+    if corpus_base is not None:
+        c = (
+            corpus_base.select(
+                F.col("_id").alias("neighbor_id"),
+                F.col("_vec").alias("_cvec"),
+                F.col("_n").alias("_cn"),
+                "_sims",
+            )
+            .withColumn("_list", argmax)
+            .drop("_sims")
         )
-        .withColumn("_list", F.explode(probes))
-        .drop("_sims")
-    )
+    else:
+        sims_udf = frozen_sims_udf(centroids)
+        c = (
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                vec.alias("_cvec"),
+                norm_expr(vec).alias("_cn"),
+                sims_udf(vec).alias("_sims"),
+            )
+            .withColumn("_list", argmax)
+            .drop("_sims")
+        )
+    if query_base is not None:
+        q = (
+            query_base.select(
+                F.col("_id").alias("query_id"),
+                F.col("_vec").alias("_qvec"),
+                F.col("_n").alias("_qn"),
+                "_sims",
+            )
+            .withColumn("_list", F.explode(probes))
+            .drop("_sims")
+        )
+    else:
+        sims_udf = frozen_sims_udf(centroids)
+        q = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                vec.alias("_qvec"),
+                norm_expr(vec).alias("_qn"),
+                sims_udf(vec).alias("_sims"),
+            )
+            .withColumn("_list", F.explode(probes))
+            .drop("_sims")
+        )
 
     scored = (
         c.join(F.broadcast(q), "_list")

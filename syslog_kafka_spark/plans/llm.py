@@ -1984,31 +1984,49 @@ def llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score DESC, neighbor_id) tie order their individual gates already
     pin, so the set intersection is exactly reproducible.
 
-    Scale shape: the three tier faces each read the embeddings several
-    times (corpus + query side per face), so the base sits behind ONE
-    session_cache barrier — the physical plan has a single parquet scan
-    and every face reads InMemoryTableScans (exact brute force scores
-    queries x N — at audit time that cost IS the deliverable;
-    production audits sample queries exactly like the vec_id < 10
-    predicate here); the per-tier reduce collapses to #tiers rows
-    before anything reaches the driver."""
+    Scale shape (r14 rework): the three tier faces each used to run their
+    OWN corpus pass (SRP bucket UDF, IVF sims UDF, brute-force norm scan
+    — three ArrowEvalPython/scan pipelines over the same table). The
+    audit now derives every side from ONE session-cached
+    ann_tier_base frame — id, vector, norm, SRP buckets, and IVF sims
+    computed in a single projection, so both pandas UDFs share one
+    ArrowEvalPython node and the corpus crosses the Python boundary
+    once. Each tier's search reads the shared columns through the same
+    expressions its standalone path computes (norm_expr /
+    srp_buckets_frozen_udf / frozen_sims_udf / the argmax and probe
+    selections), so candidates and scores are bit-identical — the
+    driver hash gate pins it. Exact brute force scores queries x N — at
+    audit time that cost IS the deliverable; production audits sample
+    queries exactly like the vec_id < 10 predicate here; the per-tier
+    reduce collapses to #tiers rows before anything reaches the
+    driver."""
     from syslog_kafka_spark.operators.ann_frozen import IVF_CENTROIDS, SRP_PLANES
     from syslog_kafka_spark.operators.session_cache import session_cache
     from syslog_kafka_spark.operators.similarity import (
+        ann_tier_base,
         cosine_topk,
         ivf_topk_frozen,
         srp_topk_frozen,
     )
 
-    emb = session_cache(load_tables(spark, sf_dir).embeddings, eager=False)
-    q = emb.filter(F.col("vec_id") < 10)
+    base = session_cache(
+        ann_tier_base(load_tables(spark, sf_dir).embeddings, SRP_PLANES, IVF_CENTROIDS)
+    )
+    qbase = base.filter(F.col("_id") < 10)
     # referenced twice (truth aggregate + hit join) and the brute-force
     # scan is the audit's dominant cost — barrier it so it runs once
     exact = session_cache(
-        cosine_topk(emb, q, k=5).select("query_id", "neighbor_id"), eager=False
+        cosine_topk(None, None, k=5, corpus_base=base, query_base=qbase).select(
+            "query_id", "neighbor_id"
+        ),
+        eager=False,
     )
-    srp = srp_topk_frozen(emb, q, SRP_PLANES, k=5)
-    ivf = ivf_topk_frozen(emb, q, IVF_CENTROIDS, k=5, n_probe=4)
+    srp = srp_topk_frozen(
+        None, None, SRP_PLANES, k=5, corpus_base=base, query_base=qbase
+    )
+    ivf = ivf_topk_frozen(
+        None, None, IVF_CENTROIDS, k=5, n_probe=4, corpus_base=base, query_base=qbase
+    )
     tier_rows = ivf.select(
         F.lit("ivf").alias("tier"), "query_id", "neighbor_id"
     ).unionByName(srp.select(F.lit("srp").alias("tier"), "query_id", "neighbor_id"))

@@ -1036,3 +1036,23 @@ def test_ann_recall_audit_cache_served_and_broadcast_hits(spark, sf_dir):
     assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 4, ops
     assert not any(k.startswith("SortMergeJoin") for k in ops), ops
     clear_session_caches(spark)
+
+
+def test_ann_recall_audit_single_python_pass(spark, sf_dir):
+    """The recall audit must derive every tier from the ONE session-cached
+    ann_tier_base frame (r14 rework): after the base fills, the audit's
+    own plan reads InMemoryTableScans only — no parquet re-scan of the
+    embeddings and, critically, no per-tier ArrowEvalPython re-run (the
+    SRP bucket and IVF sims UDFs both live inside the cached base's
+    single Python pass)."""
+    from syslog_kafka_spark.operators.session_cache import clear_session_caches
+
+    clear_session_caches(spark)
+    df = load_all()["llm_ann_recall_audit"].build(spark, sf_dir)
+    df.count()
+    ops = _frame_op_counts(df)
+    assert not any("ArrowEval" in k or "MapInArrow" in k for k in ops), ops
+    assert not any(k.startswith("FileSourceScan") for k in ops), ops
+    assert sum(v for k, v in ops.items() if k.startswith("InMemoryTableScan")) >= 2, ops
+    assert not any("CartesianProduct" in k for k in ops), ops
+    clear_session_caches(spark)
